@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator bundle from SURVEY.md §2 to a
+  * DataFrame program over the driver test tables; `oracleSql` carries the
+  * equivalent DuckDB SQL for the hash-compare gate. Column names and types
+  * are aliased identically on both sides (the driver sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q01SalesOverview(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sales_overview" -> (Queries.q01SalesOverview _),
+    "q02_kpi_totals" -> (Queries.q02KpiTotals _),
+    "q03_daily_sales" -> (Queries.q03DailySales _),
+    "q04_sales_by_nation" -> (Queries.q04SalesByNation _),
+    "q05_sales_by_region" -> (Queries.q05SalesByRegion _),
+    "q06_delivery_enrichment" -> (Queries.q06DeliveryEnrichment _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_sales_overview" -> Queries.q01Sql,
+    "q02_kpi_totals" -> Queries.q02Sql,
+    "q03_daily_sales" -> Queries.q03Sql,
+    "q04_sales_by_nation" -> Queries.q04Sql,
+    "q05_sales_by_region" -> Queries.q05Sql,
+    "q06_delivery_enrichment" -> Queries.q06Sql,
+  )
 }

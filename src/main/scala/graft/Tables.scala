@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pinned schemas + loaders for the driver test tables.
+  *
+  * The reference burned itself on schema inference three separate times and
+  * ended up pinning explicit schemas everywhere (reference
+  * `spark_transform.py:96-208` "prevent inferSchema issues",
+  * `ingestion_script.py:59-179`, DDL in `ods_layer.py:54-160`). We adopt the
+  * same rule: every source read carries a declared [[StructType]];
+  * `inferSchema` is never used. For Parquet this also guarantees the scan's
+  * `ReadSchema` is exactly what downstream needs — Catalyst prunes columns
+  * against it.
+  *
+  * Scale note (100 TB): these loaders read a single file per table at test
+  * scale but accept any path Spark can glob, so a production deployment
+  * points them at a date-partitioned directory (`dt=YYYY-MM-DD/`) and gets
+  * partition pruning (Catalyst `PruneFileSourcePartitions`) for free —
+  * mirroring the reference's "latest Parquet per dataset" pruning
+  * (`ods_layer.py:289-308`) declaratively instead of via S3 listing.
+  */
+object Tables {
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def read(spark: SparkSession, dir: String, name: String,
+                   schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem", lineitemSchema)
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "customer", customerSchema)
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "supplier", supplierSchema)
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "nation", nationSchema)
+  def region(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "region", regionSchema)
+  def part(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "part", partSchema)
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events", eventsSchema)
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings", embeddingsSchema)
+}

@@ -1,0 +1,306 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Batch analytics queries Q1–Q17 (SURVEY.md §2.12), instantiated over the
+  * driver's TPC-H-ish tables per the role mapping in FIXTURES.md §3:
+  * orders/lineitem ↔ orders/order_items, customer ↔ customers,
+  * part ↔ products, supplier ↔ sellers, nation/region ↔ geolocation
+  * state/city rollups.
+  *
+  * Determinism contract (shared with the DuckDB oracle): every query ends in
+  * an explicit ORDER BY over a unique key set, and every floating-point
+  * aggregate is computed exactly — money sums go through DECIMAL(18,2)
+  * (exact, associative, so partition-order independent) and are cast back to
+  * DOUBLE; averages are exact-sum / count. A plain `sum(double)` would
+  * differ from the oracle in low-order bits depending on partition merge
+  * order, which a hash comparison would flag.
+  */
+object Queries {
+
+  /** Money column lifted to exact decimal. The inputs are clean 2-dp money
+    * values stored as doubles (within 1e-10 of a 2-dp decimal), so this cast
+    * is unambiguous in every engine. Converting a *derived* double (e.g. a
+    * product) instead would hit half-cent ties where Spark (shortest-string
+    * + HALF_UP) and DuckDB (exact-binary rounding) disagree — observed on
+    * sf0.001 before this design. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact, partition-order-independent money sum (see class doc). */
+  def moneySum(c: Column): Column = sum(money(c)).cast(DoubleType)
+
+  /** Exact mean of a money-like column: exact decimal sum / non-null count.
+    * No round(): the final double division is identical IEEE arithmetic in
+    * both engines, while round-on-double is not. */
+  def moneyAvg(c: Column): Column =
+    (sum(money(c)).cast(DoubleType) / count(c))
+
+  /** Net line revenue as an exact decimal product: both factors lifted to
+    * decimal first, multiply exact (scale 4) — associative, tie-free. */
+  private def netRevenueDec(price: Column, discount: Column): Column =
+    money(price) * (lit(1).cast(DecimalType(18, 2)) - money(discount))
+
+  /** Net line revenue as a plain double product for row-level output:
+    * identical IEEE arithmetic in Spark and DuckDB, so bit-exact without
+    * any decimal detour. Only aggregates need the decimal path. */
+  private def netRevenueDouble(price: Column, discount: Column): Column =
+    price * (lit(1.0) - discount)
+
+  // ---------------------------------------------------------------------
+  // Q1 — sales-overview denormalization (reference J2 + P1 + P5:
+  // `utils.py:344-371`). Six-way left join whose row grain is the lineitem
+  // fan-out — intentionally row-multiplying, KPIs are computed over this
+  // grain (SURVEY.md §7.4.2). The post-join `l_extendedprice IS NOT NULL`
+  // filter converts the lineitem leg to inner exactly like the reference's
+  // `WHERE oi.PRICE IS NOT NULL` (must stay AFTER the join semantically;
+  // Catalyst is free to push it because it proves the join inner — the
+  // same rewrite the reference gets from Snowflake).
+  //
+  // Scale: customer/part/supplier/nation are bounded dimensions →
+  // broadcast; orders⋈lineitem is the one genuine shuffle (sort-merge at
+  // 100 TB, co-partitioned on orderkey if both sides are bucketed).
+  // ---------------------------------------------------------------------
+  def q01SalesOverview(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .filter(l("l_extendedprice").isNotNull && o("o_orderdate").isNotNull)
+      .select(
+        o("o_orderkey").as("order_id"),
+        l("l_linenumber").as("line_no"),
+        o("o_custkey").as("cust_id"),
+        c("c_name").as("cust_name"),
+        n("n_name").as("nation"),
+        c("c_mktsegment").as("mktsegment"),
+        o("o_orderstatus").as("order_status"),
+        to_date(o("o_orderdate")).as("order_date"),
+        p("p_name").as("part_name"),
+        p("p_brand").as("part_brand"),
+        p("p_type").as("part_type"),
+        s("s_name").as("supplier_name"),
+        l("l_quantity").as("quantity"),
+        l("l_extendedprice").as("extended_price"),
+        l("l_discount").as("discount"),
+        netRevenueDouble(l("l_extendedprice"), l("l_discount"))
+          .as("net_revenue"),
+        l("l_returnflag").as("return_flag"),
+        to_date(l("l_shipdate")).as("ship_date"))
+      .orderBy(col("order_id"), col("line_no"))
+  }
+
+  val q01Sql: String =
+    """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
+      |       o.o_custkey AS cust_id, c.c_name AS cust_name,
+      |       n.n_name AS nation, c.c_mktsegment AS mktsegment,
+      |       o.o_orderstatus AS order_status,
+      |       CAST(o.o_orderdate AS DATE) AS order_date,
+      |       p.p_name AS part_name, p.p_brand AS part_brand,
+      |       p.p_type AS part_type, s.s_name AS supplier_name,
+      |       l.l_quantity AS quantity, l.l_extendedprice AS extended_price,
+      |       l.l_discount AS discount,
+      |       l.l_extendedprice * (1.0 - l.l_discount) AS net_revenue,
+      |       l.l_returnflag AS return_flag,
+      |       CAST(l.l_shipdate AS DATE) AS ship_date
+      |FROM orders o
+      |LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_extendedprice IS NOT NULL AND o.o_orderdate IS NOT NULL
+      |ORDER BY order_id, line_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q2 — KPI totals over the Q1 grain (reference A1–A3,
+  // `run_analytics.py:85-93`): grand-total revenue, distinct orders,
+  // distinct customers, mean quantity. Computed over the fan-out grain on
+  // purpose (SURVEY.md §7.4.2). Single-row result; countDistinct is exact
+  // (the 100 TB path would switch to approx_count_distinct — noted, not
+  // done: correctness tier is exact).
+  // ---------------------------------------------------------------------
+  def q02KpiTotals(spark: SparkSession, dir: String): DataFrame = {
+    // net_revenue is a derived 4-dp product carried as double — lift it to
+    // scale-4 decimal (tie-free: the true value has exactly 4 decimals,
+    // the double is within 1e-6 of it) before the exact sum.
+    q01SalesOverview(spark, dir).agg(
+      sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
+        .as("total_revenue"),
+      countDistinct(col("order_id")).as("total_orders"),
+      countDistinct(col("cust_id")).as("total_customers"),
+      moneyAvg(col("quantity")).as("avg_quantity"))
+  }
+
+  val q02Sql: String =
+    s"""SELECT CAST(SUM(CAST(net_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       |       COUNT(DISTINCT order_id) AS total_orders,
+       |       COUNT(DISTINCT cust_id) AS total_customers,
+       |       CAST(SUM(CAST(quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(quantity) AS avg_quantity
+       |FROM (${q01Sql.replace("ORDER BY order_id, line_no", "")}) q1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q3 — daily sales (reference A4+P6+F9+J3+T3, `utils.py:379-391`):
+  // status NOT IN filter, inner join orders⋈lineitem, bucket by day,
+  // exact revenue sum + distinct order count, ordered by day.
+  // Scale: filter is pushed to the orders scan (PushedFilters), the join
+  // shuffles on orderkey, the day-grouping is a second small shuffle; at
+  // 100 TB the orderdate-partitioned lake makes the day groupBy
+  // partition-local.
+  // ---------------------------------------------------------------------
+  def q03DailySales(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(!col("o_orderstatus").isin("P"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+      .agg(
+        sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("total_sales"),
+        countDistinct(col("o_orderkey")).as("number_of_orders"))
+      .orderBy(col("sale_date"))
+  }
+
+  val q03Sql: String =
+    """SELECT CAST(o.o_orderdate AS DATE) AS sale_date,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_sales,
+      |       COUNT(DISTINCT o.o_orderkey) AS number_of_orders
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderstatus NOT IN ('P')
+      |GROUP BY 1 ORDER BY sale_date""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q4 — sales by nation through the customer dimension (reference J4+A5,
+  // `utils.py:398-423`: 3-way join then group with sum + avg of dimension
+  // attributes, ordered by revenue). nation is broadcast; the only shuffle
+  // is orders⋈customer then the group on the small nation key.
+  // ---------------------------------------------------------------------
+  def q04SalesByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(
+        moneySum(o("o_totalprice")).as("total_sales"),
+        moneyAvg(c("c_acctbal")).as("avg_acctbal"),
+        countDistinct(o("o_orderkey")).as("n_orders"))
+      .orderBy(col("total_sales").desc, col("nation"))
+  }
+
+  val q04Sql: String =
+    """SELECT n.n_name AS nation,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_acctbal,
+      |       COUNT(DISTINCT o.o_orderkey) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY total_sales DESC, nation""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q5 — sales by region via a NAME-string join (reference J5+A6,
+  // `utils.py:238-257` / `original_dashboard.py:413-431`: a legacy two-level
+  // rollup that joins on a city STRING instead of the key — kept because it
+  // exercises a non-key string equi-join). Level 1 groups sales per nation
+  // name; level 2 joins that result back to `nation` BY NAME, then to
+  // region, and re-aggregates.
+  // Scale: level-1 output is ≤ |nation| rows, so the string join is a
+  // broadcast join of two tiny sides; the heavy lifting is the level-1
+  // groupBy which shuffles once on nationkey.
+  // ---------------------------------------------------------------------
+  def q05SalesByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val salesByNation = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation_name"))
+      .agg(moneySum(o("o_totalprice")).as("nation_sales"))
+    // second level: join BY NAME (string), then region rollup
+    val n2 = Tables.nation(spark, dir)
+    salesByNation
+      .join(broadcast(n2), col("nation_name") === n2("n_name"))
+      .join(broadcast(r), n2("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"))
+      .agg(
+        moneySum(col("nation_sales")).as("total_sales"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("total_sales").desc, col("region"))
+  }
+
+  val q05Sql: String =
+    """WITH sales_by_nation AS (
+      |  SELECT n.n_name AS nation_name,
+      |         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_sales
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name)
+      |SELECT r.r_name AS region,
+      |       CAST(SUM(CAST(s.nation_sales AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |       COUNT(*) AS n_nations
+      |FROM sales_by_nation s
+      |JOIN nation n2 ON s.nation_name = n2.n_name
+      |JOIN region r ON n2.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY total_sales DESC, region""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q6 — delivery enrichment (reference F10+F11+P7+P8, `utils.py:427-442`):
+  // day-difference columns, On-Time/Late conditional label, dropna on the
+  // date columns, and the `delay >= 0` bad-data filter. Row-level output
+  // (it is an enrichment operator, not an aggregate). datediff counts date
+  // boundaries in both Spark and DuckDB (SURVEY.md §7.4.1 — the pandas
+  // `.dt.days` truncation gap does not arise because we difference DATEs).
+  // ---------------------------------------------------------------------
+  def q06DeliveryEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .na.drop(Seq("o_orderdate", "l_shipdate"))
+      // cast to long: DuckDB DATE_DIFF returns BIGINT, Spark datediff INT —
+      // pin the wider type so result schemas agree
+      .withColumn("ship_delay_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast(LongType))
+      .filter(col("ship_delay_days") >= 0)
+      .withColumn("delivery_status",
+        when(col("ship_delay_days") <= 90, "On-Time").otherwise("Late"))
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        to_date(col("o_orderdate")).as("order_date"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        col("ship_delay_days"),
+        col("delivery_status"))
+      .orderBy(col("order_id"), col("line_no"))
+  }
+
+  val q06Sql: String =
+    """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
+      |       CAST(o.o_orderdate AS DATE) AS order_date,
+      |       CAST(l.l_shipdate AS DATE) AS ship_date,
+      |       DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS ship_delay_days,
+      |       CASE WHEN DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90
+      |            THEN 'On-Time' ELSE 'Late' END AS delivery_status
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      |  AND DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) >= 0
+      |ORDER BY order_id, line_no""".stripMargin
+}

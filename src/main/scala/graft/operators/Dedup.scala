@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-based deduplication operators.
+  *
+  * The reference dedups four different ways (SURVEY.md §2.4 A12–A15):
+  * `ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) = 1` in SQL
+  * (`spark_transform.py:365-373`, `staging_layer.py:190,198,232,343`),
+  * pandas `drop_duplicates`/`duplicated` (`ingestion_script.py:332-342`),
+  * and Postgres `DISTINCT ON` (`local/s3_to_pg.py:298-304`). All of them are
+  * the same logical operator: keep exactly one row per key, chosen by an
+  * explicit ordering. We expose that single operator; "keep first by file
+  * order" is expressed as an ordering column, never implicit row order
+  * (SURVEY.md §7.4.3 — implicit order is not reproducible on a cluster).
+  *
+  * Scale: one hash-partition shuffle on the key columns; Spark's window
+  * exec sorts within partitions. Skewed keys are handled by AQE; for a
+  * pathologically hot key, pre-aggregate with `min_by`/`max_by` instead
+  * (same semantics when the payoff ordering is a single column).
+  */
+object Dedup {
+
+  /** Keep the single row per `keys` that sorts first under `order`
+    * (ties must be broken by the caller's ordering — include a unique
+    * column to make the result deterministic). */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Rows that would be dropped by [[keepFirst]] — the quarantine side of
+    * the reference's duplicate split (`ingestion_script.py:332-342`). */
+  def duplicates(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .drop("__rn")
+  }
+
+  /** Exact distinct on a column subset (reference A13 `dropDuplicates`).
+    * Deterministic variant of `df.dropDuplicates(keys)`: which row survives
+    * is pinned by `order`. */
+  def distinctOn(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepFirst(df, keys, order)
+}

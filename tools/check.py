@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 tools/check.py <sfDir> <outDir>
+
+For every query result parquet in <outDir>, runs the matching oracle SQL
+from <outDir>/oracle_sql.json in DuckDB against the same testdata parquet
+tables, then compares: column names (sorted), row counts, and values
+(rows sorted by all columns; exact for non-floats, tiny-epsilon for
+floats). Exits nonzero on any mismatch.
+
+Uses the driver-side python stack (duckdb/pandas) — this script is a dev
+harness, not part of the shipped library.
+"""
+import json, math, os, sys, glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT * FROM read_parquet([" +
+        ",".join(f"'{f}'" for f in files) + "])").fetchdf()
+    con.close()
+    return df
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="last").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name, got, exp):
+    problems = []
+    if sorted(got.columns) != sorted(exp.columns):
+        problems.append(f"columns differ: spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+        return problems
+    if len(got) != len(exp):
+        problems.append(f"row count differs: spark={len(got)} oracle={len(exp)}")
+        return problems
+    got, exp = canon(got), canon(exp)
+    exact_mismatch = 0
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            g = None if (g is pd.NaT or (isinstance(g, float) and math.isnan(g))) else g
+            e = None if (e is pd.NaT or (isinstance(e, float) and math.isnan(e))) else e
+            # normalize timestamps/dates to isoformat strings
+            if hasattr(g, "isoformat"):
+                g = g.isoformat()
+            if hasattr(e, "isoformat"):
+                e = e.isoformat()
+            if isinstance(g, float) or isinstance(e, float):
+                if g is not None and e is not None and g != e:
+                    exact_mismatch += 1
+                if not (g is None and e is None) and (
+                        g is None or e is None or not values_equal(float(g), float(e))):
+                    problems.append(f"col {c} row {i}: spark={g!r} oracle={e!r}")
+                    if len(problems) > 5:
+                        return problems
+            elif g != e:
+                problems.append(f"col {c} row {i}: spark={g!r} oracle={e!r}")
+                if len(problems) > 5:
+                    return problems
+    if exact_mismatch:
+        problems.append(
+            f"WARN {name}: {exact_mismatch} float cells equal only within epsilon "
+            "(driver hash may be stricter)")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    failed = []
+    for name in sorted(os.listdir(out_dir)):
+        rp = os.path.join(out_dir, name)
+        if not os.path.isdir(rp):
+            continue
+        got = load_result(rp)
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            if len(got) == 0:
+                print(f"    WARN: zero rows")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            failed.append(name)
+            continue
+        probs = compare(name, got, exp)
+        hard = [p for p in probs if not p.startswith("WARN")]
+        if hard:
+            print(f"✗ {name}: ({len(got)} rows)")
+            for p in probs[:8]:
+                print("    " + p)
+            failed.append(name)
+        else:
+            tag = " (float-eps warn)" if probs else ""
+            print(f"✓ {name}: {len(got)} rows{tag}")
+            for p in probs[:3]:
+                print("    " + p)
+    if failed:
+        print(f"\nFAILED: {failed}")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()
