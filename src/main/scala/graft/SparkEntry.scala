@@ -26,6 +26,17 @@ object SparkEntry {
     "q04_sales_by_nation" -> (Queries.q04SalesByNation _),
     "q05_sales_by_region" -> (Queries.q05SalesByRegion _),
     "q06_delivery_enrichment" -> (Queries.q06DeliveryEnrichment _),
+    "q07_rfm" -> (Queries.q07Rfm _),
+    "q08_rfm_summary" -> (Queries.q08RfmSummary _),
+    "q09_supplier_scorecard" -> (Queries.q09SupplierScorecard _),
+    "q10_avg_by_delivery_status" -> (Queries.q10AvgByDeliveryStatus _),
+    "q11_returnflag_dist" -> (Queries.q11ReturnFlagDist _),
+    "q12_brand_discount_extremes" -> (Queries.q12BrandDiscountExtremes _),
+    "q13_top_brands_by_revenue" -> (Queries.q13TopBrandsByRevenue _),
+    "q14_top_supplier_nations" -> (Queries.q14TopSupplierNations _),
+    "q15_status_dist" -> (Queries.q15StatusDist _),
+    "q16_priority_dist" -> (Queries.q16PriorityDist _),
+    "q17_filtered_dist" -> (Queries.q17FilteredDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +48,16 @@ object SparkEntry {
     "q04_sales_by_nation" -> Queries.q04Sql,
     "q05_sales_by_region" -> Queries.q05Sql,
     "q06_delivery_enrichment" -> Queries.q06Sql,
+    "q07_rfm" -> Queries.q07Sql,
+    "q08_rfm_summary" -> Queries.q08Sql,
+    "q09_supplier_scorecard" -> Queries.q09Sql,
+    "q10_avg_by_delivery_status" -> Queries.q10Sql,
+    "q11_returnflag_dist" -> Queries.q11Sql,
+    "q12_brand_discount_extremes" -> Queries.q12Sql,
+    "q13_top_brands_by_revenue" -> Queries.q13Sql,
+    "q14_top_supplier_nations" -> Queries.q14Sql,
+    "q15_status_dist" -> Queries.q15Sql,
+    "q16_priority_dist" -> Queries.q16Sql,
+    "q17_filtered_dist" -> Queries.q17Sql,
   )
 }

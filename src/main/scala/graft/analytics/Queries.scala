@@ -303,4 +303,321 @@ object Queries {
       |WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
       |  AND DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) >= 0
       |ORDER BY order_id, line_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q7 — RFM segmentation (reference A8+W2+F12, `utils.py:446-504` /
+  // `run_analytics.py:122-146`): per-customer recency (days from
+  // snapshot = max(order ts)+1 day), frequency (distinct orders), monetary
+  // (exact revenue sum); quartile scores via ntile(4) with the customer id
+  // as tie-break — mirroring pandas `qcut(rank(method='first'))` whose ties
+  // break by the groupby-sorted frame order (= customer id); R reversed
+  // (labels 4..1); then the reference's exact 7-branch segment chain
+  // (order-sensitive, replicated verbatim).
+  //
+  // Scale note: ntile needs a GLOBAL ordering — here a single-partition
+  // window, fine for |customers| rows (already one row per customer, i.e.
+  // ~1e8 at 100 TB but only 3 numeric cols). The scale path is
+  // approx-quantile cutpoints (approxQuantile / percentile_approx) joined
+  // as thresholds, which avoids the global sort; correctness tier keeps
+  // exact ntile.
+  // ---------------------------------------------------------------------
+  import org.apache.spark.sql.expressions.Window
+
+  def q07Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snap = o.agg(date_add(to_date(max(col("o_orderdate"))), 1).as("__snapshot"))
+    val rfm = o.crossJoin(broadcast(snap))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(
+        datediff(first(col("__snapshot")), to_date(max(col("o_orderdate"))))
+          .cast(LongType).as("recency"),
+        countDistinct(col("o_orderkey")).as("frequency"),
+        moneySum(col("o_totalprice")).as("monetary"))
+    val r = (lit(5) - ntile(4).over(Window.orderBy(col("recency"), col("cust_id"))))
+      .cast(IntegerType)
+    val f = ntile(4).over(Window.orderBy(col("frequency"), col("cust_id")))
+      .cast(IntegerType)
+    val m = ntile(4).over(Window.orderBy(col("monetary"), col("cust_id")))
+      .cast(IntegerType)
+    val scored = rfm
+      .withColumn("r_score", r)
+      .withColumn("f_score", f)
+      .withColumn("m_score", m)
+    scored.withColumn("segment",
+      when(col("r_score") >= 4 && col("f_score") >= 4, "Champions")
+        .when(col("r_score") >= 3 && col("f_score") >= 3, "Loyal Customers")
+        .when(col("r_score") >= 3 && col("f_score") < 3, "Potential Loyalists")
+        .when(col("r_score") < 3 && col("f_score") >= 4, "Cannot Lose")
+        .when(col("r_score") >= 2 && col("f_score") >= 2, "At Risk")
+        .when(col("r_score") < 2 && col("f_score") < 2, "Hibernating")
+        .otherwise("Needs Attention"))
+      .orderBy(col("cust_id"))
+  }
+
+  private val q07Core: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey AS cust_id,
+      |         CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+      |              (SELECT CAST(MAX(o_orderdate) AS DATE) + 1 FROM orders)) AS BIGINT) AS recency,
+      |         COUNT(DISTINCT o_orderkey) AS frequency,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT *,
+      |         CAST(5 - NTILE(4) OVER (ORDER BY recency, cust_id) AS INTEGER) AS r_score,
+      |         CAST(NTILE(4) OVER (ORDER BY frequency, cust_id) AS INTEGER) AS f_score,
+      |         CAST(NTILE(4) OVER (ORDER BY monetary, cust_id) AS INTEGER) AS m_score
+      |  FROM rfm)
+      |SELECT *, CASE
+      |  WHEN r_score >= 4 AND f_score >= 4 THEN 'Champions'
+      |  WHEN r_score >= 3 AND f_score >= 3 THEN 'Loyal Customers'
+      |  WHEN r_score >= 3 AND f_score < 3 THEN 'Potential Loyalists'
+      |  WHEN r_score < 3 AND f_score >= 4 THEN 'Cannot Lose'
+      |  WHEN r_score >= 2 AND f_score >= 2 THEN 'At Risk'
+      |  WHEN r_score < 2 AND f_score < 2 THEN 'Hibernating'
+      |  ELSE 'Needs Attention' END AS segment
+      |FROM scored""".stripMargin
+
+  val q07Sql: String = q07Core + "\nORDER BY cust_id"
+
+  // ---------------------------------------------------------------------
+  // Q8 — RFM segment summary (reference A16, `run_analytics.py:150-155`):
+  // per-segment customer count + mean R/F/M. Integer sums are exact longs;
+  // means are double divisions of identical operands in both engines.
+  // ---------------------------------------------------------------------
+  def q08RfmSummary(spark: SparkSession, dir: String): DataFrame = {
+    q07Rfm(spark, dir)
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        (sum(col("recency")).cast(DoubleType) / count(col("recency")))
+          .as("avg_recency"),
+        (sum(col("frequency")).cast(DoubleType) / count(col("frequency")))
+          .as("avg_frequency"),
+        moneyAvg(col("monetary")).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  val q08Sql: String =
+    s"""WITH q7 AS ($q07Core)
+       |SELECT segment, COUNT(*) AS customer_count,
+       |       CAST(SUM(recency) AS DOUBLE) / COUNT(recency) AS avg_recency,
+       |       CAST(SUM(frequency) AS DOUBLE) / COUNT(frequency) AS avg_frequency,
+       |       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / COUNT(monetary) AS avg_monetary
+       |FROM q7 GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q9 — supplier performance scorecard (reference A9, `utils.py:509-525`:
+  // seller revenue / distinct orders / mean score / mean delivery days).
+  // Supplier plays the seller role; avg discount plays the review-score
+  // role; ship delay (shipdate − orderdate) plays delivery time. The
+  // reference's dropna(subset) precedes the group — here the same na.drop.
+  // Scale: supplier is a broadcast dim; one shuffle on suppkey.
+  // ---------------------------------------------------------------------
+  def q09SupplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .na.drop(Seq("l_shipdate", "o_orderdate", "l_discount"))
+      .withColumn("__delay",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier_name"))
+      .agg(
+        sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("total_revenue"),
+        countDistinct(col("o_orderkey")).as("total_orders"),
+        moneyAvg(col("l_discount")).as("avg_discount"),
+        (sum(col("__delay")).cast(DoubleType) / count(col("__delay")))
+          .as("avg_ship_delay"))
+      .orderBy(col("total_revenue").desc, col("supplier_id"))
+  }
+
+  val q09Sql: String =
+    """SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |       COUNT(DISTINCT o.o_orderkey) AS total_orders,
+      |       CAST(SUM(CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_discount) AS avg_discount,
+      |       CAST(SUM(DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+      |         / COUNT(*) AS avg_ship_delay
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL AND l.l_discount IS NOT NULL
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY total_revenue DESC, supplier_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q10 — mean metric by delivery status (reference A10,
+  // `run_analytics.py:175-177`: avg review score per On-Time/Late bucket).
+  // Reuses Q6's enrichment semantics (delay >= 0 filter included).
+  // ---------------------------------------------------------------------
+  def q10AvgByDeliveryStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .na.drop(Seq("o_orderdate", "l_shipdate"))
+      .withColumn("__delay",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .filter(col("__delay") >= 0)
+      .withColumn("delivery_status",
+        when(col("__delay") <= 90, "On-Time").otherwise("Late"))
+      .groupBy(col("delivery_status"))
+      .agg(
+        moneyAvg(col("l_discount")).as("avg_discount"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("delivery_status"))
+  }
+
+  val q10Sql: String =
+    """SELECT CASE WHEN DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90
+      |            THEN 'On-Time' ELSE 'Late' END AS delivery_status,
+      |       CAST(SUM(CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_discount) AS avg_discount,
+      |       COUNT(*) AS n_lines
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      |  AND DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) >= 0
+      |GROUP BY 1 ORDER BY delivery_status""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q11 — value distribution with share-of-total (reference A11+W3,
+  // `run_analytics.py:180`: review-score distribution %). return_flag plays
+  // the review-score role. Uses the Distribution operator (groupBy +
+  // broadcast grand total — NOT an empty-partition window; see
+  // operators/Distribution.scala for the 100 TB rationale).
+  // ---------------------------------------------------------------------
+  def q11ReturnFlagDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Distribution
+      .valueCountsPct(Tables.lineitem(spark, dir), col("l_returnflag"), "return_flag")
+      .orderBy(col("return_flag"))
+
+  val q11Sql: String =
+    """SELECT l_returnflag AS return_flag, COUNT(*) AS n,
+      |       CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL) AS DOUBLE) AS pct
+      |FROM lineitem WHERE l_returnflag IS NOT NULL
+      |GROUP BY 1 ORDER BY return_flag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q12 — top-5 ∪ bottom-5 by group mean (reference T2+U1,
+  // `run_analytics.py:184-190`: category review-score extremes). Brand
+  // plays category; avg discount plays avg review score. Union of two
+  // opposite-ordered limits, tie-broken on the group key for determinism.
+  // ---------------------------------------------------------------------
+  def q12BrandDiscountExtremes(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val byBrand = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(moneyAvg(col("l_discount")).as("avg_discount"))
+    val top = byBrand.orderBy(col("avg_discount").desc, col("brand")).limit(5)
+      .withColumn("bucket", lit("top"))
+    val bottom = byBrand.orderBy(col("avg_discount").asc, col("brand")).limit(5)
+      .withColumn("bucket", lit("bottom"))
+    top.unionByName(bottom).orderBy(col("bucket"), col("brand"))
+  }
+
+  val q12Sql: String =
+    """WITH by_brand AS (
+      |  SELECT p.p_brand AS brand,
+      |         CAST(SUM(CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_discount) AS avg_discount
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand)
+      |SELECT * FROM (
+      |  (SELECT brand, avg_discount, 'top' AS bucket FROM by_brand
+      |   ORDER BY avg_discount DESC, brand LIMIT 5)
+      |  UNION ALL
+      |  (SELECT brand, avg_discount, 'bottom' AS bucket FROM by_brand
+      |   ORDER BY avg_discount ASC, brand LIMIT 5))
+      |ORDER BY bucket, brand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q13 — top-10 groups by revenue (reference T1, `run_analytics.py:196`:
+  // top categories by revenue). Exact decimal revenue; deterministic
+  // tie-break on the key.
+  // ---------------------------------------------------------------------
+  def q13TopBrandsByRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("total_revenue"))
+      .orderBy(col("total_revenue").desc, col("brand"))
+      .limit(10)
+  }
+
+  val q13Sql: String =
+    """SELECT p.p_brand AS brand,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand
+      |ORDER BY total_revenue DESC, brand LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q14 — top-10 supplier nations by revenue (reference T1,
+  // `run_analytics.py:200`: seller-state revenue leaderboard).
+  // ---------------------------------------------------------------------
+  def q14TopSupplierNations(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("total_revenue"))
+      .orderBy(col("total_revenue").desc, col("nation"))
+      .limit(10)
+  }
+
+  val q14Sql: String =
+    """SELECT n.n_name AS nation,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY total_revenue DESC, nation LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q15/Q16/Q17 — distributions (reference A11 on order status, payment
+  // method, and the P9-filtered installments: `run_analytics.py:204-213`).
+  // Q17 filters first (credit-card analog: returnflag = 'R'), then
+  // distributes the line number (installments analog).
+  // ---------------------------------------------------------------------
+  def q15StatusDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Distribution
+      .valueCountsPct(Tables.orders(spark, dir), col("o_orderstatus"), "order_status")
+      .orderBy(col("order_status"))
+
+  val q15Sql: String =
+    """SELECT o_orderstatus AS order_status, COUNT(*) AS n,
+      |       CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL) AS DOUBLE) AS pct
+      |FROM orders WHERE o_orderstatus IS NOT NULL
+      |GROUP BY 1 ORDER BY order_status""".stripMargin
+
+  def q16PriorityDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Distribution
+      .valueCountsPct(Tables.orders(spark, dir), col("o_orderpriority"), "priority")
+      .orderBy(col("priority"))
+
+  val q16Sql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |       CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL) AS DOUBLE) AS pct
+      |FROM orders WHERE o_orderpriority IS NOT NULL
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  def q17FilteredDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Distribution
+      .valueCountsPct(
+        Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("l_linenumber"), "line_no")
+      .orderBy(col("line_no"))
+
+  val q17Sql: String =
+    """SELECT l_linenumber AS line_no, COUNT(*) AS n,
+      |       CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber IS NOT NULL) AS DOUBLE) AS pct
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber IS NOT NULL
+      |GROUP BY 1 ORDER BY line_no""".stripMargin
 }

@@ -18,14 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Distribution {
 
-  /** Counts + percentage share per distinct value of `key`. */
-  def valueCountsPct(df: DataFrame, key: Column, keyName: String,
-                     pctScale: Int = 4): DataFrame = {
+  /** Counts + percentage share per distinct value of `key`.
+    * No round(): `n * 100.0 / total` on exact integers is identical IEEE
+    * double arithmetic in every engine, while round-on-double is not. */
+  def valueCountsPct(df: DataFrame, key: Column, keyName: String): DataFrame = {
     val counts = df.filter(key.isNotNull)
       .groupBy(key.as(keyName)).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__total"))
     counts.crossJoin(broadcast(total))
-      .withColumn("pct", round(col("n") * lit(100.0) / col("__total"), pctScale))
+      .withColumn("pct", col("n") * lit(100.0) / col("__total"))
       .drop("__total")
   }
 }
