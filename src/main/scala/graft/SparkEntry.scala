@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Queries
+import graft.analytics.{EventQueries, Queries, StagingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,17 @@ object SparkEntry {
     "q15_status_dist" -> (Queries.q15StatusDist _),
     "q16_priority_dist" -> (Queries.q16PriorityDist _),
     "q17_filtered_dist" -> (Queries.q17FilteredDist _),
+    "q18_dedup_map" -> (StagingQueries.q18DedupMap _),
+    "q19_product_imputation" -> (StagingQueries.q19ProductImputation _),
+    "q20_customer_geo_enrich" -> (StagingQueries.q20CustomerGeoEnrich _),
+    "q21_latest_event_per_user" -> (StagingQueries.q21LatestEventPerUser _),
+    "q22_validation_report" -> (StagingQueries.q22ValidationReport _),
+    "q23_minutely_counts" -> (EventQueries.q23MinutelyCounts _),
+    "q24_minutely_revenue" -> (EventQueries.q24MinutelyRevenue _),
+    "q25_running_totals" -> (EventQueries.q25RunningTotals _),
+    "q26_top_users" -> (EventQueries.q26TopUsers _),
+    "q27_recent_feed" -> (EventQueries.q27RecentFeed _),
+    "q28_props_extract" -> (EventQueries.q28PropsExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +70,16 @@ object SparkEntry {
     "q15_status_dist" -> Queries.q15Sql,
     "q16_priority_dist" -> Queries.q16Sql,
     "q17_filtered_dist" -> Queries.q17Sql,
+    "q18_dedup_map" -> StagingQueries.q18Sql,
+    "q19_product_imputation" -> StagingQueries.q19Sql,
+    "q20_customer_geo_enrich" -> StagingQueries.q20Sql,
+    "q21_latest_event_per_user" -> StagingQueries.q21Sql,
+    "q22_validation_report" -> StagingQueries.q22Sql,
+    "q23_minutely_counts" -> EventQueries.q23Sql,
+    "q24_minutely_revenue" -> EventQueries.q24Sql,
+    "q25_running_totals" -> EventQueries.q25Sql,
+    "q26_top_users" -> EventQueries.q26Sql,
+    "q27_recent_feed" -> EventQueries.q27Sql,
+    "q28_props_extract" -> EventQueries.q28Sql,
   )
 }

@@ -74,9 +74,14 @@ object Tables {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
+  /** events.ts is TIMESTAMP(NANOS) in the parquet file, which Spark cannot
+    * map to TimestampType (micros). Read it as raw nanos (LongType, via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and convert with integer
+    * division — the same ns→µs truncation DuckDB applies on read, so the
+    * two engines see identical timestamps. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -114,6 +119,11 @@ object Tables {
     read(spark, dir, "part", partSchema)
   def events(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "events", eventsSchema)
+      // integer division, NOT `/` (double division loses precision above
+      // 2^53 — epoch-nanos are ~1.7e18)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame =

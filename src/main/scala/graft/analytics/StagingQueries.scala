@@ -1,0 +1,170 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{Dedup, Validate}
+
+/** Silver-layer transforms Q18–Q22 (SURVEY.md §2.12): the reference's
+  * staging operators — window dedup maps, mean imputation via a 1-row cross
+  * join, enrichment joins with fallback keys, latest-wins dedup with
+  * timestamp coalescing, and the ingestion validation/quarantine split —
+  * instantiated over the driver test tables.
+  */
+object StagingQueries {
+
+  // ---------------------------------------------------------------------
+  // Q18 — window dedup map (reference A12, `spark_transform.py:365-373`:
+  // one geolocation_id per zip, tie-break lowest lat). Here: one canonical
+  // lineitem per (partkey, suppkey), tie-break earliest shipdate then
+  // (orderkey, linenumber) for full determinism — the reference's
+  // "computed in Postgres via JDBC subquery" round-trip (S8) replaced by
+  // the native window (SURVEY.md §3.2).
+  // Scale: one shuffle on the key pair; skewed hot keys → AQE or a
+  // min_by pre-aggregate (same semantics for single-column payloads).
+  // ---------------------------------------------------------------------
+  def q18DedupMap(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    Dedup.keepFirst(l, Seq("l_partkey", "l_suppkey"),
+        Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+      .select(
+        col("l_partkey").as("part_id"),
+        col("l_suppkey").as("supplier_id"),
+        col("l_orderkey").as("first_order_id"),
+        col("l_linenumber").as("first_line_no"),
+        to_date(col("l_shipdate")).as("first_ship_date"))
+      .orderBy(col("part_id"), col("supplier_id"))
+  }
+
+  val q18Sql: String =
+    """SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+      |       l_orderkey AS first_order_id, l_linenumber AS first_line_no,
+      |       CAST(l_shipdate AS DATE) AS first_ship_date
+      |FROM lineitem
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+      |ORDER BY part_id, supplier_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q19 — STG products: mean imputation via 1-row cross join + category
+  // fallback (reference J7+F5, `staging_layer.py:203-225`: NVL(dim,
+  // AVG(dim)) from a single-row aggregate subquery, COALESCE(category,
+  // 'others')). The means frame is one row → broadcast cross join, free at
+  // any scale.
+  // ---------------------------------------------------------------------
+  def q19ProductImputation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val means = p.agg(
+      (sum(col("p_size")).cast(DoubleType) / count(col("p_size"))).as("__avg_size"),
+      Queries.moneyAvg(col("p_retailprice")).as("__avg_price"))
+    p.crossJoin(broadcast(means))
+      .select(
+        col("p_partkey").as("part_id"),
+        coalesce(col("p_type"), lit("others")).as("category"),
+        coalesce(col("p_brand"), lit("others")).as("brand"),
+        coalesce(col("p_size").cast(DoubleType), col("__avg_size")).as("size_filled"),
+        coalesce(col("p_retailprice"), col("__avg_price")).as("price_filled"))
+      .orderBy(col("part_id"))
+  }
+
+  val q19Sql: String =
+    """SELECT p_partkey AS part_id,
+      |       COALESCE(p_type, 'others') AS category,
+      |       COALESCE(p_brand, 'others') AS brand,
+      |       COALESCE(CAST(p_size AS DOUBLE), m.avg_size) AS size_filled,
+      |       COALESCE(p_retailprice, m.avg_price) AS price_filled
+      |FROM part CROSS JOIN (
+      |  SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(p_size) AS avg_size,
+      |         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
+      |  FROM part) m
+      |ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q20 — enrichment join with fallback key (reference J8+F5,
+  // `staging_layer.py:257-284`: every customer × a fallback geolocation row,
+  // COALESCE(geo_id, fallback_id)). Customer ⟕ nation ⟕ region with -1 /
+  // 'UNKNOWN' fallbacks. nation/region broadcast — zero extra shuffles.
+  // ---------------------------------------------------------------------
+  def q20CustomerGeoEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        c("c_custkey").as("cust_id"),
+        c("c_name").as("cust_name"),
+        coalesce(n("n_nationkey"), lit(-1)).as("nation_id"),
+        coalesce(n("n_name"), lit("UNKNOWN")).as("nation"),
+        coalesce(r("r_regionkey"), lit(-1)).as("region_id"),
+        coalesce(r("r_name"), lit("UNKNOWN")).as("region"))
+      .orderBy(col("cust_id"))
+  }
+
+  val q20Sql: String =
+    """SELECT c.c_custkey AS cust_id, c.c_name AS cust_name,
+      |       COALESCE(n.n_nationkey, -1) AS nation_id,
+      |       COALESCE(n.n_name, 'UNKNOWN') AS nation,
+      |       COALESCE(r.r_regionkey, -1) AS region_id,
+      |       COALESCE(r.r_name, 'UNKNOWN') AS region
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY cust_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q21 — latest-wins dedup + null-timestamp coalescing (reference
+  // A14+F5, `staging_layer.py:288-344`: reviews keep latest by
+  // creation_date DESC NULLS LAST; timestamps coalesced to 1900-01-01).
+  // Here: last event per user; desc_nulls_last ordering replicated.
+  // ---------------------------------------------------------------------
+  def q21LatestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    Dedup.keepFirst(e, Seq("user_id"),
+        Seq(col("ts").desc_nulls_last, col("event_id").desc))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        coalesce(col("ts"), lit("1900-01-01 00:00:00").cast(TimestampType))
+          .as("last_ts"),
+        col("event_type").as("last_event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       COALESCE(ts, TIMESTAMP '1900-01-01 00:00:00') AS last_ts,
+      |       event_type AS last_event_type
+      |FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC NULLS LAST, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q22 — ingestion validation report (reference P10+A15+S16,
+  // `ingestion_script.py:229-383`): rule-chain error tagging, duplicate
+  // flagging, and the {total, valid, invalid, duplicate} JSON report as a
+  // single-row frame. The split frames themselves are exposed by
+  // operators.Validate (quarantine sink S15).
+  // ---------------------------------------------------------------------
+  def q22ValidationReport(spark: SparkSession, dir: String): DataFrame =
+    Validate.report(Validate.splitEvents(Tables.events(spark, dir)))
+
+  val q22Sql: String =
+    """WITH tagged AS (
+      |  SELECT CASE
+      |    WHEN ts IS NULL THEN 'missing_ts'
+      |    WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup','error') THEN 'bad_event_type'
+      |    WHEN value IS NULL THEN 'missing_value'
+      |    WHEN value < 0 THEN 'negative_value'
+      |    WHEN ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) > 1 THEN 'duplicate'
+      |    END AS error
+      |  FROM events)
+      |SELECT COUNT(*) AS total,
+      |       COUNT(*) FILTER (WHERE error IS NULL) AS valid,
+      |       COUNT(*) FILTER (WHERE error IS NOT NULL AND error <> 'duplicate') AS invalid,
+      |       COUNT(*) FILTER (WHERE error = 'duplicate') AS duplicate
+      |FROM tagged""".stripMargin
+}

@@ -24,6 +24,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def load_result(path):
     files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
     con = duckdb.connect()
     df = con.execute(
         "SELECT * FROM read_parquet([" +
@@ -105,6 +107,10 @@ def main():
         if not os.path.isdir(rp):
             continue
         got = load_result(rp)
+        if got is None:
+            print(f"✗ {name}: no result parquet written (query failed?)")
+            failed.append(name)
+            continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             if len(got) == 0:
