@@ -48,6 +48,12 @@ object SparkEntry {
     "q26_top_users" -> (EventQueries.q26TopUsers _),
     "q27_recent_feed" -> (EventQueries.q27RecentFeed _),
     "q28_props_extract" -> (EventQueries.q28PropsExtract _),
+    "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
+    "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
+    "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
+    "d04_quality_score" -> (graft.llm.TextOps.d04QualityScore _),
+    "d05_fingerprint" -> (graft.llm.TextOps.d05Fingerprint _),
+    "d06_ngram_jaccard" -> (graft.llm.TextOps.d06NgramJaccard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +87,11 @@ object SparkEntry {
     "q26_top_users" -> EventQueries.q26Sql,
     "q27_recent_feed" -> EventQueries.q27Sql,
     "q28_props_extract" -> EventQueries.q28Sql,
+    "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
+    "d02_token_stats" -> graft.llm.TextOps.d02Sql,
+    "d03_lang_id" -> graft.llm.TextOps.d03Sql,
+    "d04_quality_score" -> graft.llm.TextOps.d04Sql,
+    "d05_fingerprint" -> graft.llm.TextOps.d05Sql,
+    "d06_ngram_jaccard" -> graft.llm.TextOps.d06Sql,
   )
 }

@@ -1,0 +1,260 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Training-data text operators over the `documents` table (driver mandate:
+  * SURVEY.md §7.5 — dedup, text analysis, fingerprinting for an LLM data
+  * pipeline at 100 TB). Everything is built from codegen'd built-ins
+  * (`split`/`filter`/`transform`/`md5`/…) — no Scala UDFs in any hot path —
+  * and every derived number is integer-exact or a double computed by the
+  * same IEEE expression in the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text, empties dropped — the
+    * shared tokenizer of all text ops. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  // ---------------------------------------------------------------------
+  // d01 — exact deduplication: one representative (min doc_id) per
+  // identical text. Implemented as a plain aggregate on the text (one
+  // shuffle with map-side partials) rather than a window. Scale: group on
+  // a 128-bit fingerprint (md5 here) instead of the raw text so shuffle
+  // rows carry 16 bytes, not whole documents.
+  // ---------------------------------------------------------------------
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_fp"))
+      .agg(
+        min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("text_fp"))
+
+  val d01Sql: String =
+    """SELECT md5(text) AS text_fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_fp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d02 — token counting: whitespace tokens + a BPE-ish pre-tokenizer
+  // regex (letter runs | digit runs | single other non-space — the GPT-2
+  // pre-tokenizer shape). Pure projection, whole-stage codegen.
+  // ---------------------------------------------------------------------
+  private val bpeish = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def d02TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens_ws"),
+        regexp_count(col("text"), lit(bpeish)).cast(LongType).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  val d02Sql: String =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+       |       CAST(len(regexp_extract_all(text, '$bpeish')) AS BIGINT) AS n_tokens_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d03 — language ID by stopword-profile scoring (n-gram-heuristic
+  // class): count token hits against per-language stopword profiles, pick
+  // the max with a fixed precedence for ties. The test corpus is synthetic
+  // (labels are independent of the text), so the contract is a
+  // deterministic heuristic, identical in both engines — not label
+  // recovery.
+  // ---------------------------------------------------------------------
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "que", "y", "un"))
+
+  def d03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hitCols = profiles.map { case (langCode, words) =>
+      size(filter(toks, t => t.isInCollection(words)))
+        .cast(LongType).as(s"hits_$langCode")
+    }
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_label") +: hitCols: _*)
+    // argmax with fixed precedence = profile order (first max wins)
+    val best = profiles.map(p => col(s"hits_${p._1}"))
+      .reduce((a, b) => when(b > a, b).otherwise(a))
+    val pred = profiles.reverse.foldLeft(lit("unknown"): Column) {
+      case (acc, (langCode, _)) =>
+        when(col(s"hits_$langCode") === col("__best") && col("__best") > 0,
+          langCode).otherwise(acc)
+    }
+    hits.withColumn("__best", best)
+      .withColumn("lang_pred", pred)
+      .drop("__best")
+      .orderBy(col("doc_id"))
+  }
+
+  val d03Sql: String = {
+    val hitExprs = profiles.map { case (langCode, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), t -> list_contains([$lst], t))) AS BIGINT) AS hits_$langCode"
+    }.mkString(",\n       ")
+    val best = profiles.map(p => s"hits_${p._1}").reduce((a, b) => s"(CASE WHEN $b > $a THEN $b ELSE $a END)")
+    val pred = profiles.foldRight("'unknown'") { case ((langCode, _), acc) =>
+      s"CASE WHEN hits_$langCode = __best AND __best > 0 THEN '$langCode' ELSE $acc END"
+    }
+    s"""WITH hits AS (
+       |  SELECT doc_id, lang AS lang_label,
+       |       $hitExprs
+       |  FROM documents),
+       |best AS (SELECT *, $best AS __best FROM hits)
+       |SELECT doc_id, lang_label, hits_en, hits_de, hits_fr, hits_es,
+       |       $pred AS lang_pred
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d04 — quality scoring: length / punctuation / stopword / token-length
+  // signals combined into one score. Components are exact integer counts;
+  // the score is the same double expression on both sides.
+  // ---------------------------------------------------------------------
+  def d04QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = profiles.head._2 // en stopwords
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast(LongType).as("n_punct"),
+        size(filter(toks, t => t.isInCollection(stop)))
+          .cast(LongType).as("n_stop"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast(DoubleType) / col("n_chars"))
+      .withColumn("quality_score",
+        (least(col("n_tokens").cast(DoubleType) / lit(50.0), lit(1.0)) * lit(0.4))
+          + (col("stop_ratio") * lit(2.0)) + (lit(1.0) - col("punct_ratio")) * lit(0.3))
+      .orderBy(col("doc_id"))
+  }
+
+  val d04Sql: String = {
+    val stop = profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT *,
+       |       CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       |       (CASE WHEN CAST(n_tokens AS DOUBLE) / 50.0 < 1.0 THEN CAST(n_tokens AS DOUBLE) / 50.0 ELSE 1.0 END) * 0.4
+       |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+       |         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d05 — document fingerprinting: (a) md5 of the whitespace-normalized
+  // text, (b) a position-weighted token hash ("rolling-hash" class):
+  // sum over tokens of (md5-derived 30-bit token hash × 1-based position).
+  // Bounded: 2^30 × 10^4 positions × 10^4 tokens stays far under 2^63,
+  // so the sum is exact in both engines.
+  // ---------------------------------------------------------------------
+  def d05Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = split(norm, " ")
+    // token hash: first 7 hex chars of md5 → 28-bit int
+    val rolling = aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => conv(substring(md5(t), 1, 7), 16, 10).cast(LongType) * i),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        rolling.as("fp_rolling"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d05Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM t)
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |       CAST(COALESCE((SELECT SUM(CAST(('0x' || substr(md5(tk[i]), 1, 7)) AS BIGINT) * i)
+      |         FROM (SELECT unnest(range(1, len(tk) + 1)) AS i)), 0) AS BIGINT) AS fp_rolling
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d06 — n-gram Jaccard near-duplicate pairs, blocked by `source` (the
+  // quadratic step is confined to a bounded block — at 100 TB the block
+  // key comes from LSH (d07), not a metadata column; this operator is the
+  // exact-verification stage of that pipeline). Distinct word-3-gram
+  // shingle sets; Jaccard = |∩| / (|A|+|B|−|∩|), exact integer division.
+  // ---------------------------------------------------------------------
+  def shingles(df: DataFrame, n: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val cnt = size(toks) - (n - 1)
+    // guard: sequence(1, 0) DESCENDS in Spark, it is not empty
+    df.select(col("doc_id"), col("source"),
+        when(cnt >= 1,
+          array_distinct(
+            transform(sequence(lit(1), cnt),
+              i => concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("shs"))
+  }
+
+  def d06NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("d1"), col("source"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"), col("sh").as("sh2"))
+    val inter = a.join(b,
+        a("source") === b("source2") && a("sh") === b("sh2") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast(DoubleType)
+          / (col("sz1") + col("sz2") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val d06Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+2], ' ') AS sh
+      |  FROM toks, (SELECT unnest(range(1, 10000)) AS i) r
+      |  WHERE i <= len(tk) - 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2
+      |ORDER BY d1, d2""".stripMargin
+}
