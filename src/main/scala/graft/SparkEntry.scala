@@ -54,6 +54,10 @@ object SparkEntry {
     "d04_quality_score" -> (graft.llm.TextOps.d04QualityScore _),
     "d05_fingerprint" -> (graft.llm.TextOps.d05Fingerprint _),
     "d06_ngram_jaccard" -> (graft.llm.TextOps.d06NgramJaccard _),
+    "d07_minhash_lsh" -> (graft.llm.SketchOps.d07MinhashLsh _),
+    "d08_simhash" -> (graft.llm.SketchOps.d08Simhash _),
+    "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
+    "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +97,9 @@ object SparkEntry {
     "d04_quality_score" -> graft.llm.TextOps.d04Sql,
     "d05_fingerprint" -> graft.llm.TextOps.d05Sql,
     "d06_ngram_jaccard" -> graft.llm.TextOps.d06Sql,
+    "d07_minhash_lsh" -> graft.llm.SketchOps.d07Sql,
+    "d08_simhash" -> graft.llm.SketchOps.d08Sql,
+    "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
+    "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
   )
 }

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (driver mandate
+  * SURVEY.md §7.5): brute-force cosine top-k as the exactness baseline and
+  * a sign-LSH bucketed variant as the scale path.
+  *
+  * Numeric contract with the oracle: dot products are computed as a
+  * SEQUENTIAL left-to-right fold over the array (`aggregate(zip_with(...))`)
+  * with floats promoted to double before multiplying — the same order and
+  * precision DuckDB's list arithmetic uses, so the doubles are
+  * bit-identical (float addition is not associative; an unordered parallel
+  * reduction would not match).
+  *
+  * Scale design: brute-force is O(|Q|·N) — correct but only for small
+  * query sets; the LSH variant prunes candidates by equi-joining on a
+  * bucket id (here sign-bits of the leading dimensions; production would
+  * use random hyperplanes), turning the cross join into a hash join whose
+  * build side is one bucket. An IVF upgrade replaces the bucket id with a
+  * nearest-centroid id from a sampled k-means — same join shape.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val K = 5
+  private val NQueries = 20
+
+  // ---------------------------------------------------------------------
+  // a01 — brute-force cosine top-k: the first 20 vectors are the query
+  // set; for each, rank all other vectors by cosine desc (vec_id
+  // tie-break) and keep the top 5.
+  // ---------------------------------------------------------------------
+  def a01AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val dotSql =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql.format(a, b)} / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+
+  val a01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos_sim
+       |  FROM q JOIN n ON query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // a02 — sign-LSH bucketed ANN: bucket = sign bits of the first 8
+  // dimensions (an axis-aligned hyperplane LSH family); candidates share
+  // the query's bucket, so the cross join becomes a bucket equi-join.
+  // ---------------------------------------------------------------------
+  private val LshBits = 8
+
+  def signBucket(emb: Column): Column =
+    (0 until LshBits)
+      .map(i => when(element_at(emb, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  def a02AnnLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("bucket").as("nbucket"))
+    val scored = q.join(n,
+        col("bucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        cosine(col("qe"), col("ne")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val a02Sql: String = {
+    val bucket = (0 until LshBits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $NQueries),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket AS nbucket FROM e),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, bucket, ${cosSql("qe", "ne")} AS cos_sim
+       |  FROM q JOIN n ON bucket = nbucket AND query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+}
