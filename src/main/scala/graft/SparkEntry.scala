@@ -58,6 +58,8 @@ object SparkEntry {
     "d08_simhash" -> (graft.llm.SketchOps.d08Simhash _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
+    "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
+    "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +103,7 @@ object SparkEntry {
     "d08_simhash" -> graft.llm.SketchOps.d08Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
+    "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
+    "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
   )
 }

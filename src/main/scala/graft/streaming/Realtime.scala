@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming re-expression of the reference's realtime pipeline
+  * (SURVEY.md §2.10, `consumer.py:192-344`): the Kafka consumer's
+  * Redis-mutating poll loop becomes declarative continuous queries.
+  *
+  * - ST1/ST2: tumbling 1-minute event-time windows (the reference buckets
+  *   by arrival wall-clock minute; with in-order fixtures both agree —
+  *   documented divergence ST7).
+  * - ST3/ST4: running totals / leaderboards as update-mode aggregates.
+  * - ST6: the reference's 24 h Redis TTL becomes a 24 h watermark, which
+  *   bounds state exactly like the TTL did.
+  * - ST8/ST9: offset replay/resume = checkpointLocation; tests use a
+  *   MemoryStream source + memory sink (reference's Kafka/Redis are
+  *   infra, not semantics).
+  *
+  * The aggregations themselves are shared with the batch tier
+  * (`analytics.EventQueries`) where the expression is mode-agnostic; the
+  * windowed forms below differ only in watermark + `window()` (streaming
+  * state needs the explicit window struct, not date_trunc).
+  *
+  * Scale: streaming aggregation state is per-key in the state store;
+  * watermarks bound it; `foreachBatch` sinks (the Redis-replacement
+  * upsert) get each micro-batch as a normal DataFrame.
+  */
+object Realtime {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Parse a raw JSON event stream (reference N1: Kafka value = JSON). */
+  def parseJson(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast(StringType), eventSchema).as("e"))
+      .select(col("e.*"))
+
+  /** ST1 — tumbling 1-minute counts per event type, 24 h watermark. */
+  def minutelyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("minute"), col("event_type"), col("n"))
+
+  /** ST2 — tumbling 1-minute revenue over purchase events. */
+  def minutelyRevenue(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_purchases"))
+      .select(col("window.start").as("minute"), col("revenue"), col("n_purchases"))
+
+  /** ST3 — running totals since stream start (update-mode global agg). */
+  def runningTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+
+  /** ST4 — per-user leaderboard source table (top-k is applied on the
+    * result table at read time, reference T5). */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+
+  /** ST5 — recent-100 feed: processing-time ring buffer via foreachBatch
+    * (exactly the reference's LPUSH+LTRIM semantics — per batch, keep the
+    * newest 100 into an in-memory/KV sink). */
+  def recentFeedWriter(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(batch.orderBy(col("ts").desc, col("event_id").desc).limit(100), id)
+      }
+
+  /** Start an aggregation into a named in-memory result table (test /
+    * dashboard serving surface; production swaps this for foreachBatch →
+    * KV upsert, keeping the same query). */
+  def startMemorySink(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update) =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
