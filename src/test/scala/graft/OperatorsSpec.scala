@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.operators.{Dedup, Distribution, Validate}
+
+/** Unit specs for the core operators, on inline fixtures (SURVEY.md §5
+  * test plan: dedup idempotence, quarantine partition property,
+  * distribution share-of-total). The driver testdata has no invalid or
+  * duplicate rows, so the interesting paths are exercised here with
+  * crafted inputs. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df =
+    Seq((1L, "a", 3.0), (2L, "a", 1.0), (3L, "b", 2.0), (4L, "a", 1.0))
+      .toDF("id", "k", "v")
+
+  test("keepFirst keeps exactly one row per key, chosen by the ordering") {
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("v").asc, col("id").asc))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(0))).toSeq ==
+      Seq(("a", 2L), ("b", 3L)))
+  }
+
+  test("keepFirst ∪ duplicates = input, disjoint") {
+    val order = Seq(col("v").asc, col("id").asc)
+    val kept = Dedup.keepFirst(df, Seq("k"), order)
+    val dups = Dedup.duplicates(df, Seq("k"), order)
+    assert(kept.count() + dups.count() == df.count())
+    assert(kept.join(dups, Seq("id")).count() == 0)
+  }
+
+  test("keepFirst is idempotent") {
+    val order = Seq(col("v").asc, col("id").asc)
+    val once = Dedup.keepFirst(df, Seq("k"), order)
+    val twice = Dedup.keepFirst(once, Seq("k"), order)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("valueCountsPct shares sum to 100 and drop null keys") {
+    val d = Seq(Some("x"), Some("x"), Some("y"), None)
+      .toDF("k")
+    val out = Distribution.valueCountsPct(d, col("k"), "key").collect()
+    assert(out.length == 2)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 100.0) < 1e-9)
+    val x = out.find(_.getString(0) == "x").get
+    assert(x.getLong(1) == 2L)
+  }
+
+  test("validate split: valid ∪ quarantine = input, first failing rule wins") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val d = Seq(
+      (1L, Option(ts), 10L, "click", Option(5.0), "{}"),      // valid
+      (2L, None, 10L, "click", Option(5.0), "{}"),            // missing_ts
+      (3L, Option(ts), 10L, "bogus", Option(-1.0), "{}"),     // bad_event_type (first rule wins over negative)
+      (4L, Option(ts), 10L, "view", None, "{}"),              // missing_value
+      (5L, Option(ts), 10L, "view", Option(-2.0), "{}"),      // negative_value
+      (5L, Option(ts), 11L, "view", Option(2.0), "{}"))       // duplicate event_id
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tagged = Validate.splitEvents(d)
+    val errors = tagged.orderBy("event_id", "user_id")
+      .select("error").collect().map(r => Option(r.getString(0)))
+    assert(errors.toSeq == Seq(None, Some("missing_ts"), Some("bad_event_type"),
+      Some("missing_value"), Some("negative_value"), Some("duplicate")))
+    assert(Validate.valid(tagged).count() + Validate.quarantine(tagged).count()
+      == d.count())
+    val rep = Validate.report(tagged).collect()(0)
+    assert(rep.getLong(0) == 6 && rep.getLong(1) == 1 &&
+      rep.getLong(2) == 4 && rep.getLong(3) == 1)
+  }
+}

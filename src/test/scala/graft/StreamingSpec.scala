@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Realtime
+
+/** Streaming equivalence (SURVEY.md §5.4): feed a deterministic event
+  * batch through MemoryStream → the Realtime continuous queries, and
+  * assert the result tables equal the batch computation of the same frame
+  * (the property the reference enforces operationally via its pipeline
+  * smoke checks). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents: Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // deterministic mix shaped like the reference producer's 70:20:8:2
+    // view:cart:wishlist:order weights (producer.py:233-237)
+    (0 until 100).map { i =>
+      val t = new Timestamp(base + i * 7000L) // ~12 minutes span
+      val kind = i % 50 match {
+        case x if x < 35 => "view"
+        case x if x < 45 => "click"
+        case x if x < 49 => "signup"
+        case _ => "purchase"
+      }
+      Ev(i.toLong, t, (i % 7).toLong, kind, (i % 10) + 0.5)
+    }
+  }
+
+  test("streaming minutely counts == batch date_trunc counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents
+    stream.addData(events)
+    val q = Realtime.startMemorySink(
+      Realtime.minutelyCounts(stream.toDF()), "t_minutely",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_minutely")
+      .groupBy("minute", "event_type").agg(max("n").as("n")) // update mode: last update wins
+      .orderBy("minute", "event_type").collect()
+    val want = graft.analytics.EventQueries
+      .minutelyCounts(events.toDF())
+      .withColumnRenamed("minute", "minute")
+      .orderBy("minute", "event_type").collect()
+    assert(got.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+      want.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  test("streaming running totals == batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents
+    // two micro-batches to exercise state accumulation
+    stream.addData(events.take(40))
+    stream.addData(events.drop(40))
+    val q = Realtime.startMemorySink(
+      Realtime.runningTotals(stream.toDF()), "t_totals",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_totals").orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = Realtime.runningTotals(events.toDF()).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("json event parsing roundtrip (N1)") {
+    val raw = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
+      .toDF("value")
+    val parsed = Realtime.parseJson(raw).collect()(0)
+    assert(parsed.getLong(0) == 1L)
+    assert(parsed.getString(3) == "view")
+    assert(parsed.getDouble(4) == 1.5)
+  }
+
+  test("recent-100 ring buffer keeps the newest 100 per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(mkEvents ++ mkEvents.map(e => e.copy(event_id = e.event_id + 1000)))
+    @volatile var captured: Array[(Long)] = Array.empty
+    val q = Realtime.recentFeedWriter(stream.toDF()) { (batch, _) =>
+      captured = batch.select("event_id").collect().map(_.getLong(0))
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(captured.length == 100)
+    // newest == highest ts then event_id: the +1000 copies at late ts win
+    assert(captured.head == 1099L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{SketchOps, TextOps, VectorOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties from repeated/leading/trailing whitespace") {
+    val out = Seq("  a  b\t c ", "", "solo").toDF("text")
+      .select(TextOps.tokens(col("text")).as("t")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(out(1).getSeq[String](0) == Seq())
+    assert(out(2).getSeq[String](0) == Seq("solo"))
+  }
+
+  test("shingles of short docs are empty, not descending-sequence garbage") {
+    val d = Seq((1L, "s", "one two"), (2L, "s", "one two three four"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.shingles(d, 3).orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](2) == Seq())
+    assert(out(1).getSeq[String](2) == Seq("one two three", "two three four"))
+  }
+
+  test("minhash similarity ≈ 1 for identical docs, lower for disjoint") {
+    val d = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s", "alpha beta gamma delta epsilon zeta"),
+      (3L, "s", "one two three four five six seven"))
+      .toDF("doc_id", "source", "text")
+    val sig = SketchOps.minhashSignatures(d).collect()
+    val byId = sig.map(r => r.getLong(0) -> (2 until r.length).map(r.getLong)).toMap
+    assert(byId(1L) == byId(2L)) // identical docs → identical signatures
+    assert(byId(1L) != byId(3L))
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val d = Seq(
+      (1L, "s", "alpha beta gamma delta"),
+      (2L, "s", "alpha beta gamma delta"),
+      (3L, "s", "unrelated words entirely different"))
+      .toDF("doc_id", "source", "text")
+    val sk = SketchOps.simhashes(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sk(1L) == sk(2L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 0)
+  }
+
+  test("cosine: self = 1, orthogonal = 0") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val self = d.select(VectorOps.cosine(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
+    val cross = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(cross) < 1e-12)
+  }
+
+  test("RFM segment chain is total: every (r,f) combo gets a segment") {
+    // exhaustive over the score domain 1..4 × 1..4, mirrors reference rules
+    val combos = for { r <- 1 to 4; f <- 1 to 4 } yield (r, f)
+    val d = combos.toDF("r_score", "f_score")
+    val seg = d.withColumn("segment",
+      when(col("r_score") >= 4 && col("f_score") >= 4, "Champions")
+        .when(col("r_score") >= 3 && col("f_score") >= 3, "Loyal Customers")
+        .when(col("r_score") >= 3 && col("f_score") < 3, "Potential Loyalists")
+        .when(col("r_score") < 3 && col("f_score") >= 4, "Cannot Lose")
+        .when(col("r_score") >= 2 && col("f_score") >= 2, "At Risk")
+        .when(col("r_score") < 2 && col("f_score") < 2, "Hibernating")
+        .otherwise("Needs Attention"))
+    assert(seg.filter(col("segment").isNull).count() == 0)
+    assert(seg.select("segment").distinct().count() == 7)
+  }
+}
