@@ -64,7 +64,10 @@ object Queries {
   // broadcast; orders⋈lineitem is the one genuine shuffle (sort-merge at
   // 100 TB, co-partitioned on orderkey if both sides are bucketed).
   // ---------------------------------------------------------------------
-  def q01SalesOverview(spark: SparkSession, dir: String): DataFrame = {
+  /** Q1 body without the final presentation sort — Q2 aggregates this
+    * directly (sorting 18 columns globally just to immediately aggregate
+    * them away would be a pure waste of a range-shuffle). */
+  private[analytics] def q01Core(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -98,8 +101,10 @@ object Queries {
           .as("net_revenue"),
         l("l_returnflag").as("return_flag"),
         to_date(l("l_shipdate")).as("ship_date"))
-      .orderBy(col("order_id"), col("line_no"))
   }
+
+  def q01SalesOverview(spark: SparkSession, dir: String): DataFrame =
+    q01Core(spark, dir).orderBy(col("order_id"), col("line_no"))
 
   val q01Sql: String =
     """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
@@ -135,7 +140,7 @@ object Queries {
     // net_revenue is a derived 4-dp product carried as double — lift it to
     // scale-4 decimal (tie-free: the true value has exactly 4 decimals,
     // the double is within 1e-6 of it) before the exact sum.
-    q01SalesOverview(spark, dir).agg(
+    q01Core(spark, dir).agg(
       sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("total_revenue"),
       countDistinct(col("order_id")).as("total_orders"),

@@ -16,9 +16,15 @@ import graft.Tables
 object TextOps {
 
   /** Whitespace tokens of the lowercased text, empties dropped — the
-    * shared tokenizer of all text ops. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    * shared tokenizer of all text ops. trim-then-split rather than a
+    * higher-order `filter` lambda (interpreted, measured ~100× slower than
+    * codegen): with the text trimmed, `\s+` splitting can produce no empty
+    * tokens, except for the all-whitespace input handled explicitly. */
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   // ---------------------------------------------------------------------
   // d01 — exact deduplication: one representative (min doc_id) per
@@ -216,14 +222,38 @@ object TextOps {
           .otherwise(array().cast("array<string>")).as("shs"))
   }
 
+  /** Row-form DISTINCT shingles: (doc_id, source, sh). Semantically
+    * identical to exploding [[shingles]], but built from posexplode +
+    * lead() windows — whole-stage-codegen'd, vs the interpreted
+    * higher-order-lambda array path which measured ~3 ms/doc (100× slower)
+    * at sf0.1. The window shuffles once on doc_id; every hot caller
+    * (d06/d07) uses this form. */
+  def shingleRows(df: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = df
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    toks.select(col("doc_id") +: col("source") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("sh"))
+      .distinct()
+  }
+
   def d06NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+    // join on a 64-bit hash of the shingle, not the string: the self-join
+    // shuffles 8-byte keys instead of ~25-byte text (engine-internal —
+    // results are identical, collision probability ~|shingles|²/2^65)
+    val sh = shingleRows(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), col("source"), xxhash64(col("sh")).as("shh"))
+      .cache() // read 3× below (sizes + both join sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("d1"), col("source"), col("sh"))
-    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"), col("sh").as("sh2"))
+    val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))
+    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"), col("shh").as("shh2"))
     val inter = a.join(b,
-        a("source") === b("source2") && a("sh") === b("sh2") && a("d1") < b("d2"))
+        a("source") === b("source2") && a("shh") === b("shh2") && a("d1") < b("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
