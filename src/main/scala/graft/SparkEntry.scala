@@ -60,6 +60,8 @@ object SparkEntry {
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
+    "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
+    "f02_multiformat_parse" -> (graft.functions.ScalarQueries.f02MultiFormatParse _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +107,7 @@ object SparkEntry {
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
+    "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,
+    "f02_multiformat_parse" -> graft.functions.ScalarQueries.f02Sql,
   )
 }

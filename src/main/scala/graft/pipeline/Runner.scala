@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, Tables}
+import graft.analytics.{EventQueries, Queries, StagingQueries}
+import graft.operators.Validate
+import graft.sources.Sinks
+
+/** Layered ETL orchestration (SURVEY.md §3.1: the reference's Airflow
+  * chain ods → staging → target → analytics, `etl_dag.py:47`), re-expressed
+  * as one Spark driver program per layer with parquet hand-off:
+  *
+  *   bronze/  validated raw copies + quarantine + ingestion report
+  *            (reference ingestion + ODS layers)
+  *   silver/  cleaned & conformed: dedup maps, enrichment, imputation,
+  *            latest-wins dedup (reference STG layer)
+  *   gold/    audited marts with load-audit columns + the analytics
+  *            rollups (reference DWH + dashboard queries)
+  *
+  * Each layer only reads the previous layer's parquet — the same data
+  * dependency DAG as the reference, without a scheduler in the loop (any
+  * orchestrator can call the three entry points in order).
+  */
+object Runner {
+
+  def runBronze(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // events pass through the validation split (reference ingestion)
+    val tagged = Validate.splitEvents(Tables.events(spark, sfDir))
+    Sinks.parquet(Validate.valid(tagged), s"$outDir/bronze/events")
+    Sinks.quarantine(tagged, s"$outDir/bronze/events_bad")
+    Sinks.report(tagged, s"$outDir/bronze/events_bad")
+    // dimension/fact tables land as validated raw copies (reference ODS:
+    // COPY INTO with per-column casts — here the pinned-schema read IS the
+    // cast contract)
+    Seq(
+      "orders" -> Tables.orders(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "customer" -> Tables.customer(spark, sfDir),
+      "supplier" -> Tables.supplier(spark, sfDir),
+      "nation" -> Tables.nation(spark, sfDir),
+      "region" -> Tables.region(spark, sfDir),
+      "part" -> Tables.part(spark, sfDir),
+    ).foreach { case (name, df) =>
+      Sinks.parquet(df.toDF(df.columns.map(_.toLowerCase): _*), // P2
+        s"$outDir/bronze/$name")
+    }
+  }
+
+  def runSilver(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    Sinks.parquet(StagingQueries.q18DedupMap(spark, sfDir), s"$outDir/silver/line_dedup_map")
+    Sinks.parquet(StagingQueries.q19ProductImputation(spark, sfDir), s"$outDir/silver/part_conformed")
+    Sinks.parquet(StagingQueries.q20CustomerGeoEnrich(spark, sfDir), s"$outDir/silver/customer_enriched")
+    Sinks.parquet(StagingQueries.q21LatestEventPerUser(spark, sfDir), s"$outDir/silver/user_last_event")
+  }
+
+  /** Gold: audited marts. Audit columns mirror the reference DWH layer
+    * (`target_layer.py:52-53` insertion/modification dates). */
+  def runGold(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    def audited(df: DataFrame): DataFrame =
+      df.withColumn("_inserted_at", current_timestamp())
+        .withColumn("_source", lit("graft-etl"))
+    Sinks.parquet(audited(Queries.q02KpiTotals(spark, sfDir)), s"$outDir/gold/kpi_totals", tinyOutput = true)
+    Sinks.parquet(audited(Queries.q03DailySales(spark, sfDir)), s"$outDir/gold/daily_sales", tinyOutput = true)
+    Sinks.parquet(audited(Queries.q07Rfm(spark, sfDir)), s"$outDir/gold/rfm")
+    Sinks.parquet(audited(EventQueries.q25RunningTotals(spark, sfDir)), s"$outDir/gold/event_totals", tinyOutput = true)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_lake"
+    val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    runBronze(spark, sfDir, outDir)
+    runSilver(spark, sfDir, outDir)
+    runGold(spark, sfDir, outDir)
+    println(s"[runner] lake written to $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink writers (SURVEY.md §2.1 S4/S15/S16 + partitioned-lake layout).
+  * All writes are `overwrite` — idempotent by construction, replacing the
+  * reference's TRUNCATE-then-append protocol (S11,
+  * `spark_transform.py:443-469`).
+  */
+object Sinks {
+
+  /** S4 — parquet table write. `tinyOutput=true` reproduces the
+    * reference's single-file-per-table layout (`coalesce(1)`,
+    * `spark_transform.py:564-566`) for small marts; the default keeps the
+    * natural partitioning (AQE-coalesced) for scale. */
+  def parquet(df: DataFrame, path: String, tinyOutput: Boolean = false): Unit =
+    (if (tinyOutput) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Date-partitioned lake write (`dt=YYYY-MM-DD/`): downstream readers
+    * get partition pruning instead of the reference's latest-file S3
+    * listing. `dtCol` must be a date-formatted string column. */
+  def parquetPartitioned(df: DataFrame, path: String, dtCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)
+
+  /** S15 — quarantine sink: rows that failed validation, with their
+    * `error` reason column, as CSV under `<path>/quarantine/` (reference
+    * `ingestion_script.py:360-366`). */
+  def quarantine(tagged: DataFrame, path: String): Unit =
+    graft.operators.Validate.quarantine(tagged)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(s"$path/quarantine")
+
+  /** S16 — ingestion report sink: the single-row
+    * {total, valid, invalid, duplicate} counts as JSON (reference
+    * `ingestion_script.py:368-381`). */
+  def report(tagged: DataFrame, path: String): Unit =
+    graft.operators.Validate.report(tagged)
+      .withColumn("generated_by", lit("graft-ingest"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .json(s"$path/report")
+
+  /** S7 — JDBC append sink, kept as the optional warehouse egress the
+    * reference uses for Postgres (`spark_transform.py:331-355`). Not
+    * exercised in this environment (no database); the parquet warehouse
+    * is the primary sink. */
+  def jdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+}
