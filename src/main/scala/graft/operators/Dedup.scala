@@ -47,4 +47,28 @@ object Dedup {
     * is pinned by `order`. */
   def distinctOn(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     keepFirst(df, keys, order)
+
+  /** Skew-resistant keepFirst for a SINGLE ordering column: two-phase
+    * salted reduction (SURVEY.md §4 "salted variant of A12"). Phase 1
+    * reduces each (key, salt) shard to its min (ord, payload) with
+    * map-side combine; phase 2 reduces the ≤`salts` survivors per key.
+    * A pathologically hot key never lands on one task with all its rows —
+    * each shard carries ~1/salts of it. Semantics equal [[keepFirst]]
+    * when `(ord, tieBreaker)` is unique per row (property-tested).
+    *
+    * Uses min_by on a packed struct: struct ordering is lexicographic, so
+    * min(struct(ord, tie, payload…)) IS argmin with deterministic ties. */
+  def keepFirstSalted(df: DataFrame, keys: Seq[String], ord: Column,
+      tieBreaker: Column, salts: Int = 16): DataFrame = {
+    val payload = struct(ord.as("__o") +: tieBreaker.as("__t") +:
+      df.columns.map(col): _*)
+    val salted = df
+      .withColumn("__salt", pmod(hash(tieBreaker), lit(salts)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(min(payload).as("__p"))
+    val reduced = salted
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__p")).as("__p"))
+    reduced.select(df.columns.map(c => col(s"__p.$c").as(c)): _*)
+  }
 }

@@ -85,6 +85,34 @@ object Realtime {
         sink(batch.orderBy(col("ts").desc, col("event_id").desc).limit(100), id)
       }
 
+  /** N2/N4 — the reference's completed-order events carry a nested list
+    * of item structs and an address struct (`producer.py:164-207`); the
+    * consumer loops the items for per-product/category rollups
+    * (`consumer.py:317-325`). Declarative form: explode the array, keep
+    * the struct fields, aggregate. Works identically on batch and
+    * streaming frames. */
+  val orderItemSchema: StructType = StructType(Seq(
+    StructField("product_id", LongType),
+    StructField("product_category", StringType),
+    StructField("price", DoubleType),
+    StructField("quantity", IntegerType)))
+
+  def explodeOrderItems(orders: DataFrame): DataFrame =
+    orders.select(col("*"), explode(col("items")).as("item"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("item.product_id").as("product_id"),
+        col("item.product_category").as("product_category"),
+        (col("item.price") * col("item.quantity")).as("line_value"))
+
+  /** ST4-adjacent: per-category revenue over exploded items. */
+  def categoryRevenue(orders: DataFrame): DataFrame =
+    explodeOrderItems(orders)
+      .groupBy(col("product_category"))
+      .agg(
+        sum(col("line_value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** Start an aggregation into a named in-memory result table (test /
     * dashboard serving surface; production swaps this for foreachBatch →
     * KV upsert, keeping the same query). */
