@@ -22,6 +22,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-engine")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -40,6 +41,7 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
     spark
   }
 }

@@ -27,6 +27,7 @@ object SparkEntry {
     "q05_sales_by_region" -> (Queries.q05SalesByRegion _),
     "q06_delivery_enrichment" -> (Queries.q06DeliveryEnrichment _),
     "q07_rfm" -> (Queries.q07Rfm _),
+    "q07b_rfm_approx" -> (Queries.q07bRfmApprox _), // rows-only: sketch quantiles have no cross-engine oracle
     "q08_rfm_summary" -> (Queries.q08RfmSummary _),
     "q09_supplier_scorecard" -> (Queries.q09SupplierScorecard _),
     "q10_avg_by_delivery_status" -> (Queries.q10AvgByDeliveryStatus _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "d08_simhash" -> (graft.llm.SketchOps.d08Simhash _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
+    "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "d08_simhash" -> graft.llm.SketchOps.d08Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
+    "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,
     "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
     "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,

@@ -386,6 +386,45 @@ object Queries {
   val q07Sql: String = q07Core + "\nORDER BY cust_id"
 
   // ---------------------------------------------------------------------
+  // Q7b — the documented 100 TB scale path for Q7's quartile scoring:
+  // approx-quantile cutpoints (one pass, mergeable sketches) broadcast
+  // back as thresholds, instead of the exact global-sort ntile window.
+  // Scores can differ from Q7 only for customers sitting exactly at a
+  // quartile boundary (sketch accuracy 1e-4 here). No DuckDB oracle —
+  // quantile-sketch algorithms differ across engines — so the driver
+  // records the weaker rows-only check; the exact tier (Q7) stays the
+  // correctness contract.
+  // ---------------------------------------------------------------------
+  def q07bRfmApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snap = o.agg(date_add(to_date(max(col("o_orderdate"))), 1).as("__snapshot"))
+    val rfm = o.crossJoin(broadcast(snap))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(
+        datediff(first(col("__snapshot")), to_date(max(col("o_orderdate"))))
+          .cast(LongType).as("recency"),
+        countDistinct(col("o_orderkey")).as("frequency"),
+        moneySum(col("o_totalprice")).as("monetary"))
+    val cuts = rfm.agg(
+      percentile_approx(col("recency"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("rc"),
+      percentile_approx(col("frequency"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("fc"),
+      percentile_approx(col("monetary"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("mc"))
+    def score(m: Column, c: Column): Column =
+      (lit(1) + when(m > c.getItem(0), 1).otherwise(0)
+        + when(m > c.getItem(1), 1).otherwise(0)
+        + when(m > c.getItem(2), 1).otherwise(0)).cast(IntegerType)
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("cust_id"), col("recency"), col("frequency"), col("monetary"),
+        (lit(5) - score(col("recency"), col("rc"))).cast(IntegerType).as("r_score"),
+        score(col("frequency"), col("fc")).as("f_score"),
+        score(col("monetary"), col("mc")).as("m_score"))
+      .orderBy(col("cust_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Q8 — RFM segment summary (reference A16, `run_analytics.py:150-155`):
   // per-segment customer count + mean R/F/M. Integer sums are exact longs;
   // means are double divisions of identical operands in both engines.

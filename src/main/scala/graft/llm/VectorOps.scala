@@ -111,6 +111,46 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // a03 — embedding-cosine near-duplicate pairs (driver mandate: the
+  // embedding-space analog of d06/d07): candidates share a sign-LSH
+  // bucket; pairs above the cosine threshold are near-dups, keeping the
+  // lower vec_id as representative. The bucket equi-join bounds the
+  // quadratic step exactly like the band join in MinHash LSH.
+  // ---------------------------------------------------------------------
+  // the synthetic embeddings are random (no planted near-dups; max
+  // in-bucket cosine ≈ 0.47) — the threshold is set low enough to produce
+  // checkable output; a production corpus would use ~0.9
+  private val NearDupCos = 0.3
+
+  def a03EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+    val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"),
+      col("bucket").as("bucket2"))
+    a.join(b, col("bucket") === col("bucket2") && col("keep_id") < col("dup_id"))
+      .select(col("keep_id"), col("dup_id"),
+        cosine(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupCos)
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  val a03Sql: String = {
+    val bucket = (0 until LshBits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |         ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT keep_id, dup_id, cos_sim FROM pairs
+       |WHERE cos_sim >= $NearDupCos
+       |ORDER BY keep_id, dup_id""".stripMargin
+  }
+
   val a02Sql: String = {
     val bucket = (0 until LshBits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
