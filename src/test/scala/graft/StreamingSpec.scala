@@ -74,6 +74,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming minutely revenue == batch (ST2), via KV upsert sink (S14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents
+    stream.addData(events.take(60))
+    stream.addData(events.drop(60)) // second batch updates some minutes
+    val sink = new graft.streaming.KvSink("minute")
+    val q = sink.writer(Realtime.minutelyRevenue(stream.toDF()))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.analytics.EventQueries.minutelyRevenue(events.toDF())
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, (r.getDouble(1), r.getLong(2))))
+      .toMap
+    val got = sink.snapshot.map { case (k, r) =>
+      // KvSink stringifies the key; minutelyRevenue emits window.start
+      (k, (r.getAs[Double]("revenue"), r.getAs[Long]("n_purchases")))
+    }
+    assert(got.size == want.size)
+    want.foreach { case (minute, v) =>
+      assert(got(minute) == v, s"minute $minute: got ${got(minute)}, want $v")
+    }
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
