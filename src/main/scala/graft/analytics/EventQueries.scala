@@ -107,6 +107,61 @@ object EventQueries {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
 
+  /** q29 — sessionization (gaps-and-islands): split each user's event
+    * stream into sessions separated by >30-minute gaps, one row per
+    * session with start/end/count/value. Batch twin of the
+    * `flatMapGroupsWithState` streaming operator
+    * ([[graft.streaming.Sessionize]]) — beyond the reference's surface
+    * (its consumer keeps only counters), standard for training-data /
+    * clickstream pipelines.
+    * Scale: two window passes over the same (user_id, ts) partitioning —
+    * Catalyst reuses one exchange+sort for both (lag and the running sum
+    * share the window spec); then one groupBy on (user, session). */
+  private val GapMinutes = 30
+
+  def sessionize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      // microsecond-exact gap test (unix_timestamp truncates to seconds,
+      // which would misclassify sub-second boundary gaps vs the oracle)
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev"))
+            > GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("__session_no",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__session_no").as("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Queries.moneySum(col("value")).as("total_value"))
+  }
+
+  def q29Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_no"))
+
+  val q29Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM numbered GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   /** N2 — explode of nested order items (`consumer.py:317-325`): the
     * events table carries a JSON props column; parse it (N1 from_json) and
     * aggregate on the extracted field — exercising the JSON path the
