@@ -62,6 +62,7 @@ object SparkEntry {
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
+    "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,
+    "a04_ann_ivf" -> graft.llm.VectorOps.a04Sql,
     "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
     "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,

@@ -112,6 +112,74 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------------
+  // a04 — IVF-style ANN: vectors are assigned to their nearest centroid
+  // (inverted file); a query probes only its own centroid's list. The
+  // "trained" centroids are a deterministic sample (first NCentroids
+  // vectors) so the oracle can reproduce the assignment; production runs
+  // sampled k-means — the join shape (argmin assign → bucket equi-join)
+  // is identical. nprobe=1 here; multi-probe = union of the nearest P
+  // centroid lists.
+  // ---------------------------------------------------------------------
+  private val NCentroids = 8
+
+  def a04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // assignment: argmin over centroids of negative cosine (deterministic
+    // tie-break on centroid_id) — min_by over a packed struct
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id"), cosine(col("embedding"), col("ce")).as("__cs"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("centroid_id").as("qc"))
+    val n = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("centroid_id").as("nc"))
+    val scored = q.join(n,
+        col("qc") === col("nc") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qc").as("centroid_id"),
+        cosine(col("qe"), col("ne")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val a04Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $NCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
+       |      FROM assigned WHERE vec_id < $NQueries),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, centroid_id AS nc
+       |      FROM assigned),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, qc AS centroid_id,
+       |         ${cosSql("qe", "ne")} AS cos_sim
+       |  FROM q JOIN n ON qc = nc AND query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, centroid_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // a03 — embedding-cosine near-duplicate pairs (driver mandate: the
   // embedding-space analog of d06/d07): candidates share a sign-LSH
   // bucket; pairs above the cosine threshold are near-dups, keeping the
