@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sales_overview" -> (Queries.q01SalesOverview _),
     "q02_kpi_totals" -> (Queries.q02KpiTotals _),
+    "q02b_kpi_approx" -> (Queries.q02bKpiApprox _), // rows-only: HLL has no cross-engine oracle
     "q03_daily_sales" -> (Queries.q03DailySales _),
     "q04_sales_by_nation" -> (Queries.q04SalesByNation _),
     "q05_sales_by_region" -> (Queries.q05SalesByRegion _),

@@ -148,6 +148,18 @@ object Queries {
       moneyAvg(col("quantity")).as("avg_quantity"))
   }
 
+  /** Q2's 100 TB variant (SURVEY.md §2.4 note on A2): HLL approximate
+    * distinct counts replace the exact two-phase expansion — one pass, no
+    * per-key distinct state. Rows-only check: HLL implementations differ
+    * across engines, so there is no cross-engine oracle; the exact tier
+    * (q02) remains the correctness contract. */
+  def q02bKpiApprox(spark: SparkSession, dir: String): DataFrame =
+    q01Core(spark, dir).agg(
+      sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
+        .as("total_revenue"),
+      approx_count_distinct(col("order_id")).as("approx_orders"),
+      approx_count_distinct(col("cust_id")).as("approx_customers"))
+
   val q02Sql: String =
     s"""SELECT CAST(SUM(CAST(net_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
        |       COUNT(DISTINCT order_id) AS total_orders,
