@@ -36,6 +36,15 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine with precomputed norms: each vector's ‖v‖ is computed once
+    * per VECTOR, not once per PAIR (3× fewer dot products in the pairwise
+    * joins). `sqrt(dot(v,v))` precomputed equals the inline form exactly
+    * — same expression over the same data — so oracle parity holds. */
+  private def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
   private val K = 5
   private val NQueries = 20
 
@@ -47,12 +56,15 @@ object VectorOps {
   def a01AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
+      .withColumn("__norm", norm(col("embedding")))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("__norm").as("nn"))
     val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ne")).as("cos_sim"))
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -95,15 +107,16 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", signBucket(col("embedding")))
+      .withColumn("__norm", norm(col("embedding")))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("bucket"))
+        col("bucket"), col("__norm").as("qn"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-      col("bucket").as("nbucket"))
+      col("bucket").as("nbucket"), col("__norm").as("nn"))
     val scored = q.join(n,
         col("bucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
-        cosine(col("qe"), col("ne")).as("cos_sim"))
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -125,27 +138,32 @@ object VectorOps {
   def a04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
+      .withColumn("__norm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
+        col("__norm").as("cn"))
     // assignment: argmin over centroids of negative cosine (deterministic
     // tie-break on centroid_id) — min_by over a packed struct
     val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id"), cosine(col("embedding"), col("ce")).as("__cs"))
+      .select(col("vec_id"), col("embedding"), col("__norm"),
+        col("centroid_id"),
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn"))
+          .as("__cs"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("__cs").desc, col("centroid_id"))))
       .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("__norm"), col("centroid_id"))
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("centroid_id").as("qc"))
+        col("__norm").as("qn"), col("centroid_id").as("qc"))
     val n = assigned.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"), col("centroid_id").as("nc"))
+      col("embedding").as("ne"), col("__norm").as("nn"),
+      col("centroid_id").as("nc"))
     val scored = q.join(n,
         col("qc") === col("nc") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qc").as("centroid_id"),
-        cosine(col("qe"), col("ne")).as("cos_sim"))
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -194,13 +212,14 @@ object VectorOps {
   def a03EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", signBucket(col("embedding")))
-    val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"),
-      col("bucket"))
-    val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"),
-      col("bucket").as("bucket2"))
+    val en = e.withColumn("__norm", norm(col("embedding")))
+    val a = en.select(col("vec_id").as("keep_id"), col("embedding").as("ea"),
+      col("bucket"), col("__norm").as("na"))
+    val b = en.select(col("vec_id").as("dup_id"), col("embedding").as("eb"),
+      col("bucket").as("bucket2"), col("__norm").as("nb"))
     a.join(b, col("bucket") === col("bucket2") && col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"),
-        cosine(col("ea"), col("eb")).as("cos_sim"))
+        cosinePre(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= NearDupCos)
       .orderBy(col("keep_id"), col("dup_id"))
   }
