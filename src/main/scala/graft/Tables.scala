@@ -117,13 +117,18 @@ object Tables {
     read(spark, dir, "region", regionSchema)
   def part(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "part", partSchema)
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // defensive: required to read TIMESTAMP(NANOS) parquet as long; set
+    // here (runtime-settable SQLConf) so callers with sessions not built
+    // by Engine still work
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events", eventsSchema)
       // integer division, NOT `/` (double division loses precision above
       // 2^53 — epoch-nanos are ~1.7e18)
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame =
