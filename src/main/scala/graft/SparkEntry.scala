@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_props_extract" -> (EventQueries.q28PropsExtract _),
     "q29_sessionize" -> (EventQueries.q29Sessionize _),
     "q30_asof_attribution" -> (graft.operators.AsOf.q30Attribution _),
+    "q31_range_join" -> (graft.operators.RangeJoin.q31RangeJoin _),
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q28_props_extract" -> EventQueries.q28Sql,
     "q29_sessionize" -> EventQueries.q29Sql,
     "q30_asof_attribution" -> graft.operators.AsOf.q30Sql,
+    "q31_range_join" -> graft.operators.RangeJoin.q31Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,
