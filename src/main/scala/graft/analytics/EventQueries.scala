@@ -147,12 +147,12 @@ object EventQueries {
   val q29Sql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, value,
-      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST)) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |numbered AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
       |    ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM flagged)
       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,

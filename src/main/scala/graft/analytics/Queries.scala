@@ -286,7 +286,10 @@ object Queries {
   // boundaries in both Spark and DuckDB (SURVEY.md §7.4.1 — the pandas
   // `.dt.days` truncation gap does not arise because we difference DATEs).
   // ---------------------------------------------------------------------
-  def q06DeliveryEnrichment(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared delivery-enrichment core (join, dropna, delay, bad-data
+    * filter, On-Time/Late label): q06 projects it row-level, q10
+    * aggregates it — ONE definition of what "Late" means. */
+  private def q06Core(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -299,6 +302,10 @@ object Queries {
       .filter(col("ship_delay_days") >= 0)
       .withColumn("delivery_status",
         when(col("ship_delay_days") <= 90, "On-Time").otherwise("Late"))
+  }
+
+  def q06DeliveryEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    q06Core(spark, dir)
       .select(
         col("o_orderkey").as("order_id"),
         col("l_linenumber").as("line_no"),
@@ -340,16 +347,23 @@ object Queries {
   // ---------------------------------------------------------------------
   import org.apache.spark.sql.expressions.Window
 
-  def q07Rfm(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared R/F/M metric block (snapshot = max(ts)+1 day, A8): both the
+    * exact (q07) and approx (q07b) scoring tiers consume this — one
+    * definition of recency/frequency/monetary. */
+  private def rfmCore(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val snap = o.agg(date_add(to_date(max(col("o_orderdate"))), 1).as("__snapshot"))
-    val rfm = o.crossJoin(broadcast(snap))
+    o.crossJoin(broadcast(snap))
       .groupBy(col("o_custkey").as("cust_id"))
       .agg(
         datediff(first(col("__snapshot")), to_date(max(col("o_orderdate"))))
           .cast(LongType).as("recency"),
         countDistinct(col("o_orderkey")).as("frequency"),
         moneySum(col("o_totalprice")).as("monetary"))
+  }
+
+  def q07Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = rfmCore(spark, dir)
     val r = (lit(5) - ntile(4).over(Window.orderBy(col("recency"), col("cust_id"))))
       .cast(IntegerType)
     val f = ntile(4).over(Window.orderBy(col("frequency"), col("cust_id")))
@@ -408,15 +422,7 @@ object Queries {
   // correctness contract.
   // ---------------------------------------------------------------------
   def q07bRfmApprox(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val snap = o.agg(date_add(to_date(max(col("o_orderdate"))), 1).as("__snapshot"))
-    val rfm = o.crossJoin(broadcast(snap))
-      .groupBy(col("o_custkey").as("cust_id"))
-      .agg(
-        datediff(first(col("__snapshot")), to_date(max(col("o_orderdate"))))
-          .cast(LongType).as("recency"),
-        countDistinct(col("o_orderkey")).as("frequency"),
-        moneySum(col("o_totalprice")).as("monetary"))
+    val rfm = rfmCore(spark, dir)
     val cuts = rfm.agg(
       percentile_approx(col("recency"), array(lit(0.25), lit(0.5), lit(0.75)),
         lit(10000)).as("rc"),
@@ -510,15 +516,7 @@ object Queries {
   // Reuses Q6's enrichment semantics (delay >= 0 filter included).
   // ---------------------------------------------------------------------
   def q10AvgByDeliveryStatus(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .na.drop(Seq("o_orderdate", "l_shipdate"))
-      .withColumn("__delay",
-        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
-      .filter(col("__delay") >= 0)
-      .withColumn("delivery_status",
-        when(col("__delay") <= 90, "On-Time").otherwise("Late"))
+    q06Core(spark, dir)
       .groupBy(col("delivery_status"))
       .agg(
         moneyAvg(col("l_discount")).as("avg_discount"),

@@ -28,7 +28,8 @@ object StagingQueries {
   def q18DedupMap(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     Dedup.keepFirst(l, Seq("l_partkey", "l_suppkey"),
-        Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+        Seq(col("l_shipdate").asc_nulls_first, col("l_orderkey").asc,
+          col("l_linenumber").asc))
       .select(
         col("l_partkey").as("part_id"),
         col("l_suppkey").as("supplier_id"),
@@ -44,7 +45,7 @@ object StagingQueries {
       |       CAST(l_shipdate AS DATE) AS first_ship_date
       |FROM lineitem
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
-      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+      |                           ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber) = 1
       |ORDER BY part_id, supplier_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -159,7 +160,8 @@ object StagingQueries {
       |    WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup','error') THEN 'bad_event_type'
       |    WHEN value IS NULL THEN 'missing_value'
       |    WHEN value < 0 THEN 'negative_value'
-      |    WHEN ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) > 1 THEN 'duplicate'
+      |    WHEN ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts NULLS FIRST,
+      |           user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) > 1 THEN 'duplicate'
       |    END AS error
       |  FROM events)
       |SELECT COUNT(*) AS total,

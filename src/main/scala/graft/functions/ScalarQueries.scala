@@ -28,7 +28,8 @@ object ScalarQueries {
       |       lower(trim(strip_accents(c_name))) AS name_folded,
       |       regexp_replace(lower(trim(c_mktsegment)), '[^a-zA-Z0-9 ]', '', 'g') AS segment_norm,
       |       regexp_replace(CAST(c_custkey AS VARCHAR) || '.0', '\.0$', '') AS key_str,
-      |       ((c_acctbal - mm.mn) / (mm.mx - mm.mn)) * 95.0 + 5.0 AS acct_scaled
+      |       CASE WHEN mm.mx = mm.mn THEN 5.0
+      |            ELSE ((c_acctbal - mm.mn) / (mm.mx - mm.mn)) * 95.0 + 5.0 END AS acct_scaled
       |FROM customer CROSS JOIN
       |  (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer) mm
       |ORDER BY cust_id""".stripMargin

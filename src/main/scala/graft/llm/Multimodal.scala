@@ -71,7 +71,7 @@ object Multimodal {
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
       |       lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
       |       CAST((SELECT COALESCE(SUM(unicode(c)), 0)
-      |             FROM (SELECT unnest(string_split_regex(substr(text, 1, 100000), '')) AS c)
+      |             FROM (SELECT unnest(string_split_regex(text, '')) AS c)
       |             WHERE c <> '') AS BIGINT) AS byte_sum,
       |       CAST(n_chars AS INTEGER) AS width, lang AS format
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -101,7 +101,7 @@ object Multimodal {
   val m02Sql: String =
     s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |       substr(text, i * $FrameSize + 1, $FrameSize) AS frame_text
-       |FROM documents, (SELECT unnest(range(0, 10000, $FrameStep)) AS i) r
+       |FROM documents, (SELECT unnest(range(0, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) // $FrameSize + 1, $FrameStep)) AS i) r
        |WHERE i * $FrameSize < length(text)
        |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -273,7 +273,7 @@ object TextOps {
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+2], ' ') AS sh
-      |  FROM toks, (SELECT unnest(range(1, 10000)) AS i) r
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
       |  WHERE i <= len(tk) - 2),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (

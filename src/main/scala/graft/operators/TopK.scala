@@ -26,11 +26,17 @@ object TopK {
     df.orderBy(order: _*).offset(pageIdx * pageSize).limit(pageSize)
 
   /** U3 — preflight set difference: required tables missing from the lake
-    * (reference `utils.py:95-99` `required − found`). */
+    * (reference `utils.py:95-99` `required − found`). Probes through the
+    * Hadoop FileSystem API so any Spark-readable lake URI works
+    * (file://, hdfs://, s3a://…), not just the local filesystem. */
   def missingTables(spark: SparkSession, lakeDir: String,
-      required: Seq[String]): Seq[String] =
+      required: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     required.filterNot { t =>
-      new java.io.File(s"$lakeDir/$t").exists() ||
-        new java.io.File(s"$lakeDir/$t.parquet").exists()
+      Seq(s"$lakeDir/$t", s"$lakeDir/$t.parquet").exists { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(conf).exists(path)
+      }
     }
+  }
 }

@@ -21,7 +21,13 @@ object Validate {
     * type + domain checks, plus all-but-first duplicate flagging. */
   def splitEvents(df: DataFrame): DataFrame = {
     val allowed = Seq("click", "view", "purchase", "signup", "error")
-    val w = Window.partitionBy(col("event_id")).orderBy(col("ts"), col("user_id"))
+    // deterministic duplicate ranking: order over ALL non-key columns with
+    // explicit null placement (Spark ASC = NULLS FIRST; DuckDB defaults
+    // NULLS LAST — both sides pin NULLS FIRST). Remaining ties are full
+    // duplicates, where any choice is equivalent.
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("user_id").asc_nulls_first,
+        col("event_type").asc_nulls_first, col("value").asc_nulls_first)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("error",
         when(col("ts").isNull, "missing_ts")

@@ -56,7 +56,7 @@ object Realtime {
       .withWatermark("ts", "24 hours")
       .groupBy(window(col("ts"), "1 minute"))
       .agg(
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        graft.analytics.Queries.moneySum(col("value")).as("revenue"),
         count(lit(1)).as("n_purchases"))
       .select(col("window.start").as("minute"), col("revenue"), col("n_purchases"))
 
@@ -65,14 +65,14 @@ object Realtime {
     events.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+        graft.analytics.Queries.moneySum(col("value")).as("total_value"))
 
   /** ST4 — per-user leaderboard source table (top-k is applied on the
     * result table at read time, reference T5). */
   def userTotals(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+        graft.analytics.Queries.moneySum(col("value")).as("total_value"))
 
   /** ST5 — recent-100 feed: processing-time ring buffer via foreachBatch
     * (exactly the reference's LPUSH+LTRIM semantics — per batch, keep the
@@ -109,8 +109,7 @@ object Realtime {
     explodeOrderItems(orders)
       .groupBy(col("product_category"))
       .agg(
-        sum(col("line_value").cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("revenue"),
+        graft.analytics.Queries.moneySum(col("line_value")).as("revenue"),
         count(lit(1)).as("n_lines"))
 
   /** Start an aggregation into a named in-memory result table (test /
