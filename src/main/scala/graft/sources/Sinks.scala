@@ -43,6 +43,20 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .json(s"$path/report")
 
+  /** Bucketed managed-table write: co-locates (and optionally co-sorts)
+    * the table on its join key so repeated big-big joins on that key run
+    * WITHOUT a shuffle exchange (verified by plan in BucketingSpec) — the
+    * 100 TB answer to the orders⋈lineitem join that otherwise shuffles
+    * both sides on every query. Bucket count is the scale knob: pick so a
+    * bucket of the larger table fits an executor's memory. */
+  def bucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S7 — JDBC append sink, kept as the optional warehouse egress the
     * reference uses for Postgres (`spark_transform.py:331-355`). Not
     * exercised in this environment (no database); the parquet warehouse

@@ -60,6 +60,15 @@ object Realtime {
         count(lit(1)).as("n_purchases"))
       .select(col("window.start").as("minute"), col("revenue"), col("n_purchases"))
 
+  /** Sliding 5-minute window advancing every minute — beyond the
+    * reference's tumbling-only surface (each event contributes to 5
+    * overlapping windows); same watermark bounds the state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** ST3 — running totals since stream start (update-mode global agg). */
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

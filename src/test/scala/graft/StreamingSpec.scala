@@ -99,6 +99,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sliding 5m/1m windows: streaming == batch, 5 windows per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents
+    stream.addData(events)
+    val q = Realtime.startMemorySink(
+      Realtime.slidingCounts(stream.toDF()), "t_sliding",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_sliding")
+      .groupBy("window_start", "event_type").agg(max("n").as("n"))
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = Realtime.slidingCounts(events.toDF()) // same fn, batch frame
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // every event contributes to exactly 5 overlapping windows
+    assert(got.map(_._3).sum == events.size * 5L)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
