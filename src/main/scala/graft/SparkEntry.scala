@@ -61,6 +61,7 @@ object SparkEntry {
     "d06_ngram_jaccard" -> (graft.llm.TextOps.d06NgramJaccard _),
     "d07_minhash_lsh" -> (graft.llm.SketchOps.d07MinhashLsh _),
     "d08_simhash" -> (graft.llm.SketchOps.d08Simhash _),
+    "d08b_simhash_banded" -> (graft.llm.SketchOps.d08bSimhashBanded _),
     "d09_kmv_distinct" -> (graft.llm.SketchOps.d09KmvDistinct _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "d06_ngram_jaccard" -> graft.llm.TextOps.d06Sql,
     "d07_minhash_lsh" -> graft.llm.SketchOps.d07Sql,
     "d08_simhash" -> graft.llm.SketchOps.d08Sql,
+    "d08b_simhash_banded" -> graft.llm.SketchOps.d08bSql,
     "d09_kmv_distinct" -> graft.llm.SketchOps.d09Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
