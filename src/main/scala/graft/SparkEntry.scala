@@ -63,6 +63,7 @@ object SparkEntry {
     "d08_simhash" -> (graft.llm.SketchOps.d08Simhash _),
     "d08b_simhash_banded" -> (graft.llm.SketchOps.d08bSimhashBanded _),
     "d09_kmv_distinct" -> (graft.llm.SketchOps.d09KmvDistinct _),
+    "d10_deterministic_sample" -> (graft.llm.TextOps.d10DeterministicSample _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "d08_simhash" -> graft.llm.SketchOps.d08Sql,
     "d08b_simhash_banded" -> graft.llm.SketchOps.d08bSql,
     "d09_kmv_distinct" -> graft.llm.SketchOps.d09Sql,
+    "d10_deterministic_sample" -> graft.llm.TextOps.d10Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,

@@ -204,6 +204,45 @@ object TextOps {
       |FROM toks ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d10 — deterministic hash-bucket sampling: the reproducible
+  // train/eval-split primitive of a training-data pipeline. Each doc maps
+  // to a stable bucket 0..99 via an md5 of its id; per-language sampling
+  // rates select buckets. Unlike `df.sample`/`sampleBy` (RNG seeded per
+  // partition → partitioning-dependent), the selection is a pure function
+  // of the row — re-runs, engine changes, and repartitioning cannot move
+  // a document between splits. Pure projection + filter: pushdown-friendly
+  // and shuffle-free.
+  // ---------------------------------------------------------------------
+  private val sampleRates = Map("en" -> 40, "de" -> 20) // % kept; others 10
+
+  def hashBucket(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast(LongType),
+      lit(100L))
+
+  def d10DeterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldLeft(lit(10): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("__rate", rate)
+      .filter(col("bucket") < col("__rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d10Sql: String = {
+    val rate = sampleRates.foldLeft("10") { case (acc, (l, r)) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, source,
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ($rate)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // d06 — n-gram Jaccard near-duplicate pairs, blocked by `source` (the
   // quadratic step is confined to a bounded block — at 100 TB the block
   // key comes from LSH (d07), not a metadata column; this operator is the
