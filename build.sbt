@@ -23,8 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Clamp the driver heap to 8g: on this VM an oversized heap (e.g. 48g)
+// makes Spark 5-8x slower via page-zeroing/overcommit thrash, which
+// round-1 benchmarking measured directly. Larger requests are ignored.
+val driverHeap: String = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val Mem = """(\d+)([gm])""".r
+  val mb = raw match {
+    case Mem(n, "g") => n.toLong * 1024
+    case Mem(n, "m") => n.toLong
+    case _           => 8192L
+  }
+  s"${math.min(mb, 8192L)}m"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverHeap",
 )

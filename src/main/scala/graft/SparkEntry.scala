@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_customer_geo_enrich" -> (StagingQueries.q20CustomerGeoEnrich _),
     "q21_latest_event_per_user" -> (StagingQueries.q21LatestEventPerUser _),
     "q22_validation_report" -> (StagingQueries.q22ValidationReport _),
+    "q22b_validation_all" -> (StagingQueries.q22bValidationAll _),
     "q23_minutely_counts" -> (EventQueries.q23MinutelyCounts _),
     "q24_minutely_revenue" -> (EventQueries.q24MinutelyRevenue _),
     "q25_running_totals" -> (EventQueries.q25RunningTotals _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "q28_props_extract" -> (EventQueries.q28PropsExtract _),
     "q29_sessionize" -> (EventQueries.q29Sessionize _),
     "q30_asof_attribution" -> (graft.operators.AsOf.q30Attribution _),
+    "q32_items_explode" -> (EventQueries.q32ItemsExplode _),
     "q31_range_join" -> (graft.operators.RangeJoin.q31RangeJoin _),
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
@@ -64,6 +66,7 @@ object SparkEntry {
     "d08b_simhash_banded" -> (graft.llm.SketchOps.d08bSimhashBanded _),
     "d09_kmv_distinct" -> (graft.llm.SketchOps.d09KmvDistinct _),
     "d10_deterministic_sample" -> (graft.llm.TextOps.d10DeterministicSample _),
+    "d11_lsh_neardup" -> (graft.llm.SketchOps.d11LshNearDup _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
@@ -99,6 +102,7 @@ object SparkEntry {
     "q20_customer_geo_enrich" -> StagingQueries.q20Sql,
     "q21_latest_event_per_user" -> StagingQueries.q21Sql,
     "q22_validation_report" -> StagingQueries.q22Sql,
+    "q22b_validation_all" -> StagingQueries.q22bSql,
     "q23_minutely_counts" -> EventQueries.q23Sql,
     "q24_minutely_revenue" -> EventQueries.q24Sql,
     "q25_running_totals" -> EventQueries.q25Sql,
@@ -107,6 +111,7 @@ object SparkEntry {
     "q28_props_extract" -> EventQueries.q28Sql,
     "q29_sessionize" -> EventQueries.q29Sql,
     "q30_asof_attribution" -> graft.operators.AsOf.q30Sql,
+    "q32_items_explode" -> EventQueries.q32Sql,
     "q31_range_join" -> graft.operators.RangeJoin.q31Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
@@ -119,6 +124,7 @@ object SparkEntry {
     "d08b_simhash_banded" -> graft.llm.SketchOps.d08bSql,
     "d09_kmv_distinct" -> graft.llm.SketchOps.d09Sql,
     "d10_deterministic_sample" -> graft.llm.TextOps.d10Sql,
+    "d11_lsh_neardup" -> graft.llm.SketchOps.d11Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,

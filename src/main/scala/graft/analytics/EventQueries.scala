@@ -188,4 +188,54 @@ object EventQueries {
       |FROM events
       |WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q32 — nested order-items rollup under the oracle (round-1 verdict #5;
+  // reference `consumer.py:317-325`): lineitem lines pack into a JSON
+  // items array per order (the exact wire shape the reference's completed-
+  // order events carry), then the SAME code the streaming path uses
+  // (Realtime.explodeOrderItems: N1 from_json, N2 explode, N3 struct
+  // field access) unpacks it, and a per-category rollup aggregates.
+  // The oracle skips the ser/de round-trip (it is an identity) and
+  // aggregates lineitem directly — so any JSON ser/de or explode defect
+  // surfaces as a hash mismatch.
+  // Money: price lifts to DECIMAL(18,2) BEFORE the multiply (raw input
+  // column, exact) — never casting the derived double (q07/q01 rule).
+  // ---------------------------------------------------------------------
+  def q32ItemsExplode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, TimestampType}
+    val li = graft.Tables.lineitem(spark, dir)
+    val orders = li
+      .select(col("l_orderkey").as("event_id"),
+        struct(
+          col("l_partkey").as("product_id"),
+          col("l_returnflag").as("product_category"),
+          col("l_extendedprice").as("price"),
+          col("l_linenumber").as("quantity")).as("item"))
+      .groupBy(col("event_id"))
+      .agg(to_json(array_sort(collect_list(col("item")))).as("items_json"))
+      .select(col("event_id"),
+        lit(null).cast(TimestampType).as("ts"),
+        col("event_id").as("user_id"),
+        from_json(col("items_json"),
+          ArrayType(graft.streaming.Realtime.orderItemSchema)).as("items"))
+    graft.streaming.Realtime.explodeOrderItems(orders)
+      .groupBy(col("product_category"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("event_id")).as("n_orders"),
+        sum(col("quantity").cast("long")).as("total_qty"),
+        sum(Queries.money(col("price")) * col("quantity")).cast("double")
+          .as("revenue"))
+      .orderBy(col("product_category"))
+  }
+
+  val q32Sql: String =
+    """SELECT l_returnflag AS product_category,
+      |       COUNT(*) AS n_lines,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       CAST(SUM(l_linenumber) AS BIGINT) AS total_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * l_linenumber) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY product_category""".stripMargin
 }

@@ -153,20 +153,36 @@ object StagingQueries {
   def q22ValidationReport(spark: SparkSession, dir: String): DataFrame =
     Validate.report(Validate.splitEvents(Tables.events(spark, dir)))
 
+  // clean-first duplicate ranking, mirroring Validate.split (rows failing a
+  // field rule sort after clean ones, so counts are order-independent)
   val q22Sql: String =
     """WITH tagged AS (
-      |  SELECT CASE
+      |  SELECT CASE WHEN bad IS NOT NULL THEN bad
+      |              WHEN ROW_NUMBER() OVER (PARTITION BY event_id
+      |                ORDER BY (bad IS NOT NULL), ts NULLS FIRST, user_id NULLS FIRST,
+      |                         event_type NULLS FIRST, value NULLS FIRST) > 1
+      |              THEN 'duplicate' END AS error
+      |  FROM (SELECT *, CASE
       |    WHEN ts IS NULL THEN 'missing_ts'
       |    WHEN event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup','error') THEN 'bad_event_type'
       |    WHEN value IS NULL THEN 'missing_value'
       |    WHEN value < 0 THEN 'negative_value'
-      |    WHEN ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts NULLS FIRST,
-      |           user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) > 1 THEN 'duplicate'
-      |    END AS error
-      |  FROM events)
+      |    END AS bad FROM events))
       |SELECT COUNT(*) AS total,
       |       COUNT(*) FILTER (WHERE error IS NULL) AS valid,
       |       COUNT(*) FILTER (WHERE error IS NOT NULL AND error <> 'duplicate') AS invalid,
       |       COUNT(*) FILTER (WHERE error = 'duplicate') AS duplicate
       |FROM tagged""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q22b — validation sweep over ALL eight tables (reference
+  // `ingestion_script.py:59-179` validates every dataset, not just the
+  // stream). One report row per table; rules live in Validate.registry and
+  // the oracle SQL is GENERATED from the same registry, so the two engines
+  // run the same rule text by construction.
+  // ---------------------------------------------------------------------
+  def q22bValidationAll(spark: SparkSession, dir: String): DataFrame =
+    Validate.reportAll(spark, dir)
+
+  val q22bSql: String = Validate.oracleAll
 }

@@ -37,6 +37,12 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // ASCII contract, enforced not assumed (ADVICE r1): the oracle SQL
+      // below is character-based while the decode path is byte-based, so
+      // both engines restrict to docs where the two units coincide
+      // (byte length == char length ⇔ pure ASCII). A non-ASCII fixture
+      // row is excluded on BOTH sides instead of silently hash-diverging.
+      .filter(octet_length(col("text")) === length(col("text")))
       .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("content"),
@@ -74,7 +80,8 @@ object Multimodal {
       |             FROM (SELECT unnest(string_split_regex(text, '')) AS c)
       |             WHERE c <> '') AS BIGINT) AS byte_sum,
       |       CAST(n_chars AS INTEGER) AS width, lang AS format
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE strlen(text) = length(text)
+      |ORDER BY doc_id""".stripMargin
 
   /** m02 — frame sampling: the payload is treated as fixed-size frames
     * (32 bytes); every 3rd frame is materialized — the shape of a video
@@ -102,6 +109,6 @@ object Multimodal {
     s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |       substr(text, i * $FrameSize + 1, $FrameSize) AS frame_text
        |FROM documents, (SELECT unnest(range(0, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) // $FrameSize + 1, $FrameStep)) AS i) r
-       |WHERE i * $FrameSize < length(text)
+       |WHERE i * $FrameSize < length(text) AND strlen(text) = length(text)
        |ORDER BY doc_id, frame_idx""".stripMargin
 }

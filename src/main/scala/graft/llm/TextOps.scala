@@ -282,11 +282,15 @@ object TextOps {
   }
 
   def d06NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // join on a 64-bit hash of the shingle, not the string: the self-join
+    // join on a 60-bit hash of the shingle, not the string: the self-join
     // shuffles 8-byte keys instead of ~25-byte text (engine-internal —
-    // results are identical, collision probability ~|shingles|²/2^65)
+    // results are identical, collision probability ~|shingles|²/2^61).
+    // md5-derived like every sketch op (ADVICE r1: one reproducible hash
+    // contract across the library, no engine-private hash anywhere); 15
+    // hex chars so the unsigned value always fits a signed long.
     val sh = shingleRows(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), col("source"), xxhash64(col("sh")).as("shh"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
       .cache() // read 3× below (sizes + both join sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,16 +23,31 @@ import graft.Tables
   */
 object RangeJoin {
 
+  /** Exact floor-division bucket id. Plain `/`+cast truncates toward zero,
+    * which floors pre-1970 (negative-micros) points and interval endpoints
+    * inconsistently and silently drops matches (ADVICE r1); and double
+    * division loses precision above 2^53 (epoch-micros are ~1.7e18), so
+    * the quotient is built from integer ops only: truncating DIV, then -1
+    * when a negative dividend had a nonzero remainder. */
+  private def bucketOf(micros: Column, bucketMicros: Long): Column = {
+    // pmod is non-negative, so (micros - r) is the exact long multiple of
+    // the bucket width at-or-below micros; its double quotient has
+    // |error| << 0.5 for any bucketSeconds >= 1 (quotient <= 2^63/10^6 <
+    // 2^53), so round() recovers the exact floor quotient.
+    val r = pmod(micros, lit(bucketMicros))
+    round((micros - r) / lit(bucketMicros)).cast(LongType)
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long): DataFrame = {
-    val b = lit(bucketSeconds * 1000000L)
+    val b = bucketSeconds * 1000000L
     val taggedIntervals = intervals.withColumn("__bucket",
       explode(sequence(
-        (unix_micros(col(startCol)) / b).cast(LongType),
-        (unix_micros(col(endCol)) / b).cast(LongType))))
+        bucketOf(unix_micros(col(startCol)), b),
+        bucketOf(unix_micros(col(endCol)), b))))
     val taggedPoints = points.withColumn("__bucket",
-      (unix_micros(col(tsCol)) / b).cast(LongType))
+      bucketOf(unix_micros(col(tsCol)), b))
     taggedPoints.join(taggedIntervals, Seq(key, "__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")

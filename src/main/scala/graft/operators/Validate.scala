@@ -1,43 +1,121 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Ingestion-time validation / quarantine split (reference
-  * `ingestion_script.py:229-383`, SURVEY.md §2.2 P10, §2.4 A15, §2.1
-  * S15/S16): a `when`-chain tags each row with its FIRST failing rule (or
-  * a duplicate marker), then the frame is split into valid / quarantine
-  * sides and a single-row count report — valid ∪ quarantine = input,
-  * disjoint (property-tested).
+  * `ingestion_script.py:59-179, 229-383`, SURVEY.md §2.2 P10, §2.4 A15,
+  * §2.1 S15/S16): a `when`-chain tags each row with its FIRST failing rule
+  * (or a duplicate marker), then the frame is split into valid / quarantine
+  * sides and a count report — valid ∪ quarantine = input, disjoint
+  * (property-tested).
+  *
+  * The reference validates all eight datasets with per-table
+  * required-field / domain / duplicate rules; [[registry]] is that table →
+  * rules map. Each [[Rule]] carries BOTH the Spark `Column` predicate and
+  * its DuckDB SQL text, and the oracle query is generated from the same
+  * registry ([[oracleFor]]) — the two sides cannot drift.
+  *
+  * Duplicate semantics: rows failing a field rule are tagged with that rule
+  * regardless of key multiplicity; among the remaining clean rows, the
+  * first per key (clean-first ranking, deterministic tie-break) is valid
+  * and the rest are `duplicate`. Ranking clean rows first makes every
+  * report count order-independent (valid = #keys with ≥1 clean row).
   *
   * Scale: the rule chain is a pure projection (whole-stage codegen); the
-  * duplicate window is the only shuffle (on the key). The report is a
-  * single global aggregate with map-side partials.
+  * duplicate window is the only shuffle (hash on the key — the same
+  * exchange a dedup would need, so this is the floor). Reports are single
+  * global aggregates with map-side partials.
   */
 object Validate {
 
-  /** Event-stream rules mirroring the reference's required-field +
-    * type + domain checks, plus all-but-first duplicate flagging. */
-  def splitEvents(df: DataFrame): DataFrame = {
-    val allowed = Seq("click", "view", "purchase", "signup", "error")
-    // deterministic duplicate ranking: order over ALL non-key columns with
-    // explicit null placement (Spark ASC = NULLS FIRST; DuckDB defaults
-    // NULLS LAST — both sides pin NULLS FIRST). Remaining ties are full
-    // duplicates, where any choice is equivalent.
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("ts").asc_nulls_first, col("user_id").asc_nulls_first,
-        col("event_type").asc_nulls_first, col("value").asc_nulls_first)
-    df.withColumn("__rn", row_number().over(w))
+  /** One validation rule: `bad` is the VIOLATION predicate; `sql` is the
+    * same predicate in DuckDB SQL (used to generate the oracle). */
+  final case class Rule(label: String, bad: Column, sql: String)
+
+  /** Per-table rule set. `tieBreak` columns order clean rows within a key
+    * (NULLS FIRST on both engines) so which row survives is deterministic. */
+  final case class TableRules(table: String, key: Seq[String],
+      tieBreak: Seq[String], rules: Seq[Rule])
+
+  private def r(label: String, sql: String): Rule =
+    Rule(label, expr(sql), sql)
+
+  /** All eight driver tables (reference `ingestion_script.py:59-179`
+    * validates every dataset it lands). Domain bounds mirror the test
+    * data's dictionaries (FIXTURES.md). */
+  val registry: Seq[TableRules] = Seq(
+    TableRules("orders", Seq("o_orderkey"),
+      Seq("o_orderdate", "o_custkey", "o_totalprice"), Seq(
+        r("missing_key", "o_orderkey IS NULL"),
+        r("missing_custkey", "o_custkey IS NULL"),
+        r("missing_orderdate", "o_orderdate IS NULL"),
+        r("bad_status", "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')"),
+        r("negative_totalprice", "o_totalprice < 0"))),
+    TableRules("lineitem", Seq("l_orderkey", "l_linenumber"),
+      Seq("l_shipdate", "l_partkey", "l_suppkey"), Seq(
+        r("missing_key", "l_orderkey IS NULL OR l_linenumber IS NULL"),
+        r("bad_quantity", "l_quantity IS NULL OR l_quantity <= 0"),
+        r("bad_discount", "l_discount < 0 OR l_discount > 1"),
+        r("negative_price", "l_extendedprice < 0"))),
+    TableRules("customer", Seq("c_custkey"), Seq("c_name", "c_nationkey"), Seq(
+        r("missing_key", "c_custkey IS NULL"),
+        r("missing_name", "c_name IS NULL"),
+        r("bad_nationkey", "c_nationkey IS NULL OR c_nationkey < 0 OR c_nationkey > 24"))),
+    TableRules("supplier", Seq("s_suppkey"), Seq("s_name", "s_nationkey"), Seq(
+        r("missing_key", "s_suppkey IS NULL"),
+        r("missing_name", "s_name IS NULL"),
+        r("bad_nationkey", "s_nationkey IS NULL OR s_nationkey < 0 OR s_nationkey > 24"))),
+    TableRules("nation", Seq("n_nationkey"), Seq("n_name"), Seq(
+        r("missing_key", "n_nationkey IS NULL"),
+        r("missing_name", "n_name IS NULL"),
+        r("bad_regionkey", "n_regionkey IS NULL OR n_regionkey < 0 OR n_regionkey > 4"))),
+    TableRules("region", Seq("r_regionkey"), Seq("r_name"), Seq(
+        r("missing_key", "r_regionkey IS NULL"),
+        r("missing_name", "r_name IS NULL"))),
+    TableRules("part", Seq("p_partkey"), Seq("p_name", "p_brand"), Seq(
+        r("missing_key", "p_partkey IS NULL"),
+        r("negative_price", "p_retailprice < 0"),
+        r("bad_size", "p_size IS NULL OR p_size <= 0"))),
+    TableRules("events", Seq("event_id"),
+      Seq("ts", "user_id", "event_type", "value"), Seq(
+        r("missing_ts", "ts IS NULL"),
+        r("bad_event_type",
+          "event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup','error')"),
+        r("missing_value", "value IS NULL"),
+        r("negative_value", "value < 0"))),
+  )
+
+  def rulesFor(table: String): TableRules =
+    registry.find(_.table == table)
+      .getOrElse(sys.error(s"no validation rules for table $table"))
+
+  /** Tag each row with its first failing rule (or `duplicate`), keeping
+    * every input column plus `error` (NULL = valid). */
+  def split(df: DataFrame, tr: TableRules): DataFrame = {
+    val firstBad = tr.rules.tail.foldLeft(
+      when(tr.rules.head.bad, tr.rules.head.label)) {
+      case (acc, rule) => acc.when(rule.bad, rule.label)
+    }
+    // clean-first ranking: rows failing a rule sort after clean ones, so a
+    // key group never loses its valid slot to an invalid row
+    val order = col("__bad").isNotNull.asc +:
+      tr.tieBreak.map(c => col(c).asc_nulls_first)
+    val w = Window.partitionBy(tr.key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__bad", firstBad)
+      .withColumn("__rn", row_number().over(w))
       .withColumn("error",
-        when(col("ts").isNull, "missing_ts")
-          .when(col("event_type").isNull || !col("event_type").isin(allowed: _*),
-            "bad_event_type")
-          .when(col("value").isNull, "missing_value")
-          .when(col("value") < 0, "negative_value")
+        when(col("__bad").isNotNull, col("__bad"))
           .when(col("__rn") > 1, "duplicate"))
-      .drop("__rn")
+      .drop("__bad", "__rn")
   }
+
+  /** Event-stream rules (kept as the named entry point the streaming path
+    * and q22 use). */
+  def splitEvents(df: DataFrame): DataFrame = split(df, rulesFor("events"))
 
   def valid(tagged: DataFrame): DataFrame =
     tagged.filter(col("error").isNull).drop("error")
@@ -56,4 +134,48 @@ object Validate {
       count(when(col("error").isNotNull && col("error") =!= "duplicate", 1))
         .as("invalid"),
       count(when(col("error") === "duplicate", 1)).as("duplicate"))
+
+  /** Validation sweep over every registered table: one report row per
+    * table. Each table is one projection + one key-hash window + one
+    * map-side-partial aggregate; the 8 single-row results union for free. */
+  def reportAll(spark: SparkSession, dir: String): DataFrame = {
+    val loaders: Map[String, DataFrame] = Map(
+      "orders" -> Tables.orders(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "customer" -> Tables.customer(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir),
+      "nation" -> Tables.nation(spark, dir),
+      "region" -> Tables.region(spark, dir),
+      "part" -> Tables.part(spark, dir),
+      "events" -> Tables.events(spark, dir))
+    registry.map { tr =>
+      report(split(loaders(tr.table), tr))
+        .select(lit(tr.table).as("table_name"), col("total"), col("valid"),
+          col("invalid"), col("duplicate"))
+    }.reduce(_.union(_)).orderBy(col("table_name"))
+  }
+
+  /** DuckDB oracle for one table, generated from the SAME registry that
+    * drives the Spark plan — rule text cannot drift between engines. */
+  def oracleFor(tr: TableRules): String = {
+    val caseWhen = tr.rules
+      .map(rule => s"WHEN ${rule.sql} THEN '${rule.label}'").mkString(" ")
+    val keys = tr.key.mkString(", ")
+    val order = ("(bad IS NOT NULL)" +: tr.tieBreak.map(c => s"$c NULLS FIRST"))
+      .mkString(", ")
+    s"""SELECT '${tr.table}' AS table_name,
+       |  COUNT(*) AS total,
+       |  COUNT(*) FILTER (WHERE error IS NULL) AS valid,
+       |  COUNT(*) FILTER (WHERE error IS NOT NULL AND error <> 'duplicate') AS invalid,
+       |  COUNT(*) FILTER (WHERE error = 'duplicate') AS duplicate
+       |FROM (
+       |  SELECT CASE WHEN bad IS NOT NULL THEN bad
+       |              WHEN ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $order) > 1
+       |              THEN 'duplicate' END AS error
+       |  FROM (SELECT *, CASE $caseWhen END AS bad FROM ${tr.table}))""".stripMargin
+  }
+
+  /** Oracle for [[reportAll]]: the per-table oracles unioned. */
+  def oracleAll: String =
+    registry.map(oracleFor).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 }

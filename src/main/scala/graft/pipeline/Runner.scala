@@ -25,16 +25,15 @@ import graft.sources.Sinks
   */
 object Runner {
 
+  /** Every table passes the per-table validation split (reference
+    * `ingestion_script.py:59-179` validates all eight datasets): valid rows
+    * land under `bronze/<t>`, rule violations + key duplicates under
+    * `bronze/<t>_bad` with the reason column, plus a per-table count
+    * report. Pinned-schema reads are the cast contract (reference ODS COPY
+    * INTO casts). */
   def runBronze(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    // events pass through the validation split (reference ingestion)
-    val tagged = Validate.splitEvents(Tables.events(spark, sfDir))
-    Sinks.parquet(Validate.valid(tagged), s"$outDir/bronze/events")
-    Sinks.quarantine(tagged, s"$outDir/bronze/events_bad")
-    Sinks.report(tagged, s"$outDir/bronze/events_bad")
-    // dimension/fact tables land as validated raw copies (reference ODS:
-    // COPY INTO with per-column casts — here the pinned-schema read IS the
-    // cast contract)
     Seq(
+      "events" -> Tables.events(spark, sfDir),
       "orders" -> Tables.orders(spark, sfDir),
       "lineitem" -> Tables.lineitem(spark, sfDir),
       "customer" -> Tables.customer(spark, sfDir),
@@ -43,8 +42,11 @@ object Runner {
       "region" -> Tables.region(spark, sfDir),
       "part" -> Tables.part(spark, sfDir),
     ).foreach { case (name, df) =>
-      Sinks.parquet(df.toDF(df.columns.map(_.toLowerCase): _*), // P2
-        s"$outDir/bronze/$name")
+      val tagged = Validate.split(df.toDF(df.columns.map(_.toLowerCase): _*), // P2
+        Validate.rulesFor(name))
+      Sinks.parquet(Validate.valid(tagged), s"$outDir/bronze/$name")
+      Sinks.quarantine(tagged, s"$outDir/bronze/${name}_bad")
+      Sinks.report(tagged, s"$outDir/bronze/${name}_bad")
     }
   }
 

@@ -111,6 +111,8 @@ object Realtime {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("item.product_id").as("product_id"),
         col("item.product_category").as("product_category"),
+        col("item.price").as("price"),
+        col("item.quantity").as("quantity"),
         (col("item.price") * col("item.quantity")).as("line_value"))
 
   /** ST4-adjacent: per-category revenue over exploded items. */

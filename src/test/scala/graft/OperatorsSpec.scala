@@ -57,17 +57,23 @@ class OperatorsSpec extends SparkSpec {
       (3L, Option(ts), 10L, "bogus", Option(-1.0), "{}"),     // bad_event_type (first rule wins over negative)
       (4L, Option(ts), 10L, "view", None, "{}"),              // missing_value
       (5L, Option(ts), 10L, "view", Option(-2.0), "{}"),      // negative_value
-      (5L, Option(ts), 11L, "view", Option(2.0), "{}"))       // duplicate event_id
+      (5L, Option(ts), 11L, "view", Option(2.0), "{}"),       // clean-first: keeps key 5's valid slot
+      (6L, Option(ts), 20L, "view", Option(1.0), "{}"),       // valid (first of dup pair)
+      (6L, Option(ts), 21L, "view", Option(1.0), "{}"))       // duplicate event_id
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val tagged = Validate.splitEvents(d)
     val errors = tagged.orderBy("event_id", "user_id")
       .select("error").collect().map(r => Option(r.getString(0)))
+    // clean-first dup ranking: an invalid row never consumes its key's
+    // valid slot (event_id 5), while a genuinely duplicated clean key
+    // (event_id 6) quarantines all-but-first
     assert(errors.toSeq == Seq(None, Some("missing_ts"), Some("bad_event_type"),
-      Some("missing_value"), Some("negative_value"), Some("duplicate")))
+      Some("missing_value"), Some("negative_value"), None, None,
+      Some("duplicate")))
     assert(Validate.valid(tagged).count() + Validate.quarantine(tagged).count()
       == d.count())
     val rep = Validate.report(tagged).collect()(0)
-    assert(rep.getLong(0) == 6 && rep.getLong(1) == 1 &&
+    assert(rep.getLong(0) == 8 && rep.getLong(1) == 3 &&
       rep.getLong(2) == 4 && rep.getLong(3) == 1)
   }
 }

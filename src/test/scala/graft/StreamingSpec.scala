@@ -89,9 +89,9 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => (r.getTimestamp(0).toString, (r.getDouble(1), r.getLong(2))))
       .toMap
-    val got = sink.snapshot.map { case (k, r) =>
+    val got = sink.snapshot.map { case (k, m) =>
       // KvSink stringifies the key; minutelyRevenue emits window.start
-      (k, (r.getAs[Double]("revenue"), r.getAs[Long]("n_purchases")))
+      (k, (m("revenue").asInstanceOf[Double], m("n_purchases").asInstanceOf[Long]))
     }
     assert(got.size == want.size)
     want.foreach { case (minute, v) =>
