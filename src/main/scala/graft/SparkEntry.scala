@@ -71,6 +71,7 @@ object SparkEntry {
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
     "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),
+    "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // rows-only: iterative k-means has no single-SQL oracle
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),

@@ -198,6 +198,103 @@ object VectorOps {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // a04b — IVF with k-means-TRAINED centroids + multi-probe (round-1
+  // verdict #8; a04's deterministic-sample centroids are the oracle tier).
+  // Training is Lloyd's: deterministic init (first k vectors), KmIters
+  // distributed assign/recompute rounds; the model (k × dim rows) is
+  // cached per round — bounded by cluster count, never data size. Queries
+  // probe their NProbe nearest centroid lists; exact cosine top-K runs
+  // within the candidate union only. A neighbor belongs to exactly one
+  // list and probes are distinct, so no dedup step is needed.
+  //
+  // No DuckDB oracle — iterative training is not one SQL query — so the
+  // driver records rows-only; the recall property test against a01
+  // (IvfSpec) is the correctness contract. Measured on the fixture corpus
+  // (structureless random vectors — IVF's worst case; within-label cosine
+  // equals cross-label): recall@5 = 0.86 at nprobe=4, 0.93 at nprobe=5,
+  // 1.0 at nprobe=k=8. Clustered production corpora sit far above this
+  // curve; here the default probes 5/8 lists for the ≥0.9 target.
+  // ---------------------------------------------------------------------
+  private val KmIters = 4
+  val NProbeDefault = 5
+
+  private def withCn(cents: DataFrame): DataFrame =
+    cents.withColumn("cn", norm(col("ce")))
+
+  /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break). */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(withCn(cents)))
+      .withColumn("__cs",
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("__norm"), col("centroid_id"))
+  }
+
+  /** Lloyd's k-means over (vec_id, embedding, __norm); returns
+    * (centroid_id, ce). Empty clusters drop out (standard IVF behavior).
+    * Each round materializes only the k×dim model frame. */
+  def trainKmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("centroid_id"),
+        col("embedding").as("ce"))
+    for (_ <- 1 to iters) {
+      cents = assignTo(e, cents)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        // interpreted lambda is fine here: k rows, not the corpus
+        .select(col("centroid_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+        .cache()
+      cents.count() // materialize the k×dim model; bounds lineage depth
+    }
+    cents
+  }
+
+  def a04bAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeans(spark, dir, NCentroids, KmIters, NProbeDefault)
+
+  def ivfKmeans(spark: SparkSession, dir: String, k: Int, iters: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+      .cache()
+    val cents = trainKmeans(e, k, iters)
+    val assigned = assignTo(e, cents)
+    // multi-probe: each query's NProbe nearest centroids
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(withCn(cents)))
+      .withColumn("__cs",
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"), col("centroid_id").as("pc"))
+    val n = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("__norm").as("nn"),
+      col("centroid_id").as("nc"))
+    val scored = probes.join(n,
+        col("pc") === col("nc") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // a03 — embedding-cosine near-duplicate pairs (driver mandate: the
   // embedding-space analog of d06/d07): candidates share a sign-LSH
   // bucket; pairs above the cosine threshold are near-dups, keeping the

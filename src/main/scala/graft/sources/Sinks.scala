@@ -57,10 +57,11 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
-  /** S7 — JDBC append sink, kept as the optional warehouse egress the
-    * reference uses for Postgres (`spark_transform.py:331-355`). Not
-    * exercised in this environment (no database); the parquet warehouse
-    * is the primary sink. */
+  /** S7 — JDBC append sink, the warehouse egress the reference uses for
+    * Postgres (`spark_transform.py:331-355`). Exercised end-to-end against
+    * embedded Derby (JdbcSpec: write → read-back → predicate pushdown);
+    * a production target differs only in URL/driver. The parquet lake
+    * remains the primary sink. */
   def jdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventBus
+
+/** 4-topic Kafka-shaped ingestion (S12/S13 contract): per-topic schema
+  * dispatch over one (topic, value) stream, batch == streaming. */
+class EventBusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wireRows = Seq(
+    (EventBus.ProductViews,
+      """{"event_id":"e1","event_type":"product_view","user_id":"u1",
+        |"product_id":7,"product_name":"Widget","product_category":"tools",
+        |"product_price":9.99,"timestamp":"2024-01-01T10:00:00",
+        |"session_id":"s1","page_url":"/product/7","referrer":"direct"}"""
+        .stripMargin.replaceAll("\n", "")),
+    (EventBus.CartAdd,
+      """{"event_id":"e2","event_type":"add_to_cart","user_id":"u2",
+        |"product_id":8,"product_name":"Gadget","product_category":"tools",
+        |"product_price":5.00,"quantity":3,"total_amount":15.00,
+        |"timestamp":"2024-01-01T10:01:00","session_id":"s2"}"""
+        .stripMargin.replaceAll("\n", "")),
+    (EventBus.WishlistAdd,
+      """{"event_id":"e3","event_type":"add_to_wishlist","user_id":"u1",
+        |"product_id":9,"product_name":"Doodad","product_category":"toys",
+        |"product_price":2.50,"timestamp":"2024-01-01T10:02:00",
+        |"session_id":"s1"}""".stripMargin.replaceAll("\n", "")),
+    (EventBus.Orders,
+      """{"event_id":"e4","event_type":"order_completed","user_id":"u2",
+        |"order_id":"order_ab","items":[
+        |{"product_id":7,"product_name":"Widget","product_category":"tools",
+        |"product_price":9.99,"quantity":2,"item_total":19.98},
+        |{"product_id":9,"product_name":"Doodad","product_category":"toys",
+        |"product_price":2.50,"quantity":1,"item_total":2.50}],
+        |"total_amount":22.48,"payment_method":"paypal",
+        |"shipping_address":{"street":"1 Main St","city":"Springfield",
+        |"state":"IL","zip_code":"62701","country":"US"},
+        |"timestamp":"2024-01-01T10:03:00","session_id":"s2"}"""
+        .stripMargin.replaceAll("\n", "")),
+  )
+
+  test("batch ingest: per-topic dispatch into one typed envelope") {
+    val out = EventBus.ingest(wireRows.toDF("topic", "value"))
+      .orderBy("event_id").collect()
+    assert(out.length == 4)
+    val view = out(0)
+    assert(view.getAs[String]("event_type") == "product_view")
+    assert(view.getAs[Long]("product_id") == 7L)
+    val cart = out(1)
+    assert(cart.getAs[Int]("quantity") == 3 &&
+      cart.getAs[Double]("total_amount") == 15.00)
+    val wish = out(2)
+    assert(wish.getAs[String]("product_category") == "toys" &&
+      wish.isNullAt(wish.fieldIndex("quantity")))
+    val order = out(3)
+    assert(order.getAs[String]("order_id") == "order_ab")
+    assert(order.getAs[scala.collection.Seq[_]]("items").length == 2)
+  }
+
+  test("order items from the bus feed the nested explode/rollup path") {
+    val orders = EventBus.ingest(wireRows.toDF("topic", "value"))
+      .filter(col("topic") === EventBus.Orders)
+      .select(col("event_id"), lit(null).cast("timestamp").as("ts"),
+        col("user_id"),
+        // EventBus item struct ⊇ Realtime item struct: project down
+        expr("transform(items, i -> struct(i.product_id as product_id, " +
+          "i.product_category as product_category, " +
+          "i.product_price as price, i.quantity as quantity))").as("items"))
+    val lines = graft.streaming.Realtime.explodeOrderItems(orders)
+    val got = lines.orderBy("product_id")
+      .select("product_id", "line_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((7L, 19.98), (9L, 2.50)))
+  }
+
+  test("file-bus streaming ingest == batch ingest (S12/S13 twin)") {
+    val dir = Files.createTempDirectory("graft_bus").toFile
+    // write the wire rows via Spark so the nested JSON value string gets
+    // correct JSON escaping inside the file
+    wireRows.toDF("topic", "value").coalesce(1).write.mode("overwrite")
+      .json(dir.getAbsolutePath)
+    val stream = EventBus.ingest(EventBus.FileBus(dir.getAbsolutePath).load(spark))
+    val q = graft.streaming.Realtime.startMemorySink(stream, "t_bus",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_bus").orderBy("event_id")
+      .select("event_id", "event_type", "topic").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = EventBus.ingest(wireRows.toDF("topic", "value"))
+      .orderBy("event_id").select("event_id", "event_type", "topic").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("kafka branch is constructible (production wiring compiles)") {
+    val bus = EventBus.KafkaBus("broker:9092")
+    assert(bus.subscribePattern.r.findFirstIn(EventBus.Orders).isDefined)
+    // not executable here: no broker/connector in the environment
+  }
+}
