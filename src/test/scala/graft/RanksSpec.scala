@@ -40,6 +40,25 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRank survives multi-partition tie runs (1500 rows, 13 keys)") {
+    // mirrors the q07 frequency profile that exposed the sampled-boundary
+    // double-execution bug: long runs of tied metric values spanning
+    // range-partition boundaries
+    val df = (1 to 1500).map(i => (i.toLong, (i * 7919 % 13).toDouble))
+      .toDF("id", "m")
+    val ranked = Ranks.withGlobalRank(df, Seq(col("m"), col("id")), "rk")
+    val got = ranked.select(col("id"), col("rk"))
+    val want = df.select(col("id"),
+      row_number().over(Window.partitionBy(lit(0)).orderBy(col("m"), col("id")))
+        .cast("long").as("rk"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // ranks are a permutation of 1..N — catches duplicate/overflow ranks
+    val agg = ranked.agg(count(lit(1)), countDistinct(col("rk")), max(col("rk")))
+      .collect()(0)
+    assert(agg.getLong(0) == 1500 && agg.getLong(1) == 1500 &&
+      agg.getLong(2) == 1500L)
+  }
+
   test("validation registry covers every driver table, keys first") {
     val tables = Validate.registry.map(_.table)
     assert(tables.toSet == Set("orders", "lineitem", "customer", "supplier",
