@@ -150,4 +150,49 @@ object EventBus {
     }
     Seq(ProductViews, CartAdd, WishlistAdd, Orders).map(branch).reduce(_.union(_))
   }
+
+  // ---------------------------------------------------------------------
+  // The reference consumer's per-topic Redis metrics (`consumer.py:
+  // 200-344`: HINCRBY per product/category/user, cart totals, per-category
+  // order revenue) as mode-agnostic aggregations over the [[ingest]]
+  // envelope — run them on a batch frame for backfill or on the stream in
+  // update mode into KvSink. Each is one groupBy (one shuffle, map-side
+  // partials); the 24 h Redis TTL is the stream side's watermark concern.
+  // ---------------------------------------------------------------------
+
+  /** product:views — per-product view counts (`consumer.py:207-208`). */
+  def productViews(env: DataFrame): DataFrame =
+    env.filter(col("topic") === ProductViews)
+      .groupBy(col("product_id")).agg(count(lit(1)).as("views"))
+
+  /** category:views (`consumer.py:211-212`). */
+  def categoryViews(env: DataFrame): DataFrame =
+    env.filter(col("topic") === ProductViews)
+      .groupBy(col("product_category")).agg(count(lit(1)).as("views"))
+
+  /** user activity across ALL topics (`consumer.py:215-216` counts views;
+    * the totals block counts every event type per user). */
+  def userActivity(env: DataFrame): DataFrame =
+    env.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** cart totals — adds, units, value (`consumer.py:232-259`). */
+  def cartTotals(env: DataFrame): DataFrame =
+    env.filter(col("topic") === CartAdd)
+      .agg(
+        count(lit(1)).as("n_cart_adds"),
+        sum(col("quantity").cast("long")).as("units"),
+        sum(col("total_amount").cast("decimal(18,2)")).cast("double")
+          .as("cart_value"))
+
+  /** per-category order revenue from the nested items
+    * (`consumer.py:317-325`) — the EventBus twin of q32's rollup. */
+  def orderCategoryRevenue(env: DataFrame): DataFrame =
+    env.filter(col("topic") === Orders)
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item.product_category").as("product_category"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("item.item_total").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
 }

@@ -97,6 +97,25 @@ class EventBusSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("per-topic consumer metrics over the envelope (S14 rollups)") {
+    val env = EventBus.ingest(wireRows.toDF("topic", "value")).cache()
+    // product/category views count only the view topic
+    assert(EventBus.productViews(env).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 1L)))
+    assert(EventBus.categoryViews(env).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("tools", 1L)))
+    // user activity spans all four topics
+    assert(EventBus.userActivity(env).agg(sum("n_events")).collect()(0)
+      .getLong(0) == 4L)
+    val cart = EventBus.cartTotals(env).collect()(0)
+    assert(cart.getLong(0) == 1L && cart.getLong(1) == 3L &&
+      cart.getDouble(2) == 15.00)
+    val rev = EventBus.orderCategoryRevenue(env).orderBy("product_category")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rev.toSeq == Seq(("tools", 1L, 19.98), ("toys", 1L, 2.50)))
+    env.unpersist()
+  }
+
   test("kafka branch is constructible (production wiring compiles)") {
     val bus = EventBus.KafkaBus("broker:9092")
     assert(bus.subscribePattern.r.findFirstIn(EventBus.Orders).isDefined)
