@@ -68,6 +68,7 @@ object SparkEntry {
     "d10_deterministic_sample" -> (graft.llm.TextOps.d10DeterministicSample _),
     "d11_lsh_neardup" -> (graft.llm.SketchOps.d11LshNearDup _),
     "d12_dedup_apply" -> (graft.llm.SketchOps.d12DedupApply _),
+    "d13_corpus_prep" -> (graft.llm.CorpusPrep.d13CorpusPrep _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "d10_deterministic_sample" -> graft.llm.TextOps.d10Sql,
     "d11_lsh_neardup" -> graft.llm.SketchOps.d11Sql,
     "d12_dedup_apply" -> graft.llm.SketchOps.d12Sql,
+    "d13_corpus_prep" -> graft.llm.CorpusPrep.d13Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,

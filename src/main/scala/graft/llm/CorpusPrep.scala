@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** d13 — the END-TO-END training-data prep pipeline, composed from the
+  * individually-verified stages into ONE oracle-checked query — what a
+  * 100 TB corpus run actually executes:
+  *
+  *   1. quality gate (d04's signals): ≥ 10 whitespace tokens,
+  *      punctuation ratio ≤ 0.3, and at least one stopword hit across the
+  *      language profiles (d03's lang-ID-able requirement — a doc no
+  *      profile recognizes is dropped);
+  *   2. exact dedup (d01): min doc_id survives per md5(text) group —
+  *      aggregate on the 16-byte fingerprint + doc_id semi-join, never a
+  *      shuffle of document bodies;
+  *   3. near-dedup (d07→d06→d12): MinHash-LSH candidates over the
+  *      SURVIVORS ONLY, exact-Jaccard verify, drop the higher-id side;
+  *   4. reproducible split (d10): md5 hash-bucket → train (<80) / eval —
+  *      a pure row function, immune to repartitioning and reruns.
+  *
+  * Stage order matters and is part of the contract: filtering before the
+  * sketch stages shrinks the LSH corpus; near-dedup after exact dedup
+  * never compares byte-identical texts twice. Every stage is a
+  * projection, one aggregate, or an equi-join — no quadratic step, no
+  * driver data.
+  */
+object CorpusPrep {
+
+  // shared with the standalone stage queries (same literals, same oracle)
+  private val MinTokens = 10
+  private val MaxPunctRatio = 0.3
+  private val TrainBuckets = 80
+
+  private val allStopwords = Seq(
+    "the", "and", "of", "to", "is", "a",        // en
+    "der", "die", "und", "das", "ist", "ein",   // de
+    "le", "la", "et", "les", "des", "un",       // fr
+    "el", "los", "las", "que", "y")             // es ("un" shared with fr)
+
+  def d13CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast(LongType).as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast(LongType).as("n_punct"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(filter(toks, t => t.isInCollection(allStopwords)))
+          .cast(LongType).as("n_stop"))
+    // 1. quality gate
+    val filtered = base.filter(
+      col("n_tokens") >= MinTokens &&
+        col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
+        col("n_stop") >= 1)
+    // 2. exact dedup: min doc_id per content fingerprint
+    val reps = filtered
+      .groupBy(md5(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactDeduped = filtered.join(reps, Seq("doc_id"), "left_semi")
+      .cache() // read twice: LSH pipeline input AND the surviving-doc side
+    // 3. near-dedup over survivors only
+    val drop = SketchOps.lshNearDupPairs(
+        exactDeduped.select(col("doc_id"), col("source"), col("text")))
+      .select(col("d2")).distinct()
+    val nearDeduped = exactDeduped
+      .join(broadcast(drop), col("doc_id") === col("d2"), "left_anti")
+    // 4. deterministic split
+    nearDeduped
+      .withColumn("bucket", TextOps.hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < TrainBuckets, "train").otherwise("eval"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d13Sql: String = {
+    val stop = allStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |filtered AS (
+       |  SELECT doc_id, source, text, n_tokens FROM base
+       |  WHERE n_tokens >= $MinTokens
+       |    AND CAST(n_punct AS DOUBLE) / n_chars <= $MaxPunctRatio
+       |    AND n_stop >= 1),
+       |exact_deduped AS (
+       |  SELECT doc_id, source, text, n_tokens FROM filtered
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |${SketchOps.nearDupCtes("exact_deduped")}
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+       |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $TrainBuckets
+       |            THEN 'train' ELSE 'eval' END AS split
+       |FROM exact_deduped
+       |WHERE doc_id NOT IN (SELECT d2 FROM neardup)
+       |ORDER BY doc_id""".stripMargin
+  }
+}
