@@ -21,18 +21,13 @@ object Scalars {
     regexp_replace(lower(trim(c)), "[^a-zA-Z0-9 ]", "")
 
   /** F4 — Unicode NFKD → ASCII fold (reference `ingestion_script.py:282-290`
-    * python `unicodedata`): strip combining marks after canonical
-    * decomposition, lowercase, trim. A Scala UDF (no Spark built-in
-    * decomposes unicode); isolated here so only callers that need folding
-    * pay the non-codegen cost — it is in no hot query path. */
-  val asciiFold: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      if (s == null) null
-      else java.text.Normalizer
-        .normalize(s, java.text.Normalizer.Form.NFKD)
-        .replaceAll("\\p{M}", "")
-        .toLowerCase.trim
-    }
+    * python `unicodedata`): strip combining marks after compatibility
+    * decomposition, lowercase, trim. Backed by the native codegen
+    * expression [[org.apache.spark.sql.graft.AsciiFold]] (no Spark
+    * built-in decomposes unicode; the former Scala UDF broke whole-stage
+    * codegen at every call site — round-1 verdict #10). */
+  def asciiFold(c: Column): Column =
+    org.apache.spark.sql.graft.StringExpressions.asciiFold(c)
 
   /** F7 — multi-format timestamp parse: first format that succeeds wins,
     * null when none do (reference `ingestion_script.py:293-310` tries 4

@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFn)
+    ext.injectFunction(GraftExtensions.asciiFoldFn)
   }
 }
 
@@ -32,10 +33,19 @@ object GraftExtensions {
       DotProduct(children(0), children(1))
     })
 
+  private val asciiFoldFn = (
+    new FunctionIdentifier("graft_ascii_fold"),
+    new ExpressionInfo(classOf[AsciiFold].getName, "graft_ascii_fold"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_ascii_fold(str)")
+      AsciiFold(children.head)
+    })
+
   /** Imperative registration for a session that was built elsewhere
     * (extensions only apply at builder time; `getOrCreate` on an existing
     * context skips them — e.g. the driver-owned Verify/Bench sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(dotFn._1, dotFn._2, dotFn._3)
+    Seq(dotFn, asciiFoldFn).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -20,6 +20,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == 11.0)
   }
 
+  test("graft_ascii_fold: codegen expression == former UDF semantics") {
+    val d = Seq("  Crème BRÛLÉE  ", "ÅngstrÖm", "plain", null)
+      .toDF("s")
+    val got = d.select(graft.functions.Scalars.asciiFold(col("s")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("creme brulee"), Some("angstrom"),
+      Some("plain"), None))
+    val viaSql = spark.sql("SELECT graft_ascii_fold('  ÉCLAIR  ') AS f")
+      .collect()(0).getString(0)
+    assert(viaSql == "eclair")
+  }
+
   test("q07b approx scores agree with exact ntile away from boundaries") {
     val exact = graft.analytics.Queries.q07Rfm(spark, sfDir)
       .select("cust_id", "r_score", "f_score", "m_score").collect()
