@@ -94,23 +94,42 @@ object Validate {
       .getOrElse(sys.error(s"no validation rules for table $table"))
 
   /** Tag each row with its first failing rule (or `duplicate`), keeping
-    * every input column plus `error` (NULL = valid). */
+    * every input column plus `error` (NULL = valid).
+    *
+    * Scale: the duplicate window runs ONLY over rows whose key actually
+    * repeats. The dup-key set comes from a key-column-only aggregate
+    * (16-byte-ish shuffle rows), and the semi/anti joins against it are
+    * AQE-broadcast when duplication is rare — so a mostly-unique table
+    * (the common 100 TB case) never shuffles its full rows at all; only
+    * the duplicated groups pay the window. Requires every rule set to
+    * flag null keys (all registry entries do, asserted in RanksSpec):
+    * null-key rows quarantine via their rule, never via dup-ranking. */
   def split(df: DataFrame, tr: TableRules): DataFrame = {
     val firstBad = tr.rules.tail.foldLeft(
       when(tr.rules.head.bad, tr.rules.head.label)) {
       case (acc, rule) => acc.when(rule.bad, rule.label)
     }
-    // clean-first ranking: rows failing a rule sort after clean ones, so a
-    // key group never loses its valid slot to an invalid row
+    val tagged = df.withColumn("__bad", firstBad)
+    val dupKeys = tagged.groupBy(tr.key.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).drop("__n")
+    val outCols = df.columns.map(col).toSeq :+ col("error")
+    // unique-key rows: rank 1 by construction — no window, no row shuffle
+    val uniq = tagged.join(dupKeys, tr.key, "left_anti")
+      .withColumn("error", col("__bad"))
+      .select(outCols: _*)
+    // clean-first ranking within duplicated groups: rows failing a rule
+    // sort after clean ones, so a key group never loses its valid slot
+    // to an invalid row
     val order = col("__bad").isNotNull.asc +:
       tr.tieBreak.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(tr.key.map(col): _*).orderBy(order: _*)
-    df.withColumn("__bad", firstBad)
+    val ranked = tagged.join(dupKeys, tr.key, "left_semi")
       .withColumn("__rn", row_number().over(w))
       .withColumn("error",
         when(col("__bad").isNotNull, col("__bad"))
           .when(col("__rn") > 1, "duplicate"))
-      .drop("__bad", "__rn")
+      .select(outCols: _*)
+    uniq.union(ranked)
   }
 
   /** Event-stream rules (kept as the named entry point the streaming path

@@ -44,9 +44,11 @@ object Runner {
     ).foreach { case (name, df) =>
       val tagged = Validate.split(df.toDF(df.columns.map(_.toLowerCase): _*), // P2
         Validate.rulesFor(name))
+        .cache() // three sinks below — tag each row once, not three times
       Sinks.parquet(Validate.valid(tagged), s"$outDir/bronze/$name")
       Sinks.quarantine(tagged, s"$outDir/bronze/${name}_bad")
       Sinks.report(tagged, s"$outDir/bronze/${name}_bad")
+      tagged.unpersist()
     }
   }
 
@@ -73,9 +75,14 @@ object Runner {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_lake"
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-    runBronze(spark, sfDir, outDir)
-    runSilver(spark, sfDir, outDir)
-    runGold(spark, sfDir, outDir)
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[runner] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("bronze")(runBronze(spark, sfDir, outDir))
+    timed("silver")(runSilver(spark, sfDir, outDir))
+    timed("gold")(runGold(spark, sfDir, outDir))
     println(s"[runner] lake written to $outDir")
     spark.stop()
   }
