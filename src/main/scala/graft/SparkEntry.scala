@@ -69,6 +69,7 @@ object SparkEntry {
     "d11_lsh_neardup" -> (graft.llm.SketchOps.d11LshNearDup _),
     "d12_dedup_apply" -> (graft.llm.SketchOps.d12DedupApply _),
     "d13_corpus_prep" -> (graft.llm.CorpusPrep.d13CorpusPrep _),
+    "d14_redact_pii" -> (graft.llm.TextOps.d14RedactPii _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "d11_lsh_neardup" -> graft.llm.SketchOps.d11Sql,
     "d12_dedup_apply" -> graft.llm.SketchOps.d12Sql,
     "d13_corpus_prep" -> graft.llm.CorpusPrep.d13Sql,
+    "d14_redact_pii" -> graft.llm.TextOps.d14Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,

@@ -243,6 +243,40 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // d14 — PII redaction: the scrubbing stage every training-data pipeline
+  // runs before text ships. Emails and URLs are replaced with typed
+  // placeholder tokens; per-doc hit counts ride along for audit. Pure
+  // regexp projection (whole-stage codegen, shuffle-free, pushdown-safe).
+  // The patterns deliberately use only character classes / quantifiers
+  // that Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+  // lookaround, no backrefs — so the REDACTED TEXT itself hash-matches
+  // across engines, not just the counts.
+  // ---------------------------------------------------------------------
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Redact any (…, text) frame: emails first (an email inside a URL
+    * query-string would otherwise leak), then URLs. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
+  def d14RedactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).cast(LongType).as("n_urls"),
+        redact(col("text")).as("text_redacted"))
+      .orderBy(col("doc_id"))
+
+  val d14Sql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+       |       regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g') AS text_redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d06 — n-gram Jaccard near-duplicate pairs, blocked by `source` (the
   // quadratic step is confined to a bounded block — at 100 TB the block
   // key comes from LSH (d07), not a metadata column; this operator is the

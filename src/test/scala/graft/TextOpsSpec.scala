@@ -77,4 +77,18 @@ class TextOpsSpec extends SparkSpec {
     assert(seg.filter(col("segment").isNull).count() == 0)
     assert(seg.select("segment").distinct().count() == 7)
   }
+
+  test("PII redaction replaces emails and URLs, leaves clean text alone (d14)") {
+    import graft.llm.TextOps
+    val d = Seq(
+      "contact bob.smith+spam@example.co.uk for details",
+      "see https://example.com/a?user=x@y.org and http://plain.io",
+      "no pii here at all").toDF("text")
+    val got = d.select(TextOps.redact(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "contact <EMAIL> for details")
+    // email-before-URL ordering: the address inside the query string is
+    // caught by the email pass; the rest of the URL by the URL pass
+    assert(!got(1).contains("x@y.org") && got(1).contains("<URL>"))
+    assert(got(2) == "no pii here at all")
+  }
 }
