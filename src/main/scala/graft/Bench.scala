@@ -58,21 +58,26 @@ object Bench {
       case (n, fn) => runOnce(n, fn)
     }
 
-    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
-      val best = (runOnce(name, fn), runOnce(name, fn)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b)             => a.orElse(b) // one pass failed: report the good one
-      }
-      name -> best
+    // (time, flaky): flaky = one of the two passes threw. The surviving
+    // time still counts, but the query is named in "flaky" so an
+    // intermittent OOM/regression can't hide behind best-of-2 (ADVICE r2).
+    val results: Seq[(String, Option[(Double, Boolean)])] = queries.map {
+      case (name, fn) =>
+        val best = (runOnce(name, fn), runOnce(name, fn)) match {
+          case (Some(a), Some(b)) => Some((math.min(a, b), false))
+          case (a, b)             => a.orElse(b).map((_, true))
+        }
+        name -> best
     }
 
-    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val ok = results.collect { case (k, Some((v, _))) => k -> v }
     val errors = results.collect { case (k, None) => k }
+    val flaky = results.collect { case (k, Some((_, true))) => k }
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,19 +28,23 @@ object Ranks {
     * total order — include a unique tie-break column). */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    // CACHED deliberately: `local` is consumed twice (the rows themselves
+    // SNAPSHOT deliberately: `local` is consumed twice (the rows themselves
     // and the per-partition counts), and repartitionByRange picks its
     // boundaries by SAMPLING — two independent executions may place the
     // same row in different partitions, making the offsets describe
     // partitions the rows aren't in (observed: ranks > N at sf0.01 until
-    // this pin). The cache materializes one boundary choice for both
-    // consumers; production can swap in persist(DISK_ONLY)/checkpoint —
-    // any consistent snapshot works, lazily re-executed lineage does not.
+    // this pin). localCheckpoint TRUNCATES the lineage, so even block loss
+    // can't silently re-execute with fresh boundaries (a cache would: its
+    // recompute path re-samples — ADVICE r2); the checkpointed blocks are
+    // released by the ContextCleaner when the frame goes out of scope,
+    // rather than pinned for the session like an un-unpersisted cache.
+    // Production clusters wanting executor-loss resilience swap in
+    // reliable checkpoint(); the fail-loudly tradeoff is right here.
     val local = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
         row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
-      .cache()
+      .localCheckpoint()
     // prefix-sum window over ≤P rows; the constant-valued (but non-foldable
     // — a bare literal would be constant-folded back to an empty spec)
     // partition key keeps this bounded single-partition execution from

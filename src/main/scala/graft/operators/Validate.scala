@@ -82,6 +82,7 @@ object Validate {
         r("bad_size", "p_size IS NULL OR p_size <= 0"))),
     TableRules("events", Seq("event_id"),
       Seq("ts", "user_id", "event_type", "value"), Seq(
+        r("missing_key", "event_id IS NULL"),
         r("missing_ts", "ts IS NULL"),
         r("bad_event_type",
           "event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup','error')"),

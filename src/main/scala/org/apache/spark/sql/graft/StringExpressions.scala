@@ -45,8 +45,11 @@ object AsciiFold {
 
   def fold(s: UTF8String): UTF8String = {
     val normalized = Normalizer.normalize(s.toString, Normalizer.Form.NFKD)
-    UTF8String.fromString(
-      marks.matcher(normalized).replaceAll("").toLowerCase.trim)
+    // Locale.ROOT: default-locale lowercasing is environment-dependent
+    // (tr-TR folds 'I' to dotless 'ı'), which would break the
+    // cross-engine-identical contract with DuckDB's lower() (ADVICE r2)
+    UTF8String.fromString(marks.matcher(normalized).replaceAll("")
+      .toLowerCase(java.util.Locale.ROOT).trim)
   }
 }
 

@@ -63,10 +63,15 @@ class RanksSpec extends SparkSpec {
     val tables = Validate.registry.map(_.table)
     assert(tables.toSet == Set("orders", "lineitem", "customer", "supplier",
       "nation", "region", "part", "events"))
-    // every rule set flags missing keys (quarantine before dup-ranking
-    // depends on it: clean rows must have non-null keys)
+    // every KEY COLUMN is flagged by a null-check rule (quarantine before
+    // dup-ranking depends on it: null-key rows never match the dupKeys
+    // equi-joins, so a rule must catch them — ADVICE r2 found events
+    // missing this and passing the old label-prefix check vacuously)
     Validate.registry.foreach { tr =>
-      assert(tr.rules.exists(_.label.startsWith("missing_")), tr.table)
+      tr.key.foreach { k =>
+        assert(tr.rules.exists(_.sql.contains(s"$k IS NULL")),
+          s"${tr.table}: key $k has no null-flagging rule")
+      }
     }
   }
 
