@@ -70,6 +70,10 @@ object SparkEntry {
     "d12_dedup_apply" -> (graft.llm.SketchOps.d12DedupApply _),
     "d13_corpus_prep" -> (graft.llm.CorpusPrep.d13CorpusPrep _),
     "d14_redact_pii" -> (graft.llm.TextOps.d14RedactPii _),
+    "d15_decontaminate" -> (graft.llm.QualityOps.d15Decontaminate _),
+    "d16_repetition_quality" -> (graft.llm.QualityOps.d16RepetitionQuality _),
+    "d17_ngram_vocab" -> (graft.llm.QualityOps.d17NgramVocab _),
+    "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
@@ -132,6 +136,10 @@ object SparkEntry {
     "d12_dedup_apply" -> graft.llm.SketchOps.d12Sql,
     "d13_corpus_prep" -> graft.llm.CorpusPrep.d13Sql,
     "d14_redact_pii" -> graft.llm.TextOps.d14Sql,
+    "d15_decontaminate" -> graft.llm.QualityOps.d15Sql,
+    "d16_repetition_quality" -> graft.llm.QualityOps.d16Sql,
+    "d17_ngram_vocab" -> graft.llm.QualityOps.d17Sql,
+    "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,

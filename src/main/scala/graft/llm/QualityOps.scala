@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Corpus-quality operators a large-scale training-data pipeline runs
+  * between dedup and tokenization (driver mandate SURVEY.md §7.5; round-3
+  * widening of the `llm` tier):
+  *
+  *   - d15 benchmark decontamination — n-gram overlap of every training
+  *     document against a held-out eval split;
+  *   - d16 repetition quality — Gopher-style repetitiveness signals
+  *     (top-unigram / top-bigram mass, type-token ratio) with a keep/drop
+  *     flag;
+  *   - d17 n-gram vocabulary — corpus-level bigram frequency/document-
+  *     frequency table (the "what is this corpus made of" dataset-card
+  *     stat).
+  *
+  * All three are built from codegen'd built-ins (posexplode + lead windows
+  * + hash aggregates — the same machinery as TextOps.shingleRows); no UDFs,
+  * no driver-side collection, and every derived double is the identical
+  * integer-division expression in the DuckDB oracle.
+  */
+object QualityOps {
+
+  /** Non-distinct word-n-gram rows (doc_id, ng): posexplode + lead()
+    * windows, whole-stage-codegen'd (the interpreted higher-order array
+    * path measured ~100× slower — see TextOps.shingleRows, which is the
+    * DISTINCT variant of this for set-semantics consumers). One shuffle,
+    * hash on doc_id. */
+  def ngramRows(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = df.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    toks.select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("ng"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d15 — benchmark decontamination: the held-out eval split (the same
+  // deterministic hash-bucket split as d10 — buckets ≥ EvalBucket) must
+  // not leak into training text. Every training doc is scored by how many
+  // of its distinct word-5-grams appear anywhere in the eval split; a doc
+  // whose overlap ratio crosses the threshold is contaminated (in this
+  // corpus those are exactly the near-duplicates of eval docs — the
+  // classic leak).
+  //
+  // Scale: shingles are joined as 60-bit md5-derived hashes (8-byte
+  // shuffle rows, same contract as d06); the eval side is a DISTINCT
+  // shingle set from a ~5% slice — orders of magnitude smaller than the
+  // corpus and AQE-broadcastable, so the training side never reshuffles
+  // by anything but the shingle hash it already owns. Both inputs prune
+  // to (doc_id, text).
+  // ---------------------------------------------------------------------
+  private val EvalBucket = 95   // buckets 95..99 → ~5% eval split
+  private val NGramN = 5
+  private val ContamRatio = 0.5
+
+  def d15Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
+      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= EvalBucket)
+    val evalSet = sh.filter(col("is_eval"))
+      .select(col("shh")).distinct().withColumn("__hit", lit(1))
+    sh.filter(!col("is_eval"))
+      .join(evalSet, Seq("shh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+      .withColumn("overlap_ratio",
+        col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .withColumn("contaminated",
+        when(col("overlap_ratio") >= ContamRatio, 1).otherwise(0)
+          .cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val d15Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= $EvalBucket AS is_eval
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, is_eval, array_to_string(tk[i:i+${NGramN - 1}], ' ') AS sh
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - ${NGramN - 1}),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+       |scored AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |         COUNT(ev.sh) AS n_hit
+       |  FROM sh s LEFT JOIN ev ON s.sh = ev.sh
+       |  WHERE NOT s.is_eval GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_hit,
+       |       CAST(n_hit AS DOUBLE) / n_shingles AS overlap_ratio,
+       |       CAST(CAST(n_hit AS DOUBLE) / n_shingles >= $ContamRatio AS INT) AS contaminated
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d16 — repetition-quality signals (the Gopher-rule family adapted to
+  // single-line documents): top-unigram mass, top-bigram mass, and
+  // type-token ratio, with a keep/drop flag. Two hash-aggregate passes
+  // (unigrams, bigrams) joined per doc — map-side partials everywhere,
+  // never a global window.
+  // ---------------------------------------------------------------------
+  private val MaxTopUnigramFrac = 0.15
+  private val MaxTopBigramFrac = 0.08
+  private val MinTypeTokenRatio = 0.4
+
+  def d16RepetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_unigram_cnt"))
+    val bi = ngramRows(docs, 2)
+      .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_cnt"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tokens"))
+      .withColumn("top_unigram_frac",
+        col("top_unigram_cnt").cast(DoubleType) / col("n_tokens"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_cnt").cast(DoubleType) / col("n_bigrams"))
+          .otherwise(0.0))
+      .withColumn("flagged",
+        when(col("top_unigram_frac") > MaxTopUnigramFrac
+            || col("top_bigram_frac") > MaxTopBigramFrac
+            || col("ttr") < MinTypeTokenRatio, 1).otherwise(0)
+          .cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |uni AS (
+       |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+       |         MAX(c) AS top_unigram_cnt
+       |  FROM (SELECT doc_id, tok, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |bi AS (
+       |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_cnt
+       |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM (
+       |          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ng
+       |          FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |          WHERE i <= len(tk) - 1) GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |j AS (
+       |  SELECT uni.doc_id, n_tokens, n_distinct, top_unigram_cnt,
+       |         COALESCE(n_bigrams, 0) AS n_bigrams,
+       |         COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+       |  FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id),
+       |m AS (
+       |  SELECT *, CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+       |         CAST(top_unigram_cnt AS DOUBLE) / n_tokens AS top_unigram_frac,
+       |         CASE WHEN n_bigrams > 0
+       |              THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
+       |              ELSE 0.0 END AS top_bigram_frac
+       |  FROM j)
+       |SELECT *, CAST(top_unigram_frac > $MaxTopUnigramFrac
+       |       OR top_bigram_frac > $MaxTopBigramFrac
+       |       OR ttr < $MinTypeTokenRatio AS INT) AS flagged
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d17 — corpus n-gram vocabulary: the top-Vocab most frequent word
+  // bigrams with occurrence and document frequency. One hash aggregate on
+  // the bigram (map-side partials collapse the long tail before the
+  // shuffle) + a global top-k — the orderBy/limit pair Spark executes as
+  // TakeOrderedAndProject, never a full sort. Total order (count desc,
+  // bigram asc) makes the LIMIT boundary deterministic.
+  // ---------------------------------------------------------------------
+  private val VocabTopK = 50
+
+  def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =
+    ngramRows(Tables.documents(spark, dir), 2)
+      .groupBy(col("ng").as("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(VocabTopK)
+
+  val d17Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bigram
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - 1)
+       |SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM bi GROUP BY bigram
+       |ORDER BY n_occurrences DESC, bigram ASC LIMIT $VocabTopK""".stripMargin
+}

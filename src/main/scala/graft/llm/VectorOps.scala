@@ -335,6 +335,74 @@ object VectorOps {
        |ORDER BY keep_id, dup_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // a05 — SemDeDup-style semantic deduplication: cluster the corpus
+  // (nearest-centroid assignment, same inverted-file shape as a04), then
+  // within each cluster drop every vector that has an EARLIER vector
+  // (lower vec_id) at cosine ≥ threshold — keep-first semantics identical
+  // to the text dedup tier (d01/d12), but in embedding space. Output is
+  // the full corpus with its cluster, keep flag, and the witness
+  // (dup_of = the smallest earlier in-cluster near-duplicate).
+  //
+  // Scale: the quadratic step is bounded per cluster list, exactly like
+  // a04's probe join — no all-pairs over the corpus. Centroids here are
+  // the deterministic first-k sample so the DuckDB oracle can reproduce
+  // the assignment; production swaps in trainKmeans (a04b) — the dedup
+  // join is unchanged. Witness-based keep-first (ANY earlier near-dup
+  // drops the row) needs no transitive closure / connected components:
+  // one broadcast-assign pass + one in-cluster self-join + one aggregate.
+  // ---------------------------------------------------------------------
+  private val SemDedupCos = 0.3
+
+  def a05SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").cast(IntegerType).as("centroid_id"),
+        col("embedding").as("ce"))
+    val assigned = assignTo(e, cents)
+    val a = assigned.select(col("vec_id").as("earlier_id"),
+      col("embedding").as("ea"), col("__norm").as("na"),
+      col("centroid_id").as("ca"))
+    val b = assigned.select(col("vec_id").as("later_id"),
+      col("embedding").as("eb"), col("__norm").as("nb"),
+      col("centroid_id").as("cb"))
+    val dupOf = a.join(b,
+        col("ca") === col("cb") && col("earlier_id") < col("later_id"))
+      .filter(cosinePre(dot(col("ea"), col("eb")), col("na"), col("nb"))
+        >= SemDedupCos)
+      .groupBy(col("later_id"))
+      .agg(min(col("earlier_id")).as("dup_of"))
+    assigned.join(dupOf, col("vec_id") === col("later_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0)
+          .cast(IntegerType).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val a05Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $NCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |dup AS (
+       |  SELECT b.vec_id AS later_id, MIN(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemDedupCos
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.centroid_id, d.dup_of,
+       |       CAST(d.dup_of IS NULL AS INT) AS is_kept
+       |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.later_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val a02Sql: String = {
     val bucket = (0 until LshBits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{QualityOps, TextOps, VectorOps}
+
+/** Corpus-quality tier (QualityOps d15-d17) + semantic dedup (a05). The
+  * DuckDB oracle is the cross-engine contract; these specs pin the
+  * SEMANTIC invariants the hash check can't express. */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ngramRows: counts multiplicity (unlike shingleRows), n-1 bigrams per doc") {
+    val d = Seq((1L, "a b a b a"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = QualityOps.ngramRows(d, 2).collect()
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)))
+    assert(byDoc(1L).sorted.toSeq == Seq("a b", "a b", "b a", "b a"))
+    assert(!byDoc.contains(2L)) // single-token doc yields no bigrams
+  }
+
+  test("d15: eval docs are excluded, hits bounded by shingle count, flag matches ratio") {
+    val out = QualityOps.d15Decontaminate(spark, sf).cache()
+    val evalIds = out.withColumn("b", TextOps.hashBucket(col("doc_id")))
+      .filter(col("b") >= 95).count()
+    assert(evalIds == 0) // output is the training split only
+    assert(out.filter(col("n_hit") > col("n_shingles")).count() == 0)
+    assert(out.filter(
+      (col("contaminated") === 1) =!= (col("overlap_ratio") >= 0.5)).count() == 0)
+    out.unpersist()
+  }
+
+  test("d15: a planted eval near-duplicate is contaminated") {
+    // doc 17 hashes to bucket >= 95 on sf0.001 (eval); doc 1 does not.
+    // Give the train doc the same text as the eval doc → full overlap.
+    val evalDoc = graft.Tables.documents(spark, sf)
+      .withColumn("b", TextOps.hashBucket(col("doc_id")))
+      .filter(col("b") >= 95).select("doc_id").as[Long].head()
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d = Seq((evalDoc, "s", txt), (1L, "s", txt),
+      (2L, "s", "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "source", "text")
+    val sh = TextOps.shingleRows(d, 5)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
+      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= 95)
+    val ev = sh.filter(col("is_eval")).select("shh").distinct()
+      .withColumn("__hit", lit(1))
+    val scored = sh.filter(!col("is_eval")).join(ev, Seq("shh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored(1L)._1 == scored(1L)._2 && scored(1L)._2 > 0) // full overlap
+    assert(scored(2L)._2 == 0)                                  // clean doc
+  }
+
+  test("d16: fractions in (0,1], flag consistent with thresholds") {
+    val out = QualityOps.d16RepetitionQuality(spark, sf).cache()
+    assert(out.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+    assert(out.filter(col("top_unigram_frac") <= 0
+      || col("top_unigram_frac") > 1).count() == 0)
+    assert(out.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+    val bad = out.filter((col("flagged") === 1) =!=
+      (col("top_unigram_frac") > 0.15 || col("top_bigram_frac") > 0.08
+        || col("ttr") < 0.4))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("d17: top-k is sorted desc, doc frequency bounded by occurrences") {
+    val rows = QualityOps.d17NgramVocab(spark, sf).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    val occ = rows.map(_.getLong(1))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1))
+  }
+
+  test("a05: keep-first semantics — dup_of is an earlier kept-or-dropped vec, flags consistent") {
+    val out = VectorOps.a05SemanticDedup(spark, sf).cache()
+    assert(out.count() ==
+      graft.Tables.embeddings(spark, sf).count()) // full corpus, one row each
+    assert(out.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    assert(out.filter(
+      (col("is_kept") === 1) =!= col("dup_of").isNull).count() == 0)
+    // the earliest vector of every cluster can have no earlier in-cluster
+    // near-dup → always kept
+    val minPerCluster = out.groupBy("centroid_id").agg(min("vec_id").as("mn"))
+    val firsts = out.join(minPerCluster,
+      out("vec_id") === minPerCluster("mn"))
+    assert(firsts.filter(col("is_kept") === 0).count() == 0)
+    out.unpersist()
+  }
+}
