@@ -55,6 +55,8 @@ object SparkEntry {
     "q30_asof_attribution" -> (graft.operators.AsOf.q30Attribution _),
     "q32_items_explode" -> (EventQueries.q32ItemsExplode _),
     "q31_range_join" -> (graft.operators.RangeJoin.q31RangeJoin _),
+    "q33_rollup" -> (graft.analytics.OlapQueries.q33Rollup _),
+    "q34_exact_median" -> (graft.analytics.OlapQueries.q34ExactMedian _),
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -121,6 +123,8 @@ object SparkEntry {
     "q30_asof_attribution" -> graft.operators.AsOf.q30Sql,
     "q32_items_explode" -> EventQueries.q32Sql,
     "q31_range_join" -> graft.operators.RangeJoin.q31Sql,
+    "q33_rollup" -> graft.analytics.OlapQueries.q33Sql,
+    "q34_exact_median" -> graft.analytics.OlapQueries.q34Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,

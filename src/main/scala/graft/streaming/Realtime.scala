@@ -69,6 +69,20 @@ object Realtime {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** At-least-once → effectively-once repair: the reference's consumer
+    * auto-commits offsets every 1 s, so crash-replay DUPLICATES are part
+    * of its delivery contract (`consumer.py:87-88` — SURVEY.md §3.3 "at-
+    * least-once, duplicates possible on crash") and its Redis counters
+    * silently double-count them. Streaming twin of the batch keep-first
+    * dedup tier (A13/A15/q18): drop every event_id already seen, with the
+    * dedup state BOUNDED by the watermark (an unbounded dropDuplicates
+    * would grow state forever on an infinite stream — the watermark is
+    * what makes exactly-once affordable at 100 TB/day). Place before any
+    * downstream aggregate so replayed events never reach a counter. */
+  def dedupEvents(events: DataFrame, watermark: String = "24 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** ST3 — running totals since stream start (update-mode global agg). */
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

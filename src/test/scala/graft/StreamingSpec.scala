@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._3).sum == events.size * 5L)
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents
+    // simulate the reference's at-least-once crash-replay: batch 2 resends
+    // the tail of batch 1 before continuing
+    stream.addData(events.take(60))
+    stream.addData(events.slice(40, 60) ++ events.drop(60))
+    val q = Realtime.startMemorySink(
+      Realtime.dedupEvents(stream.toDF()), "t_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dedup").select("event_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.length == events.size)            // replays dropped
+    assert(got.toSeq == events.map(_.event_id))  // exactly the originals
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
