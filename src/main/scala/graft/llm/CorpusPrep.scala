@@ -79,6 +79,142 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // d18 — the round-3 FULL pipeline: d13's stages plus the two gates a
+  // modern corpus run adds between them —
+  //
+  //   1. content-quality gate (d04 signals, as d13);
+  //   1b. repetition gate (d16 signals): drop docs whose top-unigram /
+  //       top-bigram mass or type-token ratio flags boilerplate;
+  //   2. exact dedup (d01);
+  //   3. MinHash-LSH near-dedup over survivors (d07→d06→d12);
+  //   4. benchmark decontamination (d15) against the FINAL eval split:
+  //      a train doc 5-gram-overlapping the eval buckets ≥ 0.5 is
+  //      dropped — eval leakage removed before the split is published;
+  //   5. deterministic hash-bucket split (d10).
+  //
+  // Composed from the same frame-level stage functions the standalone
+  // queries verify (QualityOps.repetitionSignals / .contamination,
+  // SketchOps.lshNearDupPairs) — one definition per stage, one oracle per
+  // stage, and this query proves the composition. Stage economics: both
+  // gates are projections/hash-aggregates that SHRINK the corpus before
+  // the sketch stages (the expensive part), and decontamination runs over
+  // near-dedup survivors only; the contaminated and near-dup drop sets
+  // are tiny → broadcast anti-joins.
+  // ---------------------------------------------------------------------
+  def d18CorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast(LongType).as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast(LongType).as("n_punct"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(filter(toks, t => t.isInCollection(allStopwords)))
+          .cast(LongType).as("n_stop"))
+    val gate1 = base.filter(
+      col("n_tokens") >= MinTokens &&
+        col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
+        col("n_stop") >= 1)
+    val repOk = QualityOps.repetitionSignals(
+        gate1.select(col("doc_id"), col("text")))
+      .filter(col("flagged") === 0).select(col("doc_id"))
+    val filtered = gate1.join(repOk, Seq("doc_id"), "left_semi")
+    val reps = filtered
+      .groupBy(md5(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactDeduped = filtered.join(reps, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // consumed by LSH pipeline AND the survivor side
+    val drop = SketchOps.lshNearDupPairs(
+        exactDeduped.select(col("doc_id"), col("source"), col("text")))
+      .select(col("d2")).distinct()
+    val nearDeduped = exactDeduped
+      .join(broadcast(drop), col("doc_id") === col("d2"), "left_anti")
+    val contam = QualityOps.contamination(
+        nearDeduped.select(col("doc_id"), col("source"), col("text")),
+        TrainBuckets)
+      .filter(col("contaminated") === 1)
+      .select(col("doc_id").as("__cd"))
+    nearDeduped
+      .join(broadcast(contam), col("doc_id") === col("__cd"), "left_anti")
+      .withColumn("bucket", TextOps.hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < TrainBuckets, "train").otherwise("eval"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String = {
+    val stop = allStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |gate1 AS (
+       |  SELECT doc_id, source, text, n_tokens FROM base
+       |  WHERE n_tokens >= $MinTokens
+       |    AND CAST(n_punct AS DOUBLE) / n_chars <= $MaxPunctRatio
+       |    AND n_stop >= 1),
+       |rq_toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM gate1),
+       |rq_uni AS (
+       |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_uni
+       |  FROM (SELECT doc_id, u, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(tk) AS u FROM rq_toks) GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |rq_bi AS (
+       |  SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi
+       |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM (
+       |          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ng
+       |          FROM rq_toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM rq_toks))) AS i) r
+       |          WHERE i <= len(tk) - 1) GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |rq_ok AS (
+       |  SELECT u.doc_id FROM rq_uni u LEFT JOIN rq_bi b ON u.doc_id = b.doc_id
+       |  WHERE NOT (CAST(u.top_uni AS DOUBLE) / u.n_tok > 0.15
+       |    OR (CASE WHEN COALESCE(b.n_bi, 0) > 0
+       |             THEN CAST(COALESCE(b.top_bi, 0) AS DOUBLE) / b.n_bi
+       |             ELSE 0.0 END) > 0.08
+       |    OR CAST(u.n_distinct AS DOUBLE) / u.n_tok < 0.4)),
+       |filtered AS (
+       |  SELECT g.* FROM gate1 g JOIN rq_ok USING (doc_id)),
+       |exact_deduped AS (
+       |  SELECT doc_id, source, text, n_tokens FROM filtered
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |${SketchOps.nearDupCtes("exact_deduped")},
+       |survivors AS (
+       |  SELECT * FROM exact_deduped
+       |  WHERE doc_id NOT IN (SELECT d2 FROM neardup)),
+       |dc_toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= $TrainBuckets AS is_eval
+       |  FROM survivors),
+       |dc_sh AS (
+       |  SELECT DISTINCT doc_id, is_eval, array_to_string(tk[i:i+4], ' ') AS sh
+       |  FROM dc_toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM dc_toks))) AS i) r
+       |  WHERE i <= len(tk) - 4),
+       |dc_ev AS (SELECT DISTINCT sh FROM dc_sh WHERE is_eval),
+       |dc_bad AS (
+       |  SELECT s.doc_id FROM dc_sh s LEFT JOIN dc_ev e ON s.sh = e.sh
+       |  WHERE NOT s.is_eval GROUP BY s.doc_id
+       |  HAVING CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) >= 0.5)
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+       |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $TrainBuckets
+       |            THEN 'train' ELSE 'eval' END AS split
+       |FROM survivors
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dc_bad)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val d13Sql: String = {
     val stop = allStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH base AS (

@@ -63,11 +63,16 @@ object QualityOps {
   private val NGramN = 5
   private val ContamRatio = 0.5
 
-  def d15Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
+  /** Per-training-doc contamination scores for any (doc_id, source, text)
+    * frame: docs in buckets ≥ evalBucketMin form the eval split; every
+    * other doc is scored by its distinct 5-gram overlap with that split.
+    * Frame-level so the composed pipeline (d18) can run it over near-dedup
+    * survivors with ITS split boundary. */
+  def contamination(docs: DataFrame, evalBucketMin: Int): DataFrame = {
+    val sh = TextOps.shingleRows(docs, NGramN)
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
-      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= EvalBucket)
+      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= evalBucketMin)
     val evalSet = sh.filter(col("is_eval"))
       .select(col("shh")).distinct().withColumn("__hit", lit(1))
     sh.filter(!col("is_eval"))
@@ -79,8 +84,11 @@ object QualityOps {
       .withColumn("contaminated",
         when(col("overlap_ratio") >= ContamRatio, 1).otherwise(0)
           .cast(IntegerType))
-      .orderBy(col("doc_id"))
   }
+
+  def d15Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir), EvalBucket)
+      .orderBy(col("doc_id"))
 
   val d15Sql: String =
     s"""WITH toks AS (
@@ -114,8 +122,11 @@ object QualityOps {
   private val MaxTopBigramFrac = 0.08
   private val MinTypeTokenRatio = 0.4
 
-  def d16RepetitionQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Per-doc repetition signals for any (doc_id, text) frame (frame-level
+    * for pipeline composition — the signals are pure per-doc functions, so
+    * computing them on a filtered subset equals filtering the full-corpus
+    * result). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
     val uni = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -142,8 +153,10 @@ object QualityOps {
             || col("top_bigram_frac") > MaxTopBigramFrac
             || col("ttr") < MinTypeTokenRatio, 1).otherwise(0)
           .cast(IntegerType))
-      .orderBy(col("doc_id"))
   }
+
+  def d16RepetitionQuality(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   val d16Sql: String =
     s"""WITH toks AS (

@@ -75,6 +75,23 @@ class QualityOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1))
   }
 
+  test("d18: full pipeline — consistent split, unique ids, gates actually applied") {
+    val out = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0 && out.select("doc_id").distinct().count() == n)
+    // split is a pure function of the bucket
+    assert(out.filter(
+      (col("split") === "train") =!= (col("bucket") < 80)).count() == 0)
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 99).count() == 0)
+    // the repetition gate is live: no surviving doc is flagged
+    val flaggedSurvivors = out.join(
+      graft.llm.QualityOps.repetitionSignals(
+        graft.Tables.documents(spark, sf)).filter(col("flagged") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(flaggedSurvivors.count() == 0)
+    out.unpersist()
+  }
+
   test("a05: keep-first semantics — dup_of is an earlier kept-or-dropped vec, flags consistent") {
     val out = VectorOps.a05SemanticDedup(spark, sf).cache()
     assert(out.count() ==
