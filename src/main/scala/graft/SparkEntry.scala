@@ -57,6 +57,8 @@ object SparkEntry {
     "q31_range_join" -> (graft.operators.RangeJoin.q31RangeJoin _),
     "q33_rollup" -> (graft.analytics.OlapQueries.q33Rollup _),
     "q34_exact_median" -> (graft.analytics.OlapQueries.q34ExactMedian _),
+    "q35_daily_windows" -> (graft.analytics.OlapQueries.q35DailyWindows _),
+    "q36_inactive_customers" -> (graft.analytics.OlapQueries.q36InactiveCustomers _),
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -126,6 +128,8 @@ object SparkEntry {
     "q31_range_join" -> graft.operators.RangeJoin.q31Sql,
     "q33_rollup" -> graft.analytics.OlapQueries.q33Sql,
     "q34_exact_median" -> graft.analytics.OlapQueries.q34Sql,
+    "q35_daily_windows" -> graft.analytics.OlapQueries.q35Sql,
+    "q36_inactive_customers" -> graft.analytics.OlapQueries.q36Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,

@@ -105,6 +105,99 @@ object OlapQueries {
       .orderBy(col("nation_name"))
   }
 
+  // ---------------------------------------------------------------------
+  // q35 — time-series window frames over daily sales: day-over-day delta
+  // (lag) and a 7-day moving average (RANGE frame over a day-number key) —
+  // the two analytic-window shapes the reference's dashboard lacks
+  // entirely (SURVEY.md §2.5: "no lead/lag, no custom frames").
+  //
+  // Scale: the window runs over the DAILY grain — bounded by the calendar
+  // (a few thousand rows for years of data), not by data size; the raw
+  // orders collapse to that grain in a partial-aggregated hash aggregate
+  // first. The single-partition window over the daily frame is therefore
+  // safe; the partition key is the usual non-foldable constant so the
+  // plan documents the choice (same idiom as operators.Ranks).
+  // rangeBetween needs a numeric order key: days since epoch, exact
+  // integer arithmetic in both engines.
+  // ---------------------------------------------------------------------
+  def q35DailyWindows(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+      .agg(moneySum(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("day_no", datediff(col("sale_date"), lit("1970-01-01")))
+    val part = pmod(year(col("sale_date")), lit(1)) // non-foldable constant
+    val byDay = Window.partitionBy(part).orderBy(col("day_no"))
+    val ma7 = byDay.rangeBetween(-6, 0)
+    daily
+      .withColumn("prev_sales", lag(col("total_sales"), 1).over(byDay))
+      .withColumn("dod_delta", col("total_sales") - col("prev_sales"))
+      .withColumn("ma7_sales",
+        (sum(Queries.money(col("total_sales"))).over(ma7).cast(DoubleType)
+          / count(lit(1)).over(ma7)))
+      .select(col("sale_date"), col("total_sales"), col("n_orders"),
+        col("prev_sales"), col("dod_delta"), col("ma7_sales"))
+      .orderBy(col("sale_date"))
+  }
+
+  val q35Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS sale_date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |         COUNT(*) AS n_orders,
+      |         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+      |  FROM orders GROUP BY 1, 4)
+      |SELECT sale_date, total_sales, n_orders,
+      |       lag(total_sales, 1) OVER (ORDER BY day_no) AS prev_sales,
+      |       total_sales - lag(total_sales, 1) OVER (ORDER BY day_no) AS dod_delta,
+      |       CAST(SUM(CAST(total_sales AS DECIMAL(18,2))) OVER ma7 AS DOUBLE)
+      |         / COUNT(*) OVER ma7 AS ma7_sales
+      |FROM daily
+      |WINDOW ma7 AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY sale_date""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36 — inactive-customer analytics via a genuine LEFT ANTI join:
+  // per-nation counts of customers who never placed an order. The
+  // reference's only anti-semantics is a name-set difference (U3); this
+  // is the relational form a warehouse needs.
+  //
+  // Scale: the anti join probes with the customer's key against the
+  // orders' custkey column only (column pruning reaches the scan); the
+  // per-nation totals come from the dimension side alone. n_active is
+  // derived (total − inactive) rather than a second semi join — one join,
+  // not two.
+  // ---------------------------------------------------------------------
+  def q36InactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val totals = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+    totals
+      .join(inactive, Seq("c_nationkey"), "left")
+      .withColumn("n_inactive", coalesce(col("n_inactive"), lit(0L)))
+      .withColumn("n_active", col("n_customers") - col("n_inactive"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation_name"), col("n_customers"),
+        col("n_active"), col("n_inactive"))
+      .orderBy(col("nation_name"))
+  }
+
+  val q36Sql: String =
+    """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+      |agg AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_customers,
+      |         COUNT(*) FILTER (WHERE b.o_custkey IS NULL) AS n_inactive
+      |  FROM customer c LEFT JOIN buyers b ON c.c_custkey = b.o_custkey
+      |  GROUP BY c_nationkey)
+      |SELECT n.n_name AS nation_name, a.n_customers,
+      |       a.n_customers - a.n_inactive AS n_active, a.n_inactive
+      |FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+      |ORDER BY nation_name""".stripMargin
+
   val q34Sql: String =
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,
