@@ -78,6 +78,7 @@ object SparkEntry {
     "d16_repetition_quality" -> (graft.llm.QualityOps.d16RepetitionQuality _),
     "d17_ngram_vocab" -> (graft.llm.QualityOps.d17NgramVocab _),
     "d18_corpus_prep_full" -> (graft.llm.CorpusPrep.d18CorpusPrepFull _),
+    "d19_corpus_stats" -> (graft.llm.QualityOps.d19CorpusStats _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "d16_repetition_quality" -> graft.llm.QualityOps.d16Sql,
     "d17_ngram_vocab" -> graft.llm.QualityOps.d17Sql,
     "d18_corpus_prep_full" -> graft.llm.CorpusPrep.d18Sql,
+    "d19_corpus_stats" -> graft.llm.QualityOps.d19Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,

@@ -133,4 +133,22 @@ object Tables {
     read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "embeddings", embeddingsSchema)
+
+  /** Register every table as a temp view so `spark.sql(...)` is a
+    * first-class query surface over the same pinned-schema loaders (the
+    * reference's users speak SQL; a view is a pure plan alias, so SQL text
+    * gets identical Catalyst treatment — pushdown, pruning, broadcast —
+    * as the DataFrame API, verified in SqlSurfaceSpec). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    orders(spark, dir).createOrReplaceTempView("orders")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    customer(spark, dir).createOrReplaceTempView("customer")
+    supplier(spark, dir).createOrReplaceTempView("supplier")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    region(spark, dir).createOrReplaceTempView("region")
+    part(spark, dir).createOrReplaceTempView("part")
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
 }

@@ -201,6 +201,45 @@ object QualityOps {
   // TakeOrderedAndProject, never a full sort. Total order (count desc,
   // bigram asc) makes the LIMIT boundary deterministic.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // d19 — dataset-card corpus statistics: docs / tokens / chars / mean doc
+  // length at every (lang, source) grain via ROLLUP — the summary table a
+  // corpus release publishes. Same Expand-to-one-aggregate lowering as
+  // q33 (one shuffle carries all three grains, map-side partials); the
+  // token counts come from a pure codegen projection, so the whole query
+  // is scan → project → rollup-aggregate.
+  // ---------------------------------------------------------------------
+  def d19CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("__toks"),
+        length(col("text")).cast(LongType).as("__chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        grouping_id().cast(IntegerType).as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        (sum(col("__toks")).cast(DoubleType) / count(lit(1)))
+          .as("avg_tokens_per_doc"))
+      .orderBy(col("lvl"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+
+  val d19Sql: String =
+    """SELECT lang, source,
+      |       CAST(GROUPING(lang, source) AS INT) AS lvl,
+      |       COUNT(*) AS n_docs,
+      |       SUM(toks) AS n_tokens,
+      |       SUM(chars) AS n_chars,
+      |       CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+      |FROM (
+      |  SELECT lang, source,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS toks,
+      |         CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents)
+      |GROUP BY ROLLUP(lang, source)
+      |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   private val VocabTopK = 50
 
   def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =

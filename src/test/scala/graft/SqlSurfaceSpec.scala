@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `spark.sql` as a query surface: Tables.registerViews makes every pinned
+  * table addressable from SQL text, and SQL plans get the same Catalyst
+  * treatment as the DataFrame programs (same results, broadcast join,
+  * pushed filters). */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("SQL text over views == DataFrame program (daily sales shape)") {
+    Tables.registerViews(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT to_date(o_orderdate) AS sale_date,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY sale_date""".stripMargin)
+    val viaDf = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("sale_date"))
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
+  test("SQL over views keeps pushdown + broadcast (same physical treatment)") {
+    Tables.registerViews(spark, dir)
+    val plan = spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 0 GROUP BY n.n_name""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)"))
+  }
+
+  test("registered SQL functions from GraftExtensions work in SQL text") {
+    Tables.registerViews(spark, dir)
+    val r = spark.sql("SELECT graft_ascii_fold('Héllo  Wörld ') AS f")
+      .collect()(0).getString(0)
+    assert(r == "hello  world")
+  }
+}
