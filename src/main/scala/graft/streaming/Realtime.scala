@@ -108,6 +108,32 @@ object Realtime {
         sink(batch.orderBy(col("ts").desc, col("event_id").desc).limit(100), id)
       }
 
+  /** Stream-stream interval join — beyond the reference's surface (SURVEY
+    * §2.10: it has no stream joins at all; its consumer looks every event
+    * up in Redis instead). Each purchase joins the SAME USER's view events
+    * from the preceding attribution window — the streaming form of the
+    * batch as-of/attribution query (q30). Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered state from both sides — without the interval bound a
+    * stream-stream join's state grows forever. Output: one row per
+    * (purchase, qualifying view) pair; downstream pick-latest is q30's
+    * window. */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $attributionWindow"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_id"), col("view_ts"), col("value"))
+  }
+
   /** N2/N4 — the reference's completed-order events carry a nested list
     * of item structs and an address struct (`producer.py:164-207`); the
     * consumer loops the items for per-product/category rollups

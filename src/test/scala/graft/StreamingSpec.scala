@@ -140,6 +140,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == events.map(_.event_id))  // exactly the originals
   }
 
+  test("stream-stream interval join == batch join (purchase-view attribution)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents
+    val vStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val views = events.filter(_.event_type == "view")
+    val purchases = events.filter(_.event_type == "purchase")
+    vStream.addData(views)
+    pStream.addData(purchases)
+    val q = Realtime.startMemorySink(
+      Realtime.purchaseViewJoin(vStream.toDF(), pStream.toDF()), "t_ssjoin",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssjoin").orderBy("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // batch twin: same function over batch frames
+    val want = Realtime.purchaseViewJoin(views.toDF(), purchases.toDF())
+      .orderBy("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
