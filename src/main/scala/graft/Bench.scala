@@ -35,7 +35,12 @@ object Bench {
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated filter for targeted iteration
+    // (SPARK_GRAFT_ONLY=d18_corpus_prep_full,d13_corpus_prep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     /** One timed execution; None on failure. Clears intra-query caches
       * (sketch signatures etc.) so they can't leak memory pressure into

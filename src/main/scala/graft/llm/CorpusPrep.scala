@@ -112,10 +112,18 @@ object CorpusPrep {
         length(col("text")).cast(LongType).as("n_chars"),
         size(filter(toks, t => t.isInCollection(allStopwords)))
           .cast(LongType).as("n_stop"))
+    // materialize at gate1, not later: the quality projection contains
+    // interpreted higher-order lambdas (the stopword filter — ~100× the
+    // cost of codegen, see TextOps.shingleRows doc), and gate1 feeds BOTH
+    // the repetition-signal branch and the surviving-row branch. A lazy
+    // frame would re-run those lambdas once per consumer; everything
+    // downstream of this point is joins/aggregates over the snapshot.
     val gate1 = base.filter(
       col("n_tokens") >= MinTokens &&
         col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
         col("n_stop") >= 1)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      .localCheckpoint()
     val repOk = QualityOps.repetitionSignals(
         gate1.select(col("doc_id"), col("text")))
       .filter(col("flagged") === 0).select(col("doc_id"))
@@ -124,8 +132,13 @@ object CorpusPrep {
       .groupBy(md5(col("text")).as("__fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // second snapshot: exactDeduped feeds the LSH pipeline AND the
+    // survivor side, and its derivation includes the repetition-signal
+    // aggregates — without the pin those two shuffle rounds would run per
+    // consumer (the LSH internals take separate actions, so single-plan
+    // exchange reuse cannot cover them)
     val exactDeduped = filtered.join(reps, Seq("doc_id"), "left_semi")
-      .localCheckpoint() // consumed by LSH pipeline AND the survivor side
+      .localCheckpoint()
     val drop = SketchOps.lshNearDupPairs(
         exactDeduped.select(col("doc_id"), col("source"), col("text")))
       .select(col("d2")).distinct()
