@@ -240,6 +240,58 @@ object QualityOps {
       |GROUP BY ROLLUP(lang, source)
       |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d20 — sliding token-window chunking: every document becomes
+  // overlapping chunks of ChunkTokens tokens advancing by StrideTokens —
+  // the context-window preparation stage of a pretraining/RAG pipeline.
+  // Chunk count per doc is the exact integer closed form
+  // ceil(max(n−chunk,0)/stride)+1 (identical `(x+stride−1) div stride`
+  // arithmetic in both engines — no float division); chunk extraction is
+  // slice + array_join over the token array. Pure projection + generator:
+  // shuffle-free, whole-stage codegen, output grain (doc_id, chunk_no).
+  // ---------------------------------------------------------------------
+  private val ChunkTokens = 32
+  private val StrideTokens = 16
+
+  def d20Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")).cast(LongType))
+      .filter(col("n") > 0)
+      // last chunk index: ceil(max(n - chunk, 0) / stride), integer-exact
+      .withColumn("last_chunk", expr(
+        s"(GREATEST(n - $ChunkTokens, 0) + ${StrideTokens - 1}) DIV $StrideTokens"))
+    base
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("last_chunk"))).as("chunk_no"))
+      .select(
+        col("doc_id"), col("chunk_no"),
+        least(lit(ChunkTokens.toLong), col("n") - col("chunk_no") * StrideTokens)
+          .as("chunk_tokens"),
+        array_join(
+          slice(col("tk"), (col("chunk_no") * StrideTokens + 1).cast(IntegerType),
+            lit(ChunkTokens)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  val d20Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, tk, n,
+       |         (GREATEST(n - $ChunkTokens, 0) + ${StrideTokens - 1}) // $StrideTokens AS last_chunk
+       |  FROM toks WHERE n > 0)
+       |SELECT doc_id, i AS chunk_no,
+       |       LEAST($ChunkTokens, n - i * $StrideTokens) AS chunk_tokens,
+       |       array_to_string(tk[i * $StrideTokens + 1 : i * $StrideTokens + $ChunkTokens], ' ') AS chunk_text
+       |FROM base, (SELECT unnest(range(0, (SELECT MAX(last_chunk) + 1 FROM base))) AS i) r
+       |WHERE i <= last_chunk
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
   private val VocabTopK = 50
 
   def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =

@@ -75,6 +75,28 @@ class QualityOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1))
   }
 
+  test("d20: chunking covers every token, short docs get one whole-doc chunk") {
+    val out = graft.llm.QualityOps.d20Chunk(spark, sf).cache()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    // chunk 0 always exists; every chunk has 1..32 tokens; the per-doc
+    // max chunk_no matches the closed form
+    assert(out.filter(col("chunk_tokens") < 1 || col("chunk_tokens") > 32)
+      .count() == 0)
+    val perDoc = out.groupBy("doc_id")
+      .agg(max("chunk_no").as("mx"), count(lit(1)).as("nc"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("nc") =!= col("mx") + 1).count() == 0)
+    assert(perDoc.filter(
+      col("mx") =!= expr("(GREATEST(n - 32, 0) + 15) DIV 16")).count() == 0)
+    // a short doc yields exactly one chunk = the full token sequence
+    val short = perDoc.filter(col("n") <= 32)
+    assert(short.filter(col("nc") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
   test("d18: full pipeline — consistent split, unique ids, gates actually applied") {
     val out = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sf).cache()
     val n = out.count()
