@@ -292,6 +292,35 @@ object QualityOps {
        |WHERE i <= last_chunk
        |ORDER BY doc_id, chunk_no""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d21 — per-language heavy hitters via the custom Misra-Gries
+  // TypedImperativeAggregate (HeavyHittersAgg): O(k)-memory frequent-token
+  // tracking with mergeable buffers — the scale path for vocabulary stats
+  // when an exact token groupBy would shuffle billions of distinct keys
+  // (contrast d17, which is the exact-aggregate form). Capacity 64 ≥ the
+  // corpus vocabulary, so counts here are in the aggregate's EXACT regime
+  // and the plain-GROUP-BY DuckDB oracle hash-matches; the sub-capacity
+  // error bound is property-tested in HeavyHittersSpec.
+  // ---------------------------------------------------------------------
+  private val HhCapacity = 64
+
+  def d21HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.HeavyHittersAgg
+        .heavyHitters(col("tok"), HhCapacity).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("token"))
+
+  val d21Sql: String =
+    """SELECT lang, tok AS token, COUNT(*) AS cnt
+      |FROM (SELECT lang,
+      |        unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY lang, cnt DESC, token""".stripMargin
+
   private val VocabTopK = 50
 
   def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =
