@@ -1,0 +1,53 @@
+package graft
+
+/** Scale-regression guard: every registered query's physical plan is
+  * checked for the anti-patterns that kill 100 TB runs. A new query that
+  * trips a pattern must either fix its plan or consciously join the
+  * whitelist with a bounded-size justification.
+  *
+  * Patterns:
+  *   - CartesianProduct: never acceptable (an unbounded all-pairs join).
+  *   - BroadcastNestedLoopJoin: acceptable ONLY when the build side is a
+  *     broadcast of a bounded frame (a 1-row global aggregate, a k-row
+  *     centroid table) — the whitelisted queries below all cross-join
+  *     such a frame by construction.
+  *   - Exchange SinglePartition: acceptable ONLY for a final single-row
+  *     (or bounded-row) aggregate that partial aggregation has already
+  *     collapsed map-side — whitelisted below. A data-sized single
+  *     partition (global window, global sort-in-one-task) must never
+  *     appear; the distributed forms live in operators.Ranks.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  // crossJoin(broadcast(bounded)): snapshots (q07b), whole-table means
+  // (q19, f01), pct-of-total denominators (q11/q15-q17), centroid tables
+  // (a01/a04/a04b/a05 — k rows)
+  private val bnljOk = Set(
+    "a01_ann_brute_force", "a04_ann_ivf", "a04b_ann_ivf_kmeans",
+    "a05_semantic_dedup", "f01_scalar_suite", "q07b_rfm_approx",
+    "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
+    "q17_filtered_dist", "q19_product_imputation")
+
+  // final single-row (q02/q02b/q22) or bounded-row (q22b: 8 tables,
+  // f01/q07b/q19: 1-row means/cuts; q11/q15-q17: 1-row totals) aggregates
+  private val singlePartOk = Set(
+    "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
+    "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
+    "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",
+    "q22_validation_report", "q22b_validation_all")
+
+  test("no registered query plans a cartesian product, unbounded BNLJ, or stray single-partition exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq(
+        Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin")
+          && !bnljOk(name))(s"$name: unexpected BroadcastNestedLoopJoin"),
+        Option.when(plan.contains("Exchange SinglePartition")
+          && !singlePartOk(name))(s"$name: unexpected Exchange SinglePartition"),
+      ).flatten
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
