@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -197,6 +197,57 @@ object OlapQueries {
       |       a.n_customers - a.n_inactive AS n_active, a.n_inactive
       |FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
       |ORDER BY nation_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37 — pricing summary (the TPC-H Q1 shape over the driver's lineitem):
+  // the classic compute-dense scan→aggregate — six aggregates over exact
+  // decimal chains per (returnflag, linestatus) group. One pass, map-side
+  // partials, date filter pushed to the parquet scan. Money chains follow
+  // the engine's decimal contract: inputs lifted to DECIMAL(18,2), exact
+  // decimal products (scale grows per multiply), cast to double at the
+  // end — associative, partition-order independent, oracle-identical.
+  // ---------------------------------------------------------------------
+  def q37PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // DECIMAL(12,2) inputs so the triple product lands exactly at the
+    // (38,6) precision cap in BOTH engines — (18,2) inputs would push the
+    // chain past precision 38, where Spark (HALF_UP scale trim) and
+    // DuckDB round differently. Prices are < 1e10, so (12,2) is lossless.
+    def m12(c: Column): Column = c.cast(DecimalType(12, 2))
+    val one = lit(1).cast(DecimalType(12, 2))
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount")))
+            * (one + m12(col("l_tax"))))
+          .cast(DoubleType).as("sum_charge"),
+        (sum(col("l_quantity")).cast(DoubleType) / count(col("l_quantity")))
+          .as("avg_qty"),
+        Queries.moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q37Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val q34Sql: String =
     """WITH ranked AS (

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.asciiFoldFn)
+    ext.injectFunction(GraftExtensions.bottomKFn)
+    ext.injectFunction(GraftExtensions.heavyHittersFn)
   }
 }
 
@@ -41,11 +43,37 @@ object GraftExtensions {
       AsciiFold(children.head)
     })
 
+  /** Foldable-integer second argument (the sketch capacity in SQL text:
+    * `graft_bottom_k(h, 16)`). */
+  private def litInt(e: Expression, fn: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$fn: k must be an integer literal, got $other")
+  }
+
+  private val bottomKFn = (
+    new FunctionIdentifier("graft_bottom_k"),
+    new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottom_k"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_bottom_k(longCol, k)")
+      BottomKAgg(children.head, litInt(children(1), "graft_bottom_k"))
+    })
+
+  private val heavyHittersFn = (
+    new FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_heavy_hitters(strCol, k)")
+      HeavyHittersAgg(children.head, litInt(children(1), "graft_heavy_hitters"))
+    })
+
   /** Imperative registration for a session that was built elsewhere
     * (extensions only apply at builder time; `getOrCreate` on an existing
     * context skips them — e.g. the driver-owned Verify/Bench sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(dotFn, asciiFoldFn).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotFn, asciiFoldFn, bottomKFn, heavyHittersFn).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

@@ -43,4 +43,18 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(r == "hello  world")
   }
+
+  test("custom aggregates are SQL-callable (graft_heavy_hitters, graft_bottom_k)") {
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c", "b").toDF("tok").createOrReplaceTempView("hh_in")
+    val hh = spark.sql(
+      """SELECT e.token, e.cnt
+        |FROM (SELECT explode(graft_heavy_hitters(tok, 8)) AS e FROM hh_in)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    Seq(5L, 1L, 9L, 3L).toDF("h").createOrReplaceTempView("bk_in")
+    val bk = spark.sql("SELECT graft_bottom_k(h, 2) AS ks FROM bk_in")
+      .collect()(0).getSeq[Long](0)
+    assert(bk == Seq(1L, 3L))
+  }
 }
