@@ -403,6 +403,61 @@ object VectorOps {
        |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.later_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // a06 — scalar (int8) quantization of the embedding corpus: global
+  // min/max over all components define 256 uniform levels; each component
+  // maps to floor((v − min)/(max − min) · 256), clamped to 255 — 4×
+  // smaller vectors for the ANN serving tier. Per-corpus calibration is
+  // one tiny aggregate broadcast back; the quantization itself is
+  // explode → codegen arithmetic → re-assemble (array_sort(collect_list))
+  // — one shuffle on vec_id. floor (not round) everywhere: double→int
+  // CAST truncates in Spark but ROUNDS in DuckDB, so an explicit floor is
+  // the only cast both engines agree on.
+  // ---------------------------------------------------------------------
+  def a06QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast(DoubleType))
+    val cal = e.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.crossJoin(broadcast(cal))
+      .withColumn("q",
+        least(lit(255),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 256))
+          .cast(IntegerType))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("q")))).as("pq"),
+        min(col("mn")).as("q_min"), min(col("mx")).as("q_max"))
+      // CSV-string form: the hash gate compares scalar cells, not arrays
+      // (qvec as a real array column is one expr away for library users)
+      .select(col("vec_id"),
+        expr("array_join(transform(pq, x -> CAST(x.q AS STRING)), ',')")
+          .as("qvec_csv"),
+        col("q_min"), col("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Array-column form of [[a06QuantizeEmbeddings]] for library callers. */
+  def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
+    a06QuantizeEmbeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(split(qvec_csv, ','), x -> CAST(x AS INT))").as("qvec"),
+        col("q_min"), col("q_max"))
+
+  val a06Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings,
+      |       (SELECT unnest(range(1, (SELECT MAX(len(embedding)) + 1 FROM embeddings))) AS i) r
+      |  WHERE i <= len(embedding)),
+      |cal AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM e)
+      |SELECT vec_id,
+      |       array_to_string(
+      |         list(CAST(CAST(LEAST(255, FLOOR((v - mn) / (mx - mn) * 256)) AS INT) AS VARCHAR)
+      |              ORDER BY pos), ',') AS qvec_csv,
+      |       MIN(mn) AS q_min, MIN(mx) AS q_max
+      |FROM e, cal
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val a02Sql: String = {
     val bucket = (0 until LshBits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")

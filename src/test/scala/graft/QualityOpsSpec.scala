@@ -114,6 +114,23 @@ class QualityOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("a06: quantized codes in [0,255], dequantization error within one step") {
+    val out = VectorOps.quantizedVectors(spark, sf).cache()
+    val exploded = out.select(col("vec_id"), col("q_min"), col("q_max"),
+      posexplode(col("qvec")).as(Seq("pos", "q")))
+    assert(exploded.filter(col("q") < 0 || col("q") > 255).count() == 0)
+    // reconstruct and compare to the original: |v − dequant(q)| ≤ step
+    val orig = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val step = (col("q_max") - col("q_min")) / 256
+    val err = exploded.join(orig, Seq("vec_id", "pos"))
+      .withColumn("deq", col("q_min") + (col("q") + 0.5) * step)
+      .filter(abs(col("v") - col("deq")) > step)
+    assert(err.count() == 0)
+    out.unpersist()
+  }
+
   test("a05: keep-first semantics — dup_of is an earlier kept-or-dropped vec, flags consistent") {
     val out = VectorOps.a05SemanticDedup(spark, sf).cache()
     assert(out.count() ==
