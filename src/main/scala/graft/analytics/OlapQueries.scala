@@ -249,6 +249,52 @@ object OlapQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q38 — shipping-priority top-10 (the TPC-H Q3 shape): segment-filtered
+  // customers ⋈ date-filtered orders ⋈ date-filtered lineitem, revenue per
+  // order, top-10. The classic two-big-join plan: customer (filtered ~20%)
+  // broadcasts under AQE at test scale / builds a shuffled hash join at
+  // 100 TB; orders⋈lineitem is the genuine shuffle (co-partitioned if
+  // bucketed, SURVEY §4); top-10 via TakeOrderedAndProject. All three
+  // filters push to their scans.
+  // ---------------------------------------------------------------------
+  def q38ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val one = lit(1).cast(DecimalType(12, 2))
+    def m12(c: Column): Column = c.cast(DecimalType(12, 2))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority").as("order_priority"))
+      .agg(sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q38Sql: String =
+    """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |       o.o_orderpriority AS order_priority,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin
+
   val q34Sql: String =
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,

@@ -24,13 +24,15 @@ class PlanGuardSpec extends SparkSpec {
   // (a01/a04/a04b/a05 — k rows)
   private val bnljOk = Set(
     "a01_ann_brute_force", "a04_ann_ivf", "a04b_ann_ivf_kmeans",
-    "a05_semantic_dedup", "f01_scalar_suite", "q07b_rfm_approx",
+    "a05_semantic_dedup", "a06_quantize_embeddings", // 1-row calibration
+    "f01_scalar_suite", "q07b_rfm_approx",
     "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
     "q17_filtered_dist", "q19_product_imputation")
 
   // final single-row (q02/q02b/q22) or bounded-row (q22b: 8 tables,
   // f01/q07b/q19: 1-row means/cuts; q11/q15-q17: 1-row totals) aggregates
   private val singlePartOk = Set(
+    "a06_quantize_embeddings", // 1-row min/max calibration aggregate
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
     "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",
