@@ -54,6 +54,35 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("works as a streaming aggregate (trending tokens per window)") {
+    // TypedImperativeAggregate buffers serialize into the state store, so
+    // the sketch works in streaming aggregation like any built-in —
+    // trending-token tracking over an event stream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 300).map { i =>
+      (new java.sql.Timestamp(t0 + i * 1000L), s"t_${i % 3}")
+    }
+    stream.addData(events)
+    val q = graft.streaming.Realtime.startMemorySink(
+      stream.toDF().toDF("ts", "tok")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(heavyHitters(col("tok"), 8).as("hh")),
+      "t_trending", org.apache.spark.sql.streaming.OutputMode.Update)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_trending")
+      .select(col("window.start").as("w"), explode(col("hh")).as("e"))
+      .select(col("w"), col("e.token"), col("e.cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // 300 events over 5 minutes → one 10-minute window, 100 per token
+    assert(got.length == 3)
+    assert(got.forall(_._3 == 100L))
+  }
+
   test("null inputs are ignored") {
     val got = Seq(Some("a"), None, Some("a"), None, Some("b"))
       .toDF("tok")
