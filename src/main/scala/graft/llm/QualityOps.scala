@@ -321,6 +321,60 @@ object QualityOps {
       |      FROM documents)
       |GROUP BY 1, 2 ORDER BY lang, cnt DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d22 — boilerplate-span detection: word-5-grams occurring in ≥ MinDf
+  // DISTINCT documents are "boilerplate spans" (shared headers, templates,
+  // near-dup debris); every doc is scored by the fraction of its shingles
+  // that are boilerplate. Complements d15 (overlap vs an eval split) and
+  // d16 (within-doc repetition) — this is CROSS-doc repetition.
+  //
+  // Scale: document frequency is one hash aggregate over 8-byte shingle
+  // hashes (map-side partials collapse unique shingles — the overwhelming
+  // majority — before the shuffle); the boilerplate set joins back by the
+  // same hash the doc side already carries. No strings shuffle anywhere.
+  // ---------------------------------------------------------------------
+  private val BoilerMinDf = 3
+  private val BoilerRatio = 0.5
+
+  def d22Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
+    val boiler = sh.groupBy(col("shh"))
+      .agg(count(lit(1)).as("__df")) // shingles are distinct per doc → count = doc frequency
+      .filter(col("__df") >= BoilerMinDf)
+      .select(col("shh")).withColumn("__b", lit(1))
+    sh.join(boiler, Seq("shh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__b")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast(DoubleType) / col("n_shingles"))
+      .withColumn("flagged",
+        when(col("boiler_ratio") >= BoilerRatio, 1).otherwise(0)
+          .cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val d22Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+${NGramN - 1}], ' ') AS sh
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - ${NGramN - 1}),
+       |boiler AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= $BoilerMinDf),
+       |scored AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_boiler
+       |  FROM sh s LEFT JOIN boiler b ON s.sh = b.sh
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_boiler,
+       |       CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_ratio,
+       |       CAST(CAST(n_boiler AS DOUBLE) / n_shingles >= $BoilerRatio AS INT) AS flagged
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   private val VocabTopK = 50
 
   def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =
