@@ -37,8 +37,12 @@ object Bench {
 
     // optional comma-separated filter for targeted iteration
     // (SPARK_GRAFT_ONLY=d18_corpus_prep_full,d13_corpus_prep)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names => // fail loudly on typos rather than bench nothing
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: ${unknown.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -54,6 +58,11 @@ object Bench {
           None
         }
       spark.catalog.clearCache()
+      // localCheckpoint snapshot blocks (Ranks, d18) are NOT in the
+      // CacheManager — they release only when the ContextCleaner sees the
+      // RDD GC'd. Nudge the GC so one query's snapshots can't squat on
+      // the clamped 8g heap into the next query's timed passes.
+      System.gc()
       r
     }
 

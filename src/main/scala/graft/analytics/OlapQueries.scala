@@ -18,6 +18,14 @@ object OlapQueries {
 
   import Queries.moneySum
 
+  /** DECIMAL(12,2) money cast for multi-factor products: (12,2)³ lands
+    * exactly at the (38,6) precision cap in BOTH engines, where (18,2)
+    * inputs would cross precision 38 and hit engine-specific rounding
+    * (Spark HALF_UP scale trim vs DuckDB). Shared by q37/q38 so the
+    * contract lives in one place. */
+  private def m12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one12 = lit(1).cast(DecimalType(12, 2))
+
   // ---------------------------------------------------------------------
   // q33 — ROLLUP revenue by (region, nation): one query produces the
   // nation grain, per-region subtotals, and the grand total, with a
@@ -208,22 +216,18 @@ object OlapQueries {
   // end — associative, partition-order independent, oracle-identical.
   // ---------------------------------------------------------------------
   def q37PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    // DECIMAL(12,2) inputs so the triple product lands exactly at the
-    // (38,6) precision cap in BOTH engines — (18,2) inputs would push the
-    // chain past precision 38, where Spark (HALF_UP scale trim) and
-    // DuckDB round differently. Prices are < 1e10, so (12,2) is lossless.
-    def m12(c: Column): Column = c.cast(DecimalType(12, 2))
-    val one = lit(1).cast(DecimalType(12, 2))
     Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+        // floor before the long cast: double→int CAST truncates in Spark
+        // but ROUNDS in DuckDB (the a06 rule); explicit floor agrees
+        floor(sum(col("l_quantity"))).cast(LongType).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount"))))
+        sum(m12(col("l_extendedprice")) * (one12 - m12(col("l_discount"))))
           .cast(DoubleType).as("sum_disc_price"),
-        sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount")))
-            * (one + m12(col("l_tax"))))
+        sum(m12(col("l_extendedprice")) * (one12 - m12(col("l_discount")))
+            * (one12 + m12(col("l_tax"))))
           .cast(DoubleType).as("sum_charge"),
         (sum(col("l_quantity")).cast(DoubleType) / count(col("l_quantity")))
           .as("avg_qty"),
@@ -234,7 +238,7 @@ object OlapQueries {
 
   val q37Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
@@ -270,13 +274,11 @@ object OlapQueries {
     val l = Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")) > lit(cutoff))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    val one = lit(1).cast(DecimalType(12, 2))
-    def m12(c: Column): Column = c.cast(DecimalType(12, 2))
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
         col("o_orderpriority").as("order_priority"))
-      .agg(sum(m12(col("l_extendedprice")) * (one - m12(col("l_discount"))))
+      .agg(sum(m12(col("l_extendedprice")) * (one12 - m12(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -299,7 +301,7 @@ object OlapQueries {
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,
       |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
-      |           ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+      |           ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC) AS rn,
       |         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
       |  FROM customer),
       |agg AS (

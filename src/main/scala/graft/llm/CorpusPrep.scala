@@ -191,11 +191,11 @@ object CorpusPrep {
        |  GROUP BY doc_id),
        |rq_ok AS (
        |  SELECT u.doc_id FROM rq_uni u LEFT JOIN rq_bi b ON u.doc_id = b.doc_id
-       |  WHERE NOT (CAST(u.top_uni AS DOUBLE) / u.n_tok > 0.15
+       |  WHERE NOT (CAST(u.top_uni AS DOUBLE) / u.n_tok > ${QualityOps.MaxTopUnigramFrac}
        |    OR (CASE WHEN COALESCE(b.n_bi, 0) > 0
        |             THEN CAST(COALESCE(b.top_bi, 0) AS DOUBLE) / b.n_bi
-       |             ELSE 0.0 END) > 0.08
-       |    OR CAST(u.n_distinct AS DOUBLE) / u.n_tok < 0.4)),
+       |             ELSE 0.0 END) > ${QualityOps.MaxTopBigramFrac}
+       |    OR CAST(u.n_distinct AS DOUBLE) / u.n_tok < ${QualityOps.MinTypeTokenRatio})),
        |filtered AS (
        |  SELECT g.* FROM gate1 g JOIN rq_ok USING (doc_id)),
        |exact_deduped AS (
@@ -211,14 +211,14 @@ object CorpusPrep {
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= $TrainBuckets AS is_eval
        |  FROM survivors),
        |dc_sh AS (
-       |  SELECT DISTINCT doc_id, is_eval, array_to_string(tk[i:i+4], ' ') AS sh
+       |  SELECT DISTINCT doc_id, is_eval, array_to_string(tk[i:i+${QualityOps.NGramN - 1}], ' ') AS sh
        |  FROM dc_toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM dc_toks))) AS i) r
-       |  WHERE i <= len(tk) - 4),
+       |  WHERE i <= len(tk) - ${QualityOps.NGramN - 1}),
        |dc_ev AS (SELECT DISTINCT sh FROM dc_sh WHERE is_eval),
        |dc_bad AS (
        |  SELECT s.doc_id FROM dc_sh s LEFT JOIN dc_ev e ON s.sh = e.sh
        |  WHERE NOT s.is_eval GROUP BY s.doc_id
-       |  HAVING CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) >= 0.5)
+       |  HAVING CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) >= ${QualityOps.ContamRatio})
        |SELECT doc_id, source, n_tokens,
        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
        |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $TrainBuckets

@@ -361,7 +361,10 @@ object VectorOps {
     val cents = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").cast(IntegerType).as("centroid_id"),
         col("embedding").as("ce"))
-    val assigned = assignTo(e, cents)
+    // pinned: consumed by BOTH self-join sides and the final left join —
+    // without the snapshot the crossJoin+window assignment stage executes
+    // three times (deterministic, so correct, but 3× the work)
+    val assigned = assignTo(e, cents).localCheckpoint()
     val a = assigned.select(col("vec_id").as("earlier_id"),
       col("embedding").as("ea"), col("__norm").as("na"),
       col("centroid_id").as("ca"))

@@ -39,7 +39,7 @@ class PlanGuardSpec extends SparkSpec {
     "q22_validation_report", "q22b_validation_all")
 
   test("no registered query plans a cartesian product, unbounded BNLJ, or stray single-partition exchange") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sfDir
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(

@@ -10,7 +10,7 @@ import graft.llm.{QualityOps, TextOps, VectorOps}
 class QualityOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = sfDir
 
   test("ngramRows: counts multiplicity (unlike shingleRows), n-1 bigrams per doc") {
     val d = Seq((1L, "a b a b a"), (2L, "solo")).toDF("doc_id", "text")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * pushed filters). */
 class SqlSurfaceSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = sfDir
 
   test("SQL text over views == DataFrame program (daily sales shape)") {
     Tables.registerViews(spark, dir)
