@@ -18,11 +18,16 @@ import graft.Tables
   *     flag;
   *   - d17 n-gram vocabulary — corpus-level bigram frequency/document-
   *     frequency table (the "what is this corpus made of" dataset-card
-  *     stat).
+  *     stat);
+  *   - d19 dataset-card statistics at every (lang, source) grain (ROLLUP);
+  *   - d20 sliding token-window chunking (context-window preparation);
+  *   - d21 per-language heavy hitters via the custom Misra-Gries
+  *     aggregate (the O(k)-memory scale path for d17);
+  *   - d22 boilerplate-span detection (cross-document repeated n-grams).
   *
-  * All three are built from codegen'd built-ins (posexplode + lead windows
-  * + hash aggregates — the same machinery as TextOps.shingleRows); no UDFs,
-  * no driver-side collection, and every derived double is the identical
+  * All built from codegen'd built-ins (posexplode + lead windows + hash
+  * aggregates — the same machinery as TextOps.shingleRows); no UDFs, no
+  * driver-side collection, and every derived double is the identical
   * integer-division expression in the DuckDB oracle.
   */
 object QualityOps {
