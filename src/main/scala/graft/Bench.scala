@@ -62,7 +62,7 @@ object Bench {
       // CacheManager — they release only when the ContextCleaner sees the
       // RDD GC'd. Nudge the GC so one query's snapshots can't squat on
       // the clamped 8g heap into the next query's timed passes.
-      System.gc()
+      if (sys.env.get("SPARK_GRAFT_NO_GC").isEmpty) System.gc()
       r
     }
 

@@ -71,6 +71,28 @@ object Runner {
     Sinks.parquet(audited(EventQueries.q25RunningTotals(spark, sfDir)), s"$outDir/gold/event_totals", tinyOutput = true)
   }
 
+  /** Corpus layer (round-3): the training-data workload as a first-class
+    * lake output next to the warehouse marts —
+    *   corpus/prepared   d18 full pipeline (gates → dedup tiers →
+    *                     decontamination → split)
+    *   corpus/stats      d19 dataset-card rollup
+    *   corpus/chunks     d20 context-window chunks of the PREPARED split
+    *                     only (chunking rejected/duplicate text would
+    *                     waste the tokenizer's time downstream)
+    */
+  def runCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val prepared = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sfDir)
+      .cache() // written AND used to filter the chunk stage
+    Sinks.parquet(prepared, s"$outDir/corpus/prepared")
+    Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
+      s"$outDir/corpus/stats", tinyOutput = true)
+    Sinks.parquet(
+      graft.llm.QualityOps.d20Chunk(spark, sfDir)
+        .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      s"$outDir/corpus/chunks")
+    prepared.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_lake"
@@ -83,6 +105,7 @@ object Runner {
     timed("bronze")(runBronze(spark, sfDir, outDir))
     timed("silver")(runSilver(spark, sfDir, outDir))
     timed("gold")(runGold(spark, sfDir, outDir))
+    timed("corpus")(runCorpus(spark, sfDir, outDir))
     println(s"[runner] lake written to $outDir")
     spark.stop()
   }

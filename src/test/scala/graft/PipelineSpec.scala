@@ -28,6 +28,24 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/gold/rfm").count() == 150)
   }
 
+  test("corpus layer: prepared split, stats, chunks of survivors only") {
+    val out = Files.createTempDirectory("graft_corpus").toString
+    Runner.runCorpus(spark, sfDir, out)
+    val prepared = spark.read.parquet(s"$out/corpus/prepared")
+    assert(prepared.count() > 0)
+    assert(prepared.columns.toSet ==
+      Set("doc_id", "source", "n_tokens", "bucket", "split"))
+    val stats = spark.read.parquet(s"$out/corpus/stats")
+    assert(stats.filter(org.apache.spark.sql.functions.col("lvl") === 3)
+      .count() == 1) // grand-total row present
+    // chunks cover exactly the prepared doc ids
+    val chunkDocs = spark.read.parquet(s"$out/corpus/chunks")
+      .select("doc_id").distinct()
+    val prepDocs = prepared.select("doc_id")
+    assert(chunkDocs.except(prepDocs).isEmpty)
+    assert(prepDocs.except(chunkDocs).isEmpty)
+  }
+
   test("CSV source roundtrip with pinned schema (S1/S4)") {
     val out = Files.createTempDirectory("graft_csv").toString
     val orders = Tables.orders(spark, sfDir)
