@@ -41,9 +41,12 @@ object CorpusPrep {
     "le", "la", "et", "les", "des", "un",       // fr
     "el", "los", "las", "que", "y")             // es ("un" shared with fr)
 
-  def d13CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+  /** The content-quality gate shared VERBATIM by d13 and d18 (one
+    * definition — the composed pipelines must not drift): d04's signals
+    * as a filter. Returns (doc_id, source, text, n_tokens). */
+  private def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         size(toks).cast(LongType).as("n_tokens"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
@@ -51,11 +54,16 @@ object CorpusPrep {
         length(col("text")).cast(LongType).as("n_chars"),
         size(filter(toks, t => t.isInCollection(allStopwords)))
           .cast(LongType).as("n_stop"))
+      .filter(
+        col("n_tokens") >= MinTokens &&
+          col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
+          col("n_stop") >= 1)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+  }
+
+  def d13CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     // 1. quality gate
-    val filtered = base.filter(
-      col("n_tokens") >= MinTokens &&
-        col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
-        col("n_stop") >= 1)
+    val filtered = qualityGate(spark, dir)
     // 2. exact dedup: min doc_id per content fingerprint
     val reps = filtered
       .groupBy(md5(col("text")).as("__fp"))
@@ -103,27 +111,13 @@ object CorpusPrep {
   // are tiny → broadcast anti-joins.
   // ---------------------------------------------------------------------
   def d18CorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        size(toks).cast(LongType).as("n_tokens"),
-        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
-          .cast(LongType).as("n_punct"),
-        length(col("text")).cast(LongType).as("n_chars"),
-        size(filter(toks, t => t.isInCollection(allStopwords)))
-          .cast(LongType).as("n_stop"))
-    // materialize at gate1, not later: the quality projection contains
+    // materialize at the gate, not later: the quality projection contains
     // interpreted higher-order lambdas (the stopword filter — ~100× the
     // cost of codegen, see TextOps.shingleRows doc), and gate1 feeds BOTH
     // the repetition-signal branch and the surviving-row branch. A lazy
     // frame would re-run those lambdas once per consumer; everything
     // downstream of this point is joins/aggregates over the snapshot.
-    val gate1 = base.filter(
-      col("n_tokens") >= MinTokens &&
-        col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
-        col("n_stop") >= 1)
-      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
-      .localCheckpoint()
+    val gate1 = qualityGate(spark, dir).localCheckpoint()
     val repOk = QualityOps.repetitionSignals(
         gate1.select(col("doc_id"), col("text")))
       .filter(col("flagged") === 0).select(col("doc_id"))

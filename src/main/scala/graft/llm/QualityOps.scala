@@ -74,10 +74,12 @@ object QualityOps {
     * Frame-level so the composed pipeline (d18) can run it over near-dedup
     * survivors with ITS split boundary. */
   def contamination(docs: DataFrame, evalBucketMin: Int): DataFrame = {
+    // cached: consumed by BOTH the eval-set branch and the training-side
+    // join — without the pin the window+hash shingle stage runs per branch
     val sh = TextOps.shingleRows(docs, NGramN)
-      .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
+      .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
       .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= evalBucketMin)
+      .cache()
     val evalSet = sh.filter(col("is_eval"))
       .select(col("shh")).distinct().withColumn("__hit", lit(1))
     sh.filter(!col("is_eval"))
@@ -258,9 +260,12 @@ object QualityOps {
   private val ChunkTokens = 32
   private val StrideTokens = 16
 
-  def d20Chunk(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-level chunking over any (doc_id, text) frame — pipeline
+    * consumers (Runner's corpus layer) filter to surviving docs BEFORE
+    * chunking, so rejected text never pays tokenize+explode. */
+  def chunkRows(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .select(col("doc_id"), toks.as("tk"))
       .withColumn("n", size(col("tk")).cast(LongType))
       .filter(col("n") > 0)
@@ -277,8 +282,11 @@ object QualityOps {
         array_join(
           slice(col("tk"), (col("chunk_no") * StrideTokens + 1).cast(IntegerType),
             lit(ChunkTokens)), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_no"))
   }
+
+  def d20Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_no"))
 
   val d20Sql: String =
     s"""WITH toks AS (
@@ -342,9 +350,10 @@ object QualityOps {
   private val BoilerRatio = 0.5
 
   def d22Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    // cached: feeds the doc-frequency aggregate AND the scoring join
     val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
-      .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
+      .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
+      .cache()
     val boiler = sh.groupBy(col("shh"))
       .agg(count(lit(1)).as("__df")) // shingles are distinct per doc → count = doc frequency
       .filter(col("__df") >= BoilerMinDf)

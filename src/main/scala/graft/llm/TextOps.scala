@@ -219,6 +219,15 @@ object TextOps {
     pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast(LongType),
       lit(100L))
 
+  /** 60-bit md5-derived shingle key: joins/shuffles carry 8-byte longs
+    * instead of shingle text (collision probability ~|shingles|²/2^61 —
+    * the accepted contract of every dedup operator). 15 hex chars is
+    * load-bearing: the unsigned value always fits a signed long. Shared
+    * by d06/d11/d15/d22 so the cross-operator hash contract lives in one
+    * place. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   def d10DeterministicSample(spark: SparkSession, dir: String): DataFrame = {
     val rate = sampleRates.foldLeft(lit(10): Column) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc)
@@ -323,8 +332,7 @@ object TextOps {
     // contract across the library, no engine-private hash anywhere); 15
     // hex chars so the unsigned value always fits a signed long.
     val sh = shingleRows(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("shh"))
+      .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
       .cache() // read 3× below (sizes + both join sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))

@@ -423,9 +423,13 @@ object VectorOps {
       .withColumn("v", col("v").cast(DoubleType))
     val cal = e.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     e.crossJoin(broadcast(cal))
+      // degenerate-range guard (mx == mn, e.g. a constant corpus): the
+      // unguarded division is NULL in Spark but NaN in DuckDB — code 0 on
+      // both sides keeps the engines identical AND the codes meaningful
       .withColumn("q",
-        least(lit(255),
-          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 256))
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(255),
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 256)))
           .cast(IntegerType))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("q")))).as("pq"),
@@ -455,7 +459,9 @@ object VectorOps {
       |cal AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM e)
       |SELECT vec_id,
       |       array_to_string(
-      |         list(CAST(CAST(LEAST(255, FLOOR((v - mn) / (mx - mn) * 256)) AS INT) AS VARCHAR)
+      |         list(CAST(CAST(CASE WHEN mx = mn THEN 0
+      |                        ELSE LEAST(255, FLOOR((v - mn) / (mx - mn) * 256))
+      |                        END AS INT) AS VARCHAR)
       |              ORDER BY pos), ',') AS qvec_csv,
       |       MIN(mn) AS q_min, MIN(mx) AS q_max
       |FROM e, cal

@@ -76,9 +76,10 @@ object Runner {
     *   corpus/prepared   d18 full pipeline (gates → dedup tiers →
     *                     decontamination → split)
     *   corpus/stats      d19 dataset-card rollup
-    *   corpus/chunks     d20 context-window chunks of the PREPARED split
-    *                     only (chunking rejected/duplicate text would
-    *                     waste the tokenizer's time downstream)
+    *   corpus/chunks     context-window chunks of the PREPARED split only
+    *                     — the survivor semi-join runs BEFORE chunkRows,
+    *                     so rejected/duplicate text never pays the
+    *                     tokenize+explode stage at all
     */
   def runCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val prepared = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sfDir)
@@ -87,8 +88,9 @@ object Runner {
     Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
       s"$outDir/corpus/stats", tinyOutput = true)
     Sinks.parquet(
-      graft.llm.QualityOps.d20Chunk(spark, sfDir)
-        .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      graft.llm.QualityOps.chunkRows(
+        Tables.documents(spark, sfDir)
+          .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")),
       s"$outDir/corpus/chunks")
     prepared.unpersist()
   }
