@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming corpus ingest: gate drops short docs, content dedup keeps first") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(i: Int) = new java.sql.Timestamp(t0 + i * 1000L)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    stream.addData(Seq(
+      (1L, ts(0), body),                    // kept
+      (2L, ts(1), "too short"),             // gated (under 10 tokens)
+      (3L, ts(2), body)))                   // duplicate content of 1
+    stream.addData(Seq(
+      (4L, ts(3), body),                    // duplicate across micro-batches
+      (5L, ts(4), body + " different tail"))) // kept (new content)
+    val q = graft.streaming.Realtime.startMemorySink(
+      graft.streaming.CorpusStream.gateAndDedup(
+        stream.toDF().toDF("doc_id", "ingest_ts", "text")),
+      "t_corpus", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_corpus").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 5L))
+    // the batch form of the same gate agrees (pure projections)
+    val batch = graft.streaming.CorpusStream.gated(
+      Seq((1L, ts(0), body), (2L, ts(1), "too short")).toDF("doc_id", "ingest_ts", "text"))
+    assert(batch.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
