@@ -172,12 +172,12 @@ object CorpusPrep {
        |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
        |  FROM gate1),
        |rq_uni AS (
-       |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_uni
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_uni
        |  FROM (SELECT doc_id, u, COUNT(*) AS c
        |        FROM (SELECT doc_id, unnest(tk) AS u FROM rq_toks) GROUP BY 1, 2)
        |  GROUP BY doc_id),
        |rq_bi AS (
-       |  SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, MAX(c) AS top_bi
        |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM (
        |          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ng
        |          FROM rq_toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM rq_toks))) AS i) r

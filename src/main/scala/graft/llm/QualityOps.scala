@@ -171,13 +171,13 @@ object QualityOps {
        |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
        |  FROM documents),
        |uni AS (
-       |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
        |         MAX(c) AS top_unigram_cnt
        |  FROM (SELECT doc_id, tok, COUNT(*) AS c
        |        FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2)
        |  GROUP BY doc_id),
        |bi AS (
-       |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_cnt
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_cnt
        |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM (
        |          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ng
        |          FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
@@ -236,8 +236,8 @@ object QualityOps {
     """SELECT lang, source,
       |       CAST(GROUPING(lang, source) AS INT) AS lvl,
       |       COUNT(*) AS n_docs,
-      |       SUM(toks) AS n_tokens,
-      |       SUM(chars) AS n_chars,
+      |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(chars) AS BIGINT) AS n_chars,
       |       CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
       |FROM (
       |  SELECT lang, source,

@@ -53,6 +53,17 @@ def values_equal(a, b):
     return a == b
 
 
+def dtype_kind(dt):
+    """Collapse a pandas dtype to the equivalence class the driver hash
+    cares about: int/uint are one class, float another, datetime another
+    (resolution ns-vs-us doesn't matter: values hash via isoformat)."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    k = dt.kind  # i,u,f,b,O,M,...
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, s)
+
+
 def compare(name, got, exp):
     problems = []
     if sorted(got.columns) != sorted(exp.columns):
@@ -60,6 +71,17 @@ def compare(name, got, exp):
         return problems
     if len(got) != len(exp):
         problems.append(f"row count differs: spark={len(got)} oracle={len(exp)}")
+        return problems
+    # dtype gate: a float64 oracle column against an int64 spark column
+    # hashes differently driver-side (300.0 vs 300) even when every value
+    # compares equal — exactly the d16/d19 round-3/4 failure class.
+    for c in sorted(got.columns):
+        gk, ek = dtype_kind(got[c].dtype), dtype_kind(exp[c].dtype)
+        if gk != ek:
+            problems.append(
+                f"col {c}: dtype kind differs spark={got[c].dtype} oracle={exp[c].dtype}"
+                " (driver hash WILL fail even if values match)")
+    if problems:
         return problems
     got, exp = canon(got), canon(exp)
     exact_mismatch = 0
@@ -87,8 +109,8 @@ def compare(name, got, exp):
                     return problems
     if exact_mismatch:
         problems.append(
-            f"WARN {name}: {exact_mismatch} float cells equal only within epsilon "
-            "(driver hash may be stricter)")
+            f"{exact_mismatch} float cells equal only within epsilon, not bit-equal "
+            "(driver hash is bit-strict — this is a FAIL)")
     return problems
 
 
