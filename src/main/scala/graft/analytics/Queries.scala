@@ -157,12 +157,12 @@ object Queries {
     q01Core(spark, dir).agg(
       sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("total_revenue"),
-      // rsd 0.5% (vs the 5% default): ~100 KB of HLL registers per
+      // rsd 1% (vs the 5% default): ~10k HLL registers per
       // aggregate — still constant-memory and mergeable at 100 TB, and
       // tight enough that the sketch tier stays within 2% of exact
       // (GoldenApproxSpec pins that contract)
-      approx_count_distinct(col("order_id"), 0.005).as("approx_orders"),
-      approx_count_distinct(col("cust_id"), 0.005).as("approx_customers"))
+      approx_count_distinct(col("order_id"), 0.01).as("approx_orders"),
+      approx_count_distinct(col("cust_id"), 0.01).as("approx_customers"))
 
   val q02Sql: String =
     s"""SELECT CAST(SUM(CAST(net_revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
