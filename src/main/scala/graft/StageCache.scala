@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-level materialized stage views: several registered queries are
+  * tiers over the same expensive intermediate (q07/q08 share the scored
+  * RFM frame; d07/d11/d12 share MinHash signatures over the documents
+  * table; d13/d18 share the quality gate + signatures + shingles). Each
+  * stage is keyed by (session, data dir, tag), built once, pinned with
+  * localCheckpoint (r3 lesson: checkpoint, not cache, when separate
+  * actions consume a frame — cache still recomputes the lineage per
+  * action for `repartitionByRange` inputs and interpreted lambdas), and
+  * reused by every consumer for the life of the session.
+  *
+  * At 100 TB this is the "silver table" pattern: the shared stage is a
+  * persisted intermediate dataset, not a per-query recompute; here the
+  * persistence is executor-local blocks instead of a lake write.
+  */
+object StageCache {
+
+  private val stages =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once per (session, dir, tag): returns the eagerly
+    * materialized (localCheckpoint'd) frame on every call. */
+  def cached(spark: SparkSession, dir: String, tag: String)
+      (build: => DataFrame): DataFrame =
+    stages.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$tag",
+      _ => build.localCheckpoint())
+}

@@ -366,7 +366,14 @@ object Queries {
         moneySum(col("o_totalprice")).as("monetary"))
   }
 
-  def q07Rfm(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored-and-segmented RFM frame, memoized per (session, dir):
+    * q07 is its presentation sort and q08 its segment rollup — the three
+    * distributed global ranks (the expensive part: a range exchange each)
+    * run once per session, not once per consumer ([[graft.StageCache]]). */
+  private def q07Scored(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q07_scored")(q07ScoredUncached(spark, dir))
+
+  private def q07ScoredUncached(spark: SparkSession, dir: String): DataFrame = {
     val core = rfmCore(spark, dir)
     val rfm = core.crossJoin(broadcast(core.agg(count(lit(1)).as("__n"))))
     val ranked = Seq(
@@ -390,8 +397,10 @@ object Queries {
         .when(col("r_score") >= 2 && col("f_score") >= 2, "At Risk")
         .when(col("r_score") < 2 && col("f_score") < 2, "Hibernating")
         .otherwise("Needs Attention"))
-      .orderBy(col("cust_id"))
   }
+
+  def q07Rfm(spark: SparkSession, dir: String): DataFrame =
+    q07Scored(spark, dir).orderBy(col("cust_id"))
 
   private val q07Core: String =
     """WITH rfm AS (
@@ -456,7 +465,7 @@ object Queries {
   // means are double divisions of identical operands in both engines.
   // ---------------------------------------------------------------------
   def q08RfmSummary(spark: SparkSession, dir: String): DataFrame = {
-    q07Rfm(spark, dir)
+    q07Scored(spark, dir)
       .groupBy(col("segment"))
       .agg(
         count(lit(1)).as("customer_count"),

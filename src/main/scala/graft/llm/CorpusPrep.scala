@@ -70,19 +70,17 @@ object CorpusPrep {
     * localCheckpoints (r3 lesson: checkpoint, not cache, when separate
     * actions consume the frame) — Verify/Bench run both pipelines against
     * one dir in one session, so the second consumer gets all three free. */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame)]()
-
-  private def sharedStages(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    stageCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
-      val gate1 = qualityGate(spark, dir).localCheckpoint()
-      val sig = SketchOps.minhashSignatures(
-        gate1.select(col("doc_id"), col("source"), col("text"))).localCheckpoint()
-      val sh = TextOps.shingleRows(gate1, 3)
-        .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
-        .localCheckpoint()
-      (gate1, sig, sh)
-    })
+  private def sharedStages(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val gate1 = graft.StageCache.cached(spark, dir, "corpus_gate1")(
+      qualityGate(spark, dir))
+    val sig = graft.StageCache.cached(spark, dir, "corpus_sig")(
+      SketchOps.minhashSignatures(
+        gate1.select(col("doc_id"), col("source"), col("text"))))
+    val sh = graft.StageCache.cached(spark, dir, "corpus_shh")(
+      TextOps.shingleRows(gate1, 3)
+        .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh")))
+    (gate1, sig, sh)
+  }
 
   def d13CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
     // 1. quality gate (shared stage)
