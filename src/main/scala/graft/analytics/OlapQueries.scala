@@ -297,6 +297,77 @@ object OlapQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39 — PIVOT: revenue by nation × order status, statuses spread into
+  // columns — the reshape every pandas user of the reference does with
+  // pivot_table (`run_analytics.py`'s groupby→unstack idiom).
+  //
+  // Scale: Spark's pivot with an EXPLICIT value list compiles to one hash
+  // aggregate over the nation key with 3 conditional sums — map-side
+  // partials, one shuffle, no second pass. (Omitting the value list would
+  // add a driver-side distinct over the pivot column to discover values —
+  // a scan a 100 TB run doesn't want; always pin the list.) The final
+  // NULL→0 coalesce distinguishes "no such orders" from data NULLs.
+  // ---------------------------------------------------------------------
+  def q39PivotStatusRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val statuses = Seq("F", "O", "P")
+    val pivoted = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"))
+      .pivot("o_orderstatus", statuses)
+      .agg(moneySum(col("o_totalprice")))
+    statuses.foldLeft(pivoted) { (d, s) =>
+        d.withColumn(s"revenue_$s", coalesce(col(s), lit(0.0))).drop(s)
+      }
+      .orderBy(col("nation"))
+  }
+
+  val q39Sql: String =
+    """SELECT n.n_name AS nation,
+      |       COALESCE(CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_F,
+      |       COALESCE(CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_O,
+      |       COALESCE(CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_P
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY nation""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q40 — UNPIVOT (melt): q39's wide frame back to long form — the
+  // inverse reshape (pandas melt). `stack` is a generator expression
+  // evaluated row-by-row inside the projection: no shuffle at all beyond
+  // q39's own aggregate (and at 100 TB the 3× row expansion happens
+  // post-aggregation, on the small frame).
+  // ---------------------------------------------------------------------
+  def q40UnpivotStatusRevenue(spark: SparkSession, dir: String): DataFrame =
+    q39PivotStatusRevenue(spark, dir)
+      .selectExpr("nation",
+        "stack(3, 'F', revenue_F, 'O', revenue_O, 'P', revenue_P) AS (order_status, revenue)")
+      .orderBy(col("nation"), col("order_status"))
+
+  // full nation × status grid (a nation with no orders of some status
+  // still yields a 0.0 row after the pivot→unpivot round trip)
+  val q40Sql: String =
+    """WITH agg AS (
+      |  SELECT n.n_name AS nation, o.o_orderstatus AS s,
+      |         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT nation FROM agg),
+      |st AS (SELECT unnest(['F', 'O', 'P']) AS order_status)
+      |SELECT g.nation, st.order_status,
+      |       COALESCE(CAST(a.rev AS DOUBLE), 0.0) AS revenue
+      |FROM grid g
+      |CROSS JOIN st
+      |LEFT JOIN agg a ON a.nation = g.nation AND a.s = st.order_status
+      |ORDER BY g.nation, st.order_status""".stripMargin
+
   val q34Sql: String =
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,
