@@ -306,6 +306,49 @@ object QualityOps {
        |ORDER BY doc_id, chunk_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d25 — sequence PACKING: the pretraining batch-prep step that
+  // concatenates a shard's token stream and cuts it every PackBudget
+  // tokens. Each doc gets the pack it STARTS in and its token offset
+  // within that pack (GPT-style contiguous packing — a doc may straddle
+  // the cut; the trainer's loader handles the split, this op owns the
+  // deterministic placement).
+  //
+  // Scale: the running token count is a window partitioned BY SOURCE
+  // SHARD (the unit real pipelines pack within), so the prefix sum
+  // distributes across shards — never a global single-partition window.
+  // One shuffle on source, then row-local arithmetic.
+  // ---------------------------------------------------------------------
+  private val PackBudget = 512L
+
+  def d25SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before DIV $PackBudget").as("pack_id"),
+        (col("cum_before") % PackBudget).as("offset_in_pack"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d25Sql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |       CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+       |       CAST(cum_before % $PackBudget AS BIGINT) AS offset_in_pack
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY doc_id ASC NULLS FIRST
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (
+       |    SELECT doc_id, source,
+       |           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d21 — per-language heavy hitters via the custom Misra-Gries
   // TypedImperativeAggregate (HeavyHittersAgg): O(k)-memory frequent-token
   // tracking with mergeable buffers — the scale path for vocabulary stats

@@ -252,6 +252,61 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // d24 — mixture REPLICATION (epoch oversampling): data mixing assigns
+  // each language a target epoch weight; every doc is emitted floor(w)
+  // times plus one extra copy for a deterministic hash-selected fraction
+  // of docs (the fractional tail — e.g. w=2.5 → every doc twice, half
+  // the docs a third time), each copy tagged with its epoch index. The
+  // complement of d10's down-sampling: together they retarget any corpus
+  // mixture. Weights are .5-grained so the fractional arithmetic is
+  // exact in binary on both engines.
+  //
+  // Scale: pure row-local projection + generator (explode of a ≤⌈w⌉
+  // sequence) — shuffle-free, and the replication factor is bounded by
+  // the mixture spec, not the data.
+  // ---------------------------------------------------------------------
+  private[llm] val mixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 2.5, "de" -> 1.0, "fr" -> 0.5, "es" -> 1.5, "zh" -> 1.0)
+
+  def d24MixtureReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val w = mixWeights.foldLeft(lit(1.0): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("__w", w)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("n_copies",
+        (floor(col("__w")).cast(IntegerType)
+          + when(col("bucket") < ((col("__w") - floor(col("__w"))) * 100)
+              .cast(IntegerType), 1).otherwise(0)).cast(IntegerType))
+      .filter(col("n_copies") > 0)
+      // n_copies is IntegerType, so the sequence elements are already
+      // ints (a cast around explode would be an unsupported nested
+      // generator)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val d24Sql: String = {
+    val wt = mixWeights.foldLeft("1.0") { case (acc, (l, r)) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(FLOOR(w) AS INTEGER)
+       |           + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+       |                       < CAST((w - FLOOR(w)) * 100 AS INTEGER)
+       |                  THEN 1 ELSE 0 END AS n_copies
+       |  FROM (SELECT *, ($wt) AS w FROM documents))
+       |SELECT doc_id, lang, source, CAST(n_copies AS INTEGER) AS n_copies,
+       |       CAST(e AS INTEGER) AS epoch
+       |FROM c, (SELECT unnest(range(0, (SELECT COALESCE(MAX(n_copies), 1) FROM c))) AS e) r
+       |WHERE e < n_copies
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // d14 — PII redaction: the scrubbing stage every training-data pipeline
   // runs before text ships. Emails and URLs are replaced with typed
   // placeholder tokens; per-doc hit counts ride along for audit. Pure
