@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-level materialized stage views: several registered queries are
   * tiers over the same expensive intermediate (q07/q08 share the scored
-  * RFM frame; d07/d11/d12 share MinHash signatures over the documents
+  * RFM frame; d07/d11/d12/d23 share MinHash signatures over the documents
   * table; d13/d18 share the quality gate + signatures + shingles). Each
   * stage is keyed by (session, data dir, tag), built once, pinned with
   * localCheckpoint (r3 lesson: checkpoint, not cache, when separate
@@ -19,13 +19,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StageCache {
 
   private val stages =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  /** Stable per-session key: the session UUID where available (classic
+    * sessions — always, in this engine), identity hash otherwise. An
+    * identity hash alone could be reused by a NEW session after the old
+    * one is GC'd, serving a dead session's frame. */
+  private def sessionKey(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => s"id${System.identityHashCode(other)}"
+  }
 
   /** Build-once per (session, dir, tag): returns the eagerly
     * materialized (localCheckpoint'd) frame on every call. */
   def cached(spark: SparkSession, dir: String, tag: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    // lazily evict entries of stopped sessions: their checkpoint blocks
+    // died with the executor, so the frames are unusable, and keeping
+    // them would leak plans for the life of the JVM
+    stages.forEach((k, v) => if (v._1.sparkContext.isStopped) stages.remove(k, v))
     stages.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$tag",
-      _ => build.localCheckpoint())
+      s"${sessionKey(spark)}:$dir:$tag",
+      _ => (spark, build.localCheckpoint()))._2
+  }
 }

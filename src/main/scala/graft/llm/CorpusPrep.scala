@@ -127,7 +127,7 @@ object CorpusPrep {
   //
   // Composed from the same frame-level stage functions the standalone
   // queries verify (QualityOps.repetitionSignals / .contamination,
-  // SketchOps.lshNearDupPairs) — one definition per stage, one oracle per
+  // SketchOps.lshVerifiedPairs) — one definition per stage, one oracle per
   // stage, and this query proves the composition. Stage economics: both
   // gates are projections/hash-aggregates that SHRINK the corpus before
   // the sketch stages (the expensive part), and decontamination runs over
