@@ -21,14 +21,13 @@ object StageCache {
   private val stages =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  /** Stable per-session key: the session UUID where available (classic
-    * sessions — always, in this engine), identity hash otherwise. An
-    * identity hash alone could be reused by a NEW session after the old
-    * one is GC'd, serving a dead session's frame. */
-  private def sessionKey(spark: SparkSession): String = spark match {
-    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
-    case other => s"id${System.identityHashCode(other)}"
-  }
+  /** Stable per-session key: identity hash is safe here because the map
+    * value holds a strong reference to the session itself — the session
+    * cannot be GC'd while its entry lives, so its identity hash cannot be
+    * reused by a new session. (Spark 4.1's `sessionUUID` is private[sql],
+    * so it is not an option from this package.) */
+  private def sessionKey(spark: SparkSession): String =
+    s"id${System.identityHashCode(spark)}"
 
   /** Build-once per (session, dir, tag): returns the eagerly
     * materialized (localCheckpoint'd) frame on every call. */
