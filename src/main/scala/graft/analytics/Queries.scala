@@ -66,8 +66,15 @@ object Queries {
   // ---------------------------------------------------------------------
   /** Q1 body without the final presentation sort — Q2 aggregates this
     * directly (sorting 18 columns globally just to immediately aggregate
-    * them away would be a pure waste of a range-shuffle). */
-  private[analytics] def q01Core(spark: SparkSession, dir: String): DataFrame = {
+    * them away would be a pure waste of a range-shuffle).
+    *
+    * Shared via [[graft.StageCache]]: q01/q02/q02b all consume this same
+    * denormalized grain, so the 6-way join runs once per session — the
+    * "silver table" a 100 TB deployment would persist to the lake. */
+  private[analytics] def q01Core(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q01_core")(q01CoreUncached(spark, dir))
+
+  private def q01CoreUncached(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val c = Tables.customer(spark, dir)
