@@ -15,6 +15,18 @@ class DedupClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges on a 120-link chain (pointer doubling)") {
+    // a 121-doc chain has min-id eccentricity 120: pure min-label
+    // propagation would need 120 rounds and trip the 50-round bound;
+    // pointer doubling must close it in O(log n) rounds. This is the
+    // boilerplate-mega-cluster shape (templated docs drifting gradually).
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = SketchOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 121)
+    assert(got.forall(_._2 == 0L), "every chain member labels to the min id")
+  }
+
   test("connectedComponents on an empty pair set is empty, not a crash") {
     val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(SketchOps.connectedComponents(pairs).collect().isEmpty)
