@@ -61,4 +61,31 @@ class PropertySpec extends SparkSpec {
       tagged.unpersist()
     }
   }
+
+  test("connectedComponents == union-find on random graphs") {
+    // random sparse graphs exercise the pointer-doubling path against a
+    // driver-side union-find reference (exact same component minima)
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, for {
+        a <- Gen.choose(0L, 30L)
+        b <- Gen.choose(0L, 30L)
+      } yield (a, if (a == b) (b + 1) % 31 else b))
+    samples(edgesGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(d => d -> find(d)).toMap
+      val got = graft.llm.SketchOps
+        .connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch for edges $edges")
+    }
+  }
 }
