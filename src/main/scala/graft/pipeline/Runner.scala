@@ -25,14 +25,33 @@ import graft.sources.Sinks
   */
 object Runner {
 
+  /** Run independent sink jobs concurrently from the driver. Spark's
+    * scheduler accepts jobs from many threads; with 32 local slots a
+    * single sequential write rarely fills the cluster (a 5-row `region`
+    * write costs a whole job round-trip of scheduling latency), so
+    * overlapping independent jobs is the idiomatic way to keep the
+    * executors busy — same on a 1000-executor cluster, where sequential
+    * per-table jobs leave the cluster idle during each job's tail. Errors
+    * propagate: the first failed job rethrows on the caller thread. */
+  private def inParallel(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(jobs.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Every table passes the per-table validation split (reference
     * `ingestion_script.py:59-179` validates all eight datasets): valid rows
     * land under `bronze/<t>`, rule violations + key duplicates under
     * `bronze/<t>_bad` with the reason column, plus a per-table count
     * report. Pinned-schema reads are the cast contract (reference ODS COPY
-    * INTO casts). */
+    * INTO casts). Tables are independent of each other, so the eight
+    * validate-and-write pipelines run as concurrent driver jobs. */
   def runBronze(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    Seq(
+    inParallel(Seq(
       "events" -> Tables.events(spark, sfDir),
       "orders" -> Tables.orders(spark, sfDir),
       "lineitem" -> Tables.lineitem(spark, sfDir),
@@ -41,7 +60,7 @@ object Runner {
       "nation" -> Tables.nation(spark, sfDir),
       "region" -> Tables.region(spark, sfDir),
       "part" -> Tables.part(spark, sfDir),
-    ).foreach { case (name, df) =>
+    ).map { case (name, df) => () => {
       val tagged = Validate.split(df.toDF(df.columns.map(_.toLowerCase): _*), // P2
         Validate.rulesFor(name))
         .cache() // three sinks below — tag each row once, not three times
@@ -49,26 +68,32 @@ object Runner {
       Sinks.quarantine(tagged, s"$outDir/bronze/${name}_bad")
       Sinks.report(tagged, s"$outDir/bronze/${name}_bad")
       tagged.unpersist()
-    }
+    }})
   }
 
-  def runSilver(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    Sinks.parquet(StagingQueries.q18DedupMap(spark, sfDir), s"$outDir/silver/line_dedup_map")
-    Sinks.parquet(StagingQueries.q19ProductImputation(spark, sfDir), s"$outDir/silver/part_conformed")
-    Sinks.parquet(StagingQueries.q20CustomerGeoEnrich(spark, sfDir), s"$outDir/silver/customer_enriched")
-    Sinks.parquet(StagingQueries.q21LatestEventPerUser(spark, sfDir), s"$outDir/silver/user_last_event")
-  }
+  def runSilver(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    inParallel(Seq(
+      () => Sinks.parquet(StagingQueries.q18DedupMap(spark, sfDir), s"$outDir/silver/line_dedup_map"),
+      () => Sinks.parquet(StagingQueries.q19ProductImputation(spark, sfDir), s"$outDir/silver/part_conformed"),
+      () => Sinks.parquet(StagingQueries.q20CustomerGeoEnrich(spark, sfDir), s"$outDir/silver/customer_enriched"),
+      () => Sinks.parquet(StagingQueries.q21LatestEventPerUser(spark, sfDir), s"$outDir/silver/user_last_event"),
+    ))
 
   /** Gold: audited marts. Audit columns mirror the reference DWH layer
-    * (`target_layer.py:52-53` insertion/modification dates). */
+    * (`target_layer.py:52-53` insertion/modification dates). The four
+    * marts run concurrently; q02/q03/q07 share their StageCache stages,
+    * whose atomic computeIfAbsent guarantees a single build even under
+    * concurrent first consumers. */
   def runGold(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     def audited(df: DataFrame): DataFrame =
       df.withColumn("_inserted_at", current_timestamp())
         .withColumn("_source", lit("graft-etl"))
-    Sinks.parquet(audited(Queries.q02KpiTotals(spark, sfDir)), s"$outDir/gold/kpi_totals", tinyOutput = true)
-    Sinks.parquet(audited(Queries.q03DailySales(spark, sfDir)), s"$outDir/gold/daily_sales", tinyOutput = true)
-    Sinks.parquet(audited(Queries.q07Rfm(spark, sfDir)), s"$outDir/gold/rfm")
-    Sinks.parquet(audited(EventQueries.q25RunningTotals(spark, sfDir)), s"$outDir/gold/event_totals", tinyOutput = true)
+    inParallel(Seq(
+      () => Sinks.parquet(audited(Queries.q02KpiTotals(spark, sfDir)), s"$outDir/gold/kpi_totals", tinyOutput = true),
+      () => Sinks.parquet(audited(Queries.q03DailySales(spark, sfDir)), s"$outDir/gold/daily_sales", tinyOutput = true),
+      () => Sinks.parquet(audited(Queries.q07Rfm(spark, sfDir)), s"$outDir/gold/rfm"),
+      () => Sinks.parquet(audited(EventQueries.q25RunningTotals(spark, sfDir)), s"$outDir/gold/event_totals", tinyOutput = true),
+    ))
   }
 
   /** Corpus layer (round-3): the training-data workload as a first-class
@@ -84,9 +109,14 @@ object Runner {
   def runCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val prepared = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sfDir)
       .cache() // written AND used to filter the chunk stage
-    Sinks.parquet(prepared, s"$outDir/corpus/prepared")
-    Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
-      s"$outDir/corpus/stats", tinyOutput = true)
+    // the stats rollup is independent of the prepared split, so it runs
+    // concurrently with the prepared write (which materializes the cache
+    // the chunk stage then reads)
+    inParallel(Seq(
+      () => Sinks.parquet(prepared, s"$outDir/corpus/prepared"),
+      () => Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
+        s"$outDir/corpus/stats", tinyOutput = true),
+    ))
     Sinks.parquet(
       graft.llm.QualityOps.chunkRows(
         Tables.documents(spark, sfDir)
