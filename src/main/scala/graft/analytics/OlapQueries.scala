@@ -374,6 +374,45 @@ object OlapQueries {
       |LEFT JOIN agg a ON a.nation = g.nation AND a.s = st.order_status
       |ORDER BY g.nation, st.order_status""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q41 — CUBE revenue by (returnflag × linestatus): the full grouping
+  // lattice in one query — every (flag, status) cell, both one-dimension
+  // margins, and the grand total, with grouping_id disambiguating
+  // subtotal NULLs from data NULLs. Completes the grouping-set family
+  // next to q33's ROLLUP (a rollup walks one drill path; the cube emits
+  // all 2^k margins — the shape a BI tool asks for when both dimensions
+  // are slicers).
+  //
+  // Scale: Catalyst lowers cube to Expand (×4 row replication) feeding a
+  // SINGLE hash aggregate with map-side partials — one shuffle total,
+  // vs four separate scans+aggregates unioned. The Expand multiplier is
+  // 2^k in the number of cube dimensions, so k stays small by design;
+  // at two dimensions the replicated rows are narrower than the scan
+  // saved three times over. Single-table: no join at all.
+  // ---------------------------------------------------------------------
+  def q41Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast(IntegerType).as("lvl"),
+        count(lit(1)).as("n_lines"),
+        floor(sum(col("l_quantity"))).cast(LongType).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q41Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS lvl,
+      |       COUNT(*) AS n_lines,
+      |       CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val q34Sql: String =
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,

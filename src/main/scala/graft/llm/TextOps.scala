@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -427,4 +428,92 @@ object TextOps {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2
       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d26 — INCREMENTAL dedup: the production shape of exact dedup. A
+  // corpus is never deduplicated from scratch — each ingest batch is
+  // checked against the fingerprint index of everything already
+  // accepted, then against itself (first-wins within the batch). Here
+  // the stable 80% of doc-id hash-bucket space plays the existing index
+  // and the remaining 20% plays today's batch; output is the batch rows
+  // that survive both checks, with their within-batch copy count.
+  //
+  // Scale: the index side carries ONLY 128-bit fingerprints (16 bytes a
+  // doc — a 100 TB corpus's index is ~1.6 TB, a routine shuffle), never
+  // text; the anti-join shuffles on the fingerprint, and the batch side
+  // is day-sized. This is d01's groupBy dedup turned into an append-only
+  // protocol: accepted batches' fingerprints become tomorrow's index.
+  // ---------------------------------------------------------------------
+  def d26IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__bucket", hashBucket(col("doc_id")))
+    val indexFps = docs.filter(col("__bucket") < 80)
+      .select(md5(col("text")).as("text_fp")).distinct()
+    docs.filter(col("__bucket") >= 80)
+      .withColumn("text_fp", md5(col("text")))
+      .join(indexFps, Seq("text_fp"), "left_anti")
+      .groupBy(col("text_fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .select(col("doc_id"), col("text_fp"), col("n_batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d26Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, md5(text) AS text_fp,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |idx AS (SELECT DISTINCT text_fp FROM b WHERE bucket < 80)
+      |SELECT MIN(doc_id) AS doc_id, text_fp, COUNT(*) AS n_batch_copies
+      |FROM b
+      |WHERE bucket >= 80
+      |  AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_fp = b.text_fp)
+      |GROUP BY text_fp
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d27 — deterministic epoch shuffle: training wants each epoch to read
+  // the corpus in a different pseudorandom order, reproducibly. Every doc
+  // gets an epoch-salted md5 sort key; the key's top bits pick the output
+  // shard and the within-shard rank is the doc's position in that shard's
+  // file. A pure function of (epoch, doc_id): re-runs, engine changes,
+  // and repartitioning cannot change the training order — the same
+  // contract as d10's split assignment, extended to a total order.
+  //
+  // Scale: one shuffle on the shard key, then a PER-SHARD window (never
+  // global) — exactly the sortWithinPartitions a shard writer performs.
+  // Shard count is the parallelism knob: production uses thousands so a
+  // shard sorts executor-memory-sized data; 32 here mirrors local[32].
+  // ---------------------------------------------------------------------
+  private val ShuffleEpoch = 1
+  private val NShards = 32
+
+  def d27EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val sk = md5(concat(lit(s"$ShuffleEpoch:"), col("doc_id").cast("string")))
+    val shard = pmod(
+      conv(substring(col("__sk"), 1, 8), 16, 10).cast(LongType), lit(NShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__sk").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sk.as("__sk"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), lit(ShuffleEpoch).as("epoch"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val d27Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('$ShuffleEpoch:' || CAST(doc_id AS VARCHAR)) AS sk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, sk,
+       |         CAST(('0x' || substr(sk, 1, 8)) AS BIGINT) % $NShards AS shard
+       |  FROM t)
+       |SELECT doc_id, CAST($ShuffleEpoch AS INTEGER) AS epoch, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sk ASC, doc_id ASC) AS INTEGER) AS pos
+       |FROM s
+       |ORDER BY shard, pos""".stripMargin
 }

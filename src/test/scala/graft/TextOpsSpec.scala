@@ -91,4 +91,32 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(1).contains("x@y.org") && got(1).contains("<URL>"))
     assert(got(2) == "no pii here at all")
   }
+
+  test("d26: no survivor's fingerprint exists in the corpus index side") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("b", TextOps.hashBucket(col("doc_id")))
+    val indexFps = docs.filter(col("b") < 80)
+      .select(md5(col("text")).as("text_fp")).distinct()
+    val survivors = TextOps.d26IncrementalDedup(spark, sfDir)
+    assert(survivors.count() > 0)
+    assert(survivors.join(indexFps, Seq("text_fp"), "inner").count() == 0)
+    // survivors come only from the batch side of the bucket split
+    val batchIds = docs.filter(col("b") >= 80).select(col("doc_id"))
+    assert(survivors.select("doc_id").except(batchIds).isEmpty)
+  }
+
+  test("d27: per-shard positions are contiguous 1..n and re-runs agree") {
+    val out = TextOps.d27EpochShuffle(spark, sfDir)
+    val perShard = out.groupBy("shard").agg(
+      count(lit(1)).as("n"), min(col("pos")).as("lo"),
+      max(col("pos")).as("hi"), countDistinct(col("pos")).as("nd")).collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      assert(r.getAs[Int]("lo") == 1)
+      assert(r.getAs[Int]("hi").toLong == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("nd") == r.getAs[Long]("n"))
+    }
+    // pure function of (epoch, doc_id): a second evaluation is identical
+    assert(out.except(TextOps.d27EpochShuffle(spark, sfDir)).isEmpty)
+  }
 }
