@@ -413,6 +413,41 @@ object OlapQueries {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42 — arbitrary GROUPING SETS, through the SQL surface: the
+  // region-margin and priority-margin of the order count/revenue matrix
+  // plus the grand total — a lattice neither ROLLUP (one drill path,
+  // q33) nor CUBE (all 2^k cells, q41) expresses, because the (region ×
+  // priority) cell grain is deliberately absent. Runs as `spark.sql`
+  // text over the registered views: grouping-set syntax is SQL-only in
+  // Spark, and the text gets identical Catalyst treatment (pushdown,
+  // broadcast, Expand lowering) as the DataFrame programs
+  // (SqlSurfaceSpec pins that equivalence).
+  //
+  // Scale: same Expand→single-hash-aggregate lowering as q33/q41, with
+  // a ×3 multiplier (one per grouping set); dims broadcast, the
+  // orders⋈customer shuffle is the only genuine exchange.
+  // ---------------------------------------------------------------------
+  private val q42Body: String =
+    """SELECT r.r_name AS region_name, o.o_orderpriority AS priority,
+      |       %s AS lvl,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY GROUPING SETS ((r.r_name), (o.o_orderpriority), ())
+      |ORDER BY lvl, region_name NULLS FIRST, priority NULLS FIRST""".stripMargin
+
+  def q42GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(q42Body.format("CAST(grouping_id() AS INT)"))
+  }
+
+  val q42Sql: String =
+    q42Body.format("CAST(GROUPING(r.r_name, o.o_orderpriority) AS INT)")
+
   val q34Sql: String =
     """WITH ranked AS (
       |  SELECT c_nationkey, c_acctbal,
