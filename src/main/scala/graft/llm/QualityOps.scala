@@ -97,6 +97,55 @@ object QualityOps {
     contamination(Tables.documents(spark, dir), EvalBucket)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------------
+  // d15b — Bloom-prefiltered decontamination: d15's 100 TB tier. d15
+  // relies on the eval shingle set being broadcastable; when the held-out
+  // suite is itself large, the training⋈eval shingle join shuffles the
+  // full corpus' shingles. Here the eval set first collapses to a Bloom
+  // filter (bits, not rows — ~1.2 MB per million shingles at 1% fpp),
+  // every training shingle probes the filter as a codegen'd scalar
+  // predicate BEFORE any join, and only the surviving ~1% (true hits +
+  // fpp) pays the exact semi-join that removes false positives. The
+  // result is therefore EXACT — the oracle is d15's — while the shuffle
+  // volume drops by the filter's rejection rate. Same approximate-
+  // prefilter-then-exact-verify shape as d11's LSH→Jaccard pipeline.
+  //
+  // The driver holds only the serialized sketch (O(bits), independent of
+  // data size — the same thing Spark's own runtime-filter injection
+  // ships to the probe side), never data rows.
+  // ---------------------------------------------------------------------
+  def d15bDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
+      .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
+      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= EvalBucket)
+      .cache()
+    val evalSet = sh.filter(col("is_eval")).select(col("shh")).distinct().cache()
+    val bloom = evalSet.stat.bloomFilter("shh",
+      math.max(evalSet.count(), 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val train = sh.filter(!col("is_eval"))
+    val hits = train
+      .filter(org.apache.spark.sql.graft.BloomFilterOps
+        .mightContain(bloomBytes, col("shh")))
+      .join(evalSet, Seq("shh"), "left_semi") // exact: false positives die here
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap_ratio",
+        col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .withColumn("contaminated",
+        when(col("overlap_ratio") >= ContamRatio, 1).otherwise(0)
+          .cast(IntegerType))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        col("overlap_ratio"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val d15Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,

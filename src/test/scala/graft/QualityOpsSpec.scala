@@ -146,4 +146,26 @@ class QualityOpsSpec extends SparkSpec {
     assert(firsts.filter(col("is_kept") === 0).count() == 0)
     out.unpersist()
   }
+
+  test("d15b == d15 exactly, and the bloom prefilter actually rejects") {
+    val exact = QualityOps.d15Decontaminate(spark, sfDir)
+    val bloom = QualityOps.d15bDecontaminateBloom(spark, sfDir)
+    assert(bloom.columns.toSeq == exact.columns.toSeq)
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty)
+    // the membership predicate itself: no false negatives, real rejection
+    val sh = graft.llm.TextOps
+      .shingleRows(Tables.documents(spark, sfDir), 5)
+      .select(graft.llm.TextOps.shingleHash(col("sh")).as("shh"))
+    val members = sh.limit(200).cache()
+    val bf = members.stat.bloomFilter("shh", 200, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    import org.apache.spark.sql.graft.BloomFilterOps.mightContain
+    assert(members.filter(!mightContain(bytes, col("shh"))).count() == 0)
+    val foreign = sh.select((col("shh") + lit(982451653L)).as("shh")).limit(2000)
+    val pass = foreign.filter(mightContain(bytes, col("shh"))).count()
+    assert(pass < 200, s"bloom rejected almost nothing ($pass/2000 passed)")
+    members.unpersist()
+  }
 }
