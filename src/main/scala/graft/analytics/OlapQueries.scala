@@ -463,4 +463,55 @@ object OlapQueries {
       |SELECT n.n_name AS nation_name, a.n_customers, a.median_acctbal, a.p90_acctbal
       |FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
       |ORDER BY nation_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43 — argmin-per-group (the TPC-H Q2 "supplier with the minimum
+  // cost per part" correlated-subquery shape): for every part, the
+  // supplier selling it at the lowest unit price, ties broken by the
+  // smaller suppkey.
+  //
+  // Scale: the argmin is ONE struct-min hash aggregate — `min(struct
+  // (price, suppkey))` compares field-wise, so the aggregate carries the
+  // winning pair with map-side partials and a single shuffle on partkey.
+  // The classic alternatives both lose at 100 TB: a window row_number
+  // sorts every lineitem row inside each part partition, and a min-join-
+  // back reshuffles lineitem twice. The dim joins attach names AFTER the
+  // aggregate, on the already-collapsed per-part frame.
+  // ---------------------------------------------------------------------
+  def q43MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    l.groupBy(col("l_partkey").as("part_id"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("best"))
+      .select(col("part_id"), col("best.unit_price").as("min_unit_price"),
+        col("best.l_suppkey").as("supplier_id"))
+      .join(p, col("part_id") === col("p_partkey"))
+      .join(broadcast(s), col("supplier_id") === col("s_suppkey"))
+      .select(col("part_id"), col("p_name").as("part_name"),
+        col("supplier_id"), col("s_name").as("supplier_name"),
+        col("min_unit_price"))
+      .orderBy(col("part_id"))
+  }
+
+  val q43Sql: String =
+    """WITH priced AS (
+      |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+      |  FROM lineitem WHERE l_quantity > 0),
+      |best AS (
+      |  SELECT l_partkey, l_suppkey, unit_price,
+      |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |           ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+      |  FROM priced)
+      |SELECT b.l_partkey AS part_id, p.p_name AS part_name,
+      |       b.l_suppkey AS supplier_id, s.s_name AS supplier_name,
+      |       b.unit_price AS min_unit_price
+      |FROM best b
+      |JOIN part p ON b.l_partkey = p.p_partkey
+      |JOIN supplier s ON b.l_suppkey = s.s_suppkey
+      |WHERE b.rn = 1
+      |ORDER BY part_id""".stripMargin
 }

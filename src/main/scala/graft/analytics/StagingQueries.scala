@@ -185,4 +185,62 @@ object StagingQueries {
     Validate.reportAll(spark, dir)
 
   val q22bSql: String = Validate.oracleAll
+
+  // ---------------------------------------------------------------------
+  // q44 — dimension MERGE (SCD-1 upsert): the warehouse write path the
+  // reference fakes with TRUNCATE-and-reload (`spark_transform.py:443`,
+  // S11). An incoming batch of changed/new customer rows merges into the
+  // current snapshot: matched keys take the batch's values ("updated"),
+  // unmatched batch keys append ("inserted"), untouched snapshot rows
+  // survive ("kept"). Snapshot = hash-buckets 0-89 of the customer key
+  // space, batch = buckets 80-99 with re-stated balances, so all three
+  // actions occur and the split is a pure function of the row.
+  //
+  // Scale: MERGE is one full-outer sort-merge join on the dimension key —
+  // both sides hash-partition on c_custkey, no broadcast needed at any
+  // size; with the snapshot bucketed on the key (Sinks.bucketed) the
+  // shuffle drops to the batch side only. The action column is derived,
+  // not stored, so the merge stays a single pass.
+  // ---------------------------------------------------------------------
+  def q44DimensionMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        graft.llm.TextOps.hashBucket(col("c_custkey")).as("__b"))
+    val snapshot = c.filter(col("__b") < 90)
+      .select(col("c_custkey").as("k"), col("c_name").as("snap_name"),
+        col("c_acctbal").as("snap_bal"))
+    val batch = c.filter(col("__b") >= 80)
+      .select(col("c_custkey").as("k"), col("c_name").as("batch_name"),
+        (col("c_acctbal") + lit(100.0)).as("batch_bal"))
+    snapshot.join(batch, Seq("k"), "full_outer")
+      .select(
+        col("k").as("customer_id"),
+        coalesce(col("batch_name"), col("snap_name")).as("name"),
+        coalesce(col("batch_bal"), col("snap_bal")).as("acctbal"),
+        when(col("batch_name").isNotNull && col("snap_name").isNotNull, "updated")
+          .when(col("batch_name").isNotNull, "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy(col("customer_id"))
+  }
+
+  val q44Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      |  FROM customer),
+      |snapshot AS (
+      |  SELECT c_custkey AS k, c_name AS snap_name, c_acctbal AS snap_bal
+      |  FROM c WHERE b < 90),
+      |batch AS (
+      |  SELECT c_custkey AS k, c_name AS batch_name, c_acctbal + 100.0 AS batch_bal
+      |  FROM c WHERE b >= 80)
+      |SELECT COALESCE(s.k, bt.k) AS customer_id,
+      |       COALESCE(bt.batch_name, s.snap_name) AS name,
+      |       COALESCE(bt.batch_bal, s.snap_bal) AS acctbal,
+      |       CASE WHEN bt.batch_name IS NOT NULL AND s.snap_name IS NOT NULL THEN 'updated'
+      |            WHEN bt.batch_name IS NOT NULL THEN 'inserted'
+      |            ELSE 'kept' END AS action
+      |FROM snapshot s
+      |FULL OUTER JOIN batch bt ON s.k = bt.k
+      |ORDER BY customer_id""".stripMargin
 }
