@@ -207,6 +207,42 @@ object OlapQueries {
       |ORDER BY nation_name""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q45 — EXISTS semi-join aggregate (the TPC-H Q4 shape): orders with at
+  // least one late-shipped line (the q06/q10 late predicate), counted per
+  // order priority. The correlated EXISTS compiles to a LEFT SEMI join
+  // with the cross-table predicate attached to the join itself, so each
+  // order short-circuits at its first late line — no inner-join fan-out,
+  // no post-join distinct over multiplied rows (at 100 TB that distinct
+  // would re-shuffle the full join output; the semi-join never
+  // materializes it). One shuffle on orderkey, then a tiny priority
+  // aggregate.
+  // ---------------------------------------------------------------------
+  def q45PriorityLateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          datediff(to_date(l("l_shipdate")), to_date(o("o_orderdate"))) > 90,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q45Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+      |                  CAST(l.l_shipdate AS DATE)) > 90)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q37 — pricing summary (the TPC-H Q1 shape over the driver's lineitem):
   // the classic compute-dense scan→aggregate — six aggregates over exact
   // decimal chains per (returnflag, linestatus) group. One pass, map-side

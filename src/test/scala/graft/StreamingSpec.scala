@@ -15,6 +15,8 @@ import graft.streaming.Realtime
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Up(k: Long, name: String, acctbal: Double)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -138,6 +140,45 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted
     assert(got.length == events.size)            // replays dropped
     assert(got.toSeq == events.map(_.event_id))  // exactly the originals
+  }
+
+  test("CDC dimension sync: streamed upserts converge to the batch MERGE, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    // seed version 0 with q44's snapshot side
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"),
+        graft.llm.TextOps.hashBucket(col("c_custkey")).as("__b"))
+    graft.streaming.DimSync.merge(spark, dim,
+      c.filter(col("__b") < 90).drop("__b"), "k")
+    // stream q44's update/insert batch in two chunks, then REPLAY chunk 1
+    val ups = c.filter(col("__b") >= 80).drop("__b")
+      .withColumn("acctbal", col("acctbal") + lit(100.0))
+      .as[Up].collect().toSeq
+    val (chunk1, chunk2) = ups.splitAt(ups.size / 2)
+    val stream = MemoryStream[Up]
+    val q = stream.toDF().writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.streaming.DimSync.merge(spark, dim, b, "k"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_dim_ckpt").toString)
+      .start()
+    // separate micro-batches: chunk 1, chunk 2, then an at-least-once
+    // replay of chunk 1
+    Seq(chunk1, chunk2, chunk1).foreach { ch =>
+      stream.addData(ch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(
+      s"$dim/v${graft.streaming.DimSync.latestVersion(spark, dim).get}")
+    val batch = graft.analytics.StagingQueries.q44DimensionMerge(spark, sfDir)
+      .select(col("customer_id").as("k"), col("name"), col("acctbal"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // 4 merges happened (seed + 2 chunks + replay), all versions complete
+    assert(graft.streaming.DimSync.latestVersion(spark, dim).get == 3)
   }
 
   test("stream-stream interval join == batch join (purchase-view attribution)") {
