@@ -238,4 +238,94 @@ object EventQueries {
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * l_linenumber) AS DOUBLE) AS revenue
       |FROM lineitem
       |GROUP BY 1 ORDER BY product_category""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46 — conversion funnel (view → click-after-view → purchase-after-
+  // click): the sequential-pattern aggregate every product-analytics
+  // stack runs and the reference's dashboard cannot express. Step
+  // membership is ORDER-dependent — a click only counts with a view
+  // strictly before it, a purchase only with such a click before it —
+  // computed as chained running flags over ONE per-user window pass:
+  // max(view-flag) over preceding rows marks qualified clicks, then
+  // max(qualified-click) over the same frame marks qualified purchases.
+  //
+  // Scale: a single events scan, one shuffle on user_id; both window
+  // passes share the same (partition, sort) spec so the second reuses
+  // the first's order — per-user frames, never a global window. The
+  // per-user step flags aggregate on the SAME user_id partitioning (no
+  // new exchange), so the final single-row sum receives 0/1 partials
+  // only; the 3-row reshape is a row-local stack generator. Contrast
+  // the naive per-step min-ts self-joins: three scans and three
+  // user-keyed shuffles.
+  // ---------------------------------------------------------------------
+  def q46Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seen_view",
+        max(when(col("event_type") === "view", 1)).over(wPrev))
+      .withColumn("qclick",
+        when(col("event_type") === "click" && col("seen_view") === 1, 1))
+      .withColumn("seen_qclick", max(col("qclick")).over(wPrev))
+    // per-user step flags FIRST (reuses the window's user_id partitioning —
+    // no extra exchange), so the final single-row aggregate sums 0/1
+    // partials, never a distinct-user row set (a global countDistinct
+    // would funnel every distinct user into one partition at 100 TB)
+    flagged.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("f_view"),
+        max(when(col("qclick") === 1, 1).otherwise(0)).as("f_click"),
+        max(when(col("event_type") === "purchase"
+            && col("seen_qclick") === 1, 1).otherwise(0)).as("f_purchase"))
+      .agg(
+        sum(col("f_view")).as("n_view"),
+        sum(col("f_click")).as("n_click"),
+        sum(col("f_purchase")).as("n_purchase"))
+      .selectExpr(
+        """stack(3, '1_view', n_view,
+          |         '2_click_after_view', n_click,
+          |         '3_purchase_after_click', n_purchase) AS (step, n_users)""".stripMargin,
+        "n_view AS __first")
+      .select(col("step"), col("n_users"),
+        (col("n_users").cast(DoubleType) / col("__first")).as("pct_of_first"))
+      .orderBy(col("step"))
+  }
+
+  val q46Sql: String =
+    """WITH e1 AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         MAX(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS seen_view
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |e2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 END AS qclick
+      |  FROM e1),
+      |e3 AS (
+      |  SELECT *, MAX(qclick) OVER w AS seen_qclick
+      |  FROM e2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |peruser AS (
+      |  SELECT user_id,
+      |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view,
+      |         MAX(CASE WHEN qclick = 1 THEN 1 ELSE 0 END) AS f_click,
+      |         MAX(CASE WHEN event_type = 'purchase' AND seen_qclick = 1 THEN 1 ELSE 0 END) AS f_purchase
+      |  FROM e3 GROUP BY user_id),
+      |agg AS (
+      |  SELECT CAST(SUM(f_view) AS BIGINT) AS n_view,
+      |         CAST(SUM(f_click) AS BIGINT) AS n_click,
+      |         CAST(SUM(f_purchase) AS BIGINT) AS n_purchase
+      |  FROM peruser)
+      |SELECT * FROM (
+      |  SELECT '1_view' AS step, n_view AS n_users,
+      |         CAST(n_view AS DOUBLE) / n_view AS pct_of_first FROM agg
+      |  UNION ALL
+      |  SELECT '2_click_after_view', n_click, CAST(n_click AS DOUBLE) / n_view FROM agg
+      |  UNION ALL
+      |  SELECT '3_purchase_after_click', n_purchase, CAST(n_purchase AS DOUBLE) / n_view FROM agg)
+      |ORDER BY step""".stripMargin
 }

@@ -30,13 +30,15 @@ class PlanGuardSpec extends SparkSpec {
     "q17_filtered_dist", "q19_product_imputation")
 
   // final single-row (q02/q02b/q22) or bounded-row (q22b: 8 tables,
-  // f01/q07b/q19: 1-row means/cuts; q11/q15-q17: 1-row totals) aggregates
+  // f01/q07b/q19: 1-row means/cuts; q11/q15-q17: 1-row totals;
+  // q46: 1-row funnel-count aggregate — partials collapse map-side,
+  // the single partition receives per-partition counts only) aggregates
   private val singlePartOk = Set(
     "a06_quantize_embeddings", // 1-row min/max calibration aggregate
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
     "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",
-    "q22_validation_report", "q22b_validation_all")
+    "q22_validation_report", "q22b_validation_all", "q46_funnel")
 
   test("no registered query plans a cartesian product, unbounded BNLJ, or stray single-partition exchange") {
     val dir = sfDir
