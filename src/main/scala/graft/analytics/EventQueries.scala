@@ -328,4 +328,40 @@ object EventQueries {
       |  UNION ALL
       |  SELECT '3_purchase_after_click', n_purchase, CAST(n_purchase AS DOUBLE) / n_view FROM agg)
       |ORDER BY step""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q47 — cohort retention: users grouped by their first-activity day
+  // (the cohort), counted per subsequent week of activity — q46's
+  // companion product-analytics aggregate (funnel = how users convert,
+  // retention = whether they come back).
+  //
+  // Scale: cohort assignment is a per-user min (keyed aggregate); the
+  // join back to activity is user-keyed and AQE-broadcastable when the
+  // user dimension is small relative to events; the final (cohort, week)
+  // aggregate counts distinct users per cell with two-phase partial
+  // distinct — every stage keyed, nothing global, no window at all.
+  // ---------------------------------------------------------------------
+  def q47CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast(IntegerType))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  val q47Sql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+      |SELECT c.cohort_day, CAST(DATE_DIFF('day', c.cohort_day, a.day) // 7 AS INTEGER) AS week_offset,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, week_offset""".stripMargin
 }
