@@ -181,6 +181,40 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.DimSync.latestVersion(spark, dim).get == 3)
   }
 
+  test("DimSync: arbitrary chunking, ordering, and replays converge to one snapshot") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+    val seed = c.filter(col("k") % 3 === 0)
+    val ups = c.filter(col("k") % 3 =!= 0)
+      .withColumn("acctbal", col("acctbal") * lit(2.0))
+      .as[Up].collect().toSeq
+    // reference: seed then one big merge
+    val refDir = java.nio.file.Files.createTempDirectory("graft_dimref").toString
+    graft.streaming.DimSync.merge(spark, refDir, seed, "k")
+    graft.streaming.DimSync.merge(spark, refDir, ups.toDF(), "k")
+    val expected = spark.read.parquet(
+      s"$refDir/v${graft.streaming.DimSync.latestVersion(spark, refDir).get}")
+    // trials: seeded random chunking with a replayed chunk, order shuffled
+    Seq(7, 23, 99).foreach { s =>
+      val rnd = new scala.util.Random(s)
+      val shuffled = rnd.shuffle(ups)
+      val nChunks = 2 + rnd.nextInt(3)
+      val chunks = shuffled.grouped(
+        math.max(1, shuffled.size / nChunks)).toSeq
+      val withReplay = chunks :+ chunks(rnd.nextInt(chunks.size))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_dim$s").toString
+      graft.streaming.DimSync.merge(spark, dir, seed, "k")
+      withReplay.foreach(ch =>
+        graft.streaming.DimSync.merge(spark, dir, ch.toDF(), "k"))
+      val got = spark.read.parquet(
+        s"$dir/v${graft.streaming.DimSync.latestVersion(spark, dir).get}")
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"seed $s diverged")
+    }
+  }
+
   test("stream-stream interval join == batch join (purchase-view attribution)") {
     implicit val sqlCtx = spark.sqlContext
     val events = mkEvents
