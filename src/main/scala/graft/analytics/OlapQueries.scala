@@ -550,4 +550,40 @@ object OlapQueries {
       |JOIN supplier s ON b.l_suppkey = s.s_suppkey
       |WHERE b.rn = 1
       |ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q48 — market-basket co-occurrence: the top part pairs bought together
+  // in one order (the association-rule input every retail warehouse
+  // computes; the reference has no self-join shape at all). Distinct
+  // (order, part) first so multi-line parts count once per order, then a
+  // within-order self-join with p1 < p2 emits each unordered pair once.
+  //
+  // Scale: the self-join is ORDER-KEYED — both sides hash-partition on
+  // orderkey and the pair blow-up is bounded by order size k (k²/2 rows
+  // per order), not by data size; a mega-order would be capped upstream
+  // by validation. The pair aggregate is keyed on (p1, p2) and the final
+  // top-20 is a TakeOrderedAndProject — no global sort materialization.
+  // ---------------------------------------------------------------------
+  def q48MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q48Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |       COUNT(*) AS n_orders
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 20""".stripMargin
 }

@@ -48,6 +48,31 @@ object StagingQueries {
       |                           ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber) = 1
       |ORDER BY part_id, supplier_id""".stripMargin
 
+  /** q18b — the SKEW-PATH twin of q18: identical semantics and oracle,
+    * executed through [[Dedup.keepFirstSalted]]'s two-phase salted
+    * reduction instead of a window. A pathologically hot (partkey,
+    * suppkey) never lands on one task with all its rows — each of the 16
+    * salt shards reduces ~1/16 of it with map-side combine, then ≤16
+    * survivors per key meet in phase 2. The ordering tuple packs as
+    * (epoch-micros, (orderkey, linenumber)) — null shipdates sort first
+    * via the Long.MinValue coalesce, matching q18's NULLS FIRST. This is
+    * the plan to reach for when AQE skew stats arrive too late (e.g. the
+    * hot key is known a priori); the gate proving both forms hash-equal
+    * is the point of registering it. */
+  def q18bDedupMapSalted(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    Dedup.keepFirstSalted(l, Seq("l_partkey", "l_suppkey"),
+        ord = coalesce(unix_micros(col("l_shipdate")), lit(Long.MinValue)),
+        tieBreaker = struct(col("l_orderkey"), col("l_linenumber")))
+      .select(
+        col("l_partkey").as("part_id"),
+        col("l_suppkey").as("supplier_id"),
+        col("l_orderkey").as("first_order_id"),
+        col("l_linenumber").as("first_line_no"),
+        to_date(col("l_shipdate")).as("first_ship_date"))
+      .orderBy(col("part_id"), col("supplier_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Q19 — STG products: mean imputation via 1-row cross join + category
   // fallback (reference J7+F5, `staging_layer.py:203-225`: NVL(dim,
