@@ -76,4 +76,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.getLong(0) == 8 && rep.getLong(1) == 3 &&
       rep.getLong(2) == 4 && rep.getLong(3) == 1)
   }
+
+  test("q46 funnel ordering bites: out-of-order steps do not count") {
+    import org.apache.spark.sql.Row
+    // user 1: view->click->purchase (full funnel); user 2: click BEFORE
+    // its view, then purchase (click unqualified => purchase unqualified);
+    // user 3: view->purchase with no click (purchase unqualified)
+    // raw events carry TIMESTAMP(NANOS)-as-long (Tables.events converts)
+    def ts(m: Int): java.lang.Long =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00").getTime * 1000000L
+    val rows = Seq(
+      Row(1L, ts(1), 1L, "view", 1.0, null),
+      Row(2L, ts(2), 1L, "click", 1.0, null),
+      Row(3L, ts(3), 1L, "purchase", 1.0, null),
+      Row(4L, ts(1), 2L, "click", 1.0, null),
+      Row(5L, ts(2), 2L, "view", 1.0, null),
+      Row(6L, ts(3), 2L, "purchase", 1.0, null),
+      Row(7L, ts(1), 3L, "view", 1.0, null),
+      Row(8L, ts(2), 3L, "purchase", 1.0, null))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Tables.eventsSchema)
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.analytics.EventQueries.q46Funnel(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("1_view", 3L), ("2_click_after_view", 1L),
+      ("3_purchase_after_click", 1L)))
+  }
 }
