@@ -105,6 +105,30 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors.select("doc_id").except(batchIds).isEmpty)
   }
 
+  test("d26 planted fixture: index dups rejected, batch dups collapse, uniques survive") {
+    // the synthetic corpus has NO duplicate texts, so only a planted
+    // fixture exercises d26's rejection branches
+    val buckets = spark.range(1, 300)
+      .select(col("id"), TextOps.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val indexId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val batchIds = buckets.collect { case (id, b) if b >= 80 => id }.toSeq.sorted.take(4)
+    val Seq(b1, b2, b3, b4) = batchIds
+    val rows = Seq(
+      (indexId, "shared with the index", "en", "s"),
+      (b1, "shared with the index", "en", "s"),  // rejected: fp in index
+      (b2, "batch-internal duplicate", "en", "s"), // survives as the min id
+      (b3, "batch-internal duplicate", "en", "s"), // collapsed into b2
+      (b4, "unique new content", "en", "s"))       // survives
+    val dir = java.nio.file.Files.createTempDirectory("graft_d26").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.d26IncrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(b2 -> 2L, b4 -> 1L))
+  }
+
   test("d27: per-shard positions are contiguous 1..n and re-runs agree") {
     val out = TextOps.d27EpochShuffle(spark, sfDir)
     val perShard = out.groupBy("shard").agg(
