@@ -77,6 +77,31 @@ class OperatorsSpec extends SparkSpec {
       rep.getLong(2) == 4 && rep.getLong(3) == 1)
   }
 
+  test("q36 planted fixture: the anti-join finds never-ordered customers") {
+    // every customer in the synthetic data has orders, so q36's inactive
+    // branch never fires there; plant two nations where it does
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_q36").toString
+    Seq(
+      (1L, "alice", 0, 10.0, "SEG"), (2L, "bob", 0, 20.0, "SEG"),
+      (3L, "carol", 1, 30.0, "SEG"), (4L, "dave", 1, 40.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // alice and carol order; bob and dave never do
+    Seq(
+      (100L, 1L, "O", 5.0, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (101L, 3L, "O", 6.0, Timestamp.valueOf("2024-01-02 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((0, "ARGENTINA", 1), (1, "BRAZIL", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    val got = graft.analytics.OlapQueries.q36InactiveCustomers(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("ARGENTINA", 2L, 1L, 1L), ("BRAZIL", 2L, 1L, 1L)))
+  }
+
   test("q46 funnel ordering bites: out-of-order steps do not count") {
     import org.apache.spark.sql.Row
     // user 1: view->click->purchase (full funnel); user 2: click BEFORE
