@@ -586,4 +586,59 @@ object OlapQueries {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, part_a, part_b
       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q49 — share-of-parent in the region→nation hierarchy: each nation's
+  // revenue as a fraction of its region's total — the per-parent variant
+  // of the global share-of-total (operators.Distribution W3). The window
+  // runs over the NATION-GRAIN aggregate (25 rows for any data size —
+  // bounded by the dimension, not the data), partitioned by region: the
+  // raw orders collapse in a keyed hash aggregate first, so the window
+  // never sees data-sized input.
+  // ---------------------------------------------------------------------
+  def q49NationShareOfRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    // the nation totals stay DECIMAL through the window sum (decimal
+    // addition is exact and order-independent; a double window sum could
+    // diverge from the oracle in low-order bits) and cast to double last
+    val byNation = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(Queries.money(col("o_totalprice"))).as("__nation_dec"))
+    val byRegion = Window.partitionBy(col("region_name"))
+    byNation
+      .withColumn("__region_dec", sum(col("__nation_dec")).over(byRegion))
+      .select(col("region_name"), col("nation_name"),
+        col("__nation_dec").cast(DoubleType).as("nation_sales"),
+        col("__region_dec").cast(DoubleType).as("region_sales"),
+        (col("__nation_dec").cast(DoubleType)
+          / col("__region_dec").cast(DoubleType)).as("share_of_region"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  val q49Sql: String =
+    """WITH by_nation AS (
+      |  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+      |         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_dec
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |win AS (
+      |  SELECT region_name, nation_name, nation_dec,
+      |         SUM(nation_dec) OVER (PARTITION BY region_name) AS region_dec
+      |  FROM by_nation)
+      |SELECT region_name, nation_name,
+      |       CAST(nation_dec AS DOUBLE) AS nation_sales,
+      |       CAST(region_dec AS DOUBLE) AS region_sales,
+      |       CAST(nation_dec AS DOUBLE) / CAST(region_dec AS DOUBLE) AS share_of_region
+      |FROM win
+      |ORDER BY region_name, nation_name""".stripMargin
 }
