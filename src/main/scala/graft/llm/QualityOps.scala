@@ -369,18 +369,23 @@ object QualityOps {
   // ---------------------------------------------------------------------
   private val PackBudget = 512L
 
-  def d25SequencePack(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-level packing for any (doc_id, source, text) frame — the
+    * production lake packs the PREPARED split (Runner.runCorpus), the
+    * registered d25 packs the full table for the oracle gate. */
+  def packRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before DIV $PackBudget").as("pack_id"),
         (col("cum_before") % PackBudget).as("offset_in_pack"))
-      .orderBy(col("doc_id"))
   }
+
+  def d25SequencePack(spark: SparkSession, dir: String): DataFrame =
+    packRows(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   val d25Sql: String =
     s"""SELECT doc_id, source, n_tokens,

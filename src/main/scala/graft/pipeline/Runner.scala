@@ -117,11 +117,16 @@ object Runner {
       () => Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
         s"$outDir/corpus/stats", tinyOutput = true),
     ))
-    Sinks.parquet(
-      graft.llm.QualityOps.chunkRows(
-        Tables.documents(spark, sfDir)
-          .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")),
-      s"$outDir/corpus/chunks")
+    // chunks and packed sequences both derive from the PREPARED split
+    // (cache already materialized by the prepared write above)
+    val survivors = Tables.documents(spark, sfDir)
+      .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    inParallel(Seq(
+      () => Sinks.parquet(graft.llm.QualityOps.chunkRows(survivors),
+        s"$outDir/corpus/chunks"),
+      () => Sinks.parquet(graft.llm.QualityOps.packRows(survivors),
+        s"$outDir/corpus/packed"),
+    ))
     prepared.unpersist()
   }
 

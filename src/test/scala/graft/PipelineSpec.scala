@@ -44,6 +44,13 @@ class PipelineSpec extends SparkSpec {
     val prepDocs = prepared.select("doc_id")
     assert(chunkDocs.except(prepDocs).isEmpty)
     assert(prepDocs.except(chunkDocs).isEmpty)
+    // packed sequences: one row per prepared doc, offsets within budget
+    val packed = spark.read.parquet(s"$out/corpus/packed")
+    assert(packed.count() == prepared.count())
+    assert(packed.filter(
+      org.apache.spark.sql.functions.col("offset_in_pack") >= 512L
+        || org.apache.spark.sql.functions.col("offset_in_pack") < 0L)
+      .count() == 0)
   }
 
   test("CSV source roundtrip with pinned schema (S1/S4)") {
