@@ -77,6 +77,38 @@ class OperatorsSpec extends SparkSpec {
       rep.getLong(2) == 4 && rep.getLong(3) == 1)
   }
 
+  test("q43 argmin tie-break: equal unit prices resolve to the smaller suppkey") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_q43").toString
+    // part 1: suppliers 7 and 3 offer the identical unit price -> 3 wins;
+    // part 2: supplier 9 strictly cheaper than 5 -> 9 wins
+    Seq(
+      (1L, 1L, 7L, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 1L, 3L, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (3L, 2L, 5L, 1, 2.0, 30.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (4L, 2L, 9L, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "part one"), (2L, "part two")).toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((3L, "s3"), (5L, "s5"), (7L, "s7"), (9L, "s9"))
+      .toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val got = graft.analytics.OlapQueries.q43MinCostSupplier(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 9L)))
+  }
+
+  test("q44 exercises all three merge actions on the gate data") {
+    val acts = graft.analytics.StagingQueries.q44DimensionMerge(spark, sfDir)
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acts.keySet == Set("updated", "inserted", "kept"))
+    assert(acts.values.forall(_ > 0))
+  }
+
   test("q36 planted fixture: the anti-join finds never-ordered customers") {
     // every customer in the synthetic data has orders, so q36's inactive
     // branch never fires there; plant two nations where it does
