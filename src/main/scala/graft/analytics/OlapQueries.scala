@@ -641,4 +641,41 @@ object OlapQueries {
       |       CAST(nation_dec AS DOUBLE) / CAST(region_dec AS DOUBLE) AS share_of_region
       |FROM win
       |ORDER BY region_name, nation_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q50 — INTERSECT / EXCEPT as gate-checked operators: buyers active in
+  // BOTH 1995 and 1996 who then lapsed by 2001 — the retention set algebra
+  // (U-family completion: q12 covers UNION; this covers the other two set
+  // ops with their DISTINCT bag semantics).
+  //
+  // Scale: each year's buyer set is a distinct-aggregate over a
+  // date-pruned scan; Catalyst lowers INTERSECT/EXCEPT to left-semi /
+  // left-anti joins on the key — keyed shuffles all the way, and the
+  // name join attaches after the set algebra has shrunk the frame.
+  // ---------------------------------------------------------------------
+  def q50RetainedBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("y"))
+    def buyers(yr: Int) =
+      o.filter(col("y") === yr).select(col("o_custkey")).distinct()
+    val retained = buyers(1995).intersect(buyers(1996))
+      .except(buyers(2001))
+    retained
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("name"))
+      .orderBy(col("customer_id"))
+  }
+
+  val q50Sql: String =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996),
+      |y01 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 2001),
+      |retained AS (
+      |  SELECT * FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+      |  EXCEPT SELECT * FROM y01)
+      |SELECT c.c_custkey AS customer_id, c.c_name AS name
+      |FROM retained r JOIN customer c ON r.o_custkey = c.c_custkey
+      |ORDER BY customer_id""".stripMargin
 }
