@@ -73,13 +73,30 @@ object QualityOps {
     * other doc is scored by its distinct 5-gram overlap with that split.
     * Frame-level so the composed pipeline (d18) can run it over near-dedup
     * survivors with ITS split boundary. */
-  def contamination(docs: DataFrame, evalBucketMin: Int): DataFrame = {
-    // cached: consumed by BOTH the eval-set branch and the training-side
-    // join — without the pin the window+hash shingle stage runs per branch
-    val sh = TextOps.shingleRows(docs, NGramN)
+  def contamination(docs: DataFrame, evalBucketMin: Int): DataFrame =
+    // pinned: consumed by BOTH the eval-set branch and the training-side
+    // join — without the pin the window+hash shingle stage runs per branch.
+    // localCheckpoint, not cache: checkpoint blocks are released by the
+    // ContextCleaner once the consumer drops the frame, where a .cache()
+    // here would pin the whole corpus' shingles in executor storage for
+    // the life of the session with no owner to unpersist it.
+    contaminationFromShingles(shingleStage(docs, evalBucketMin).localCheckpoint())
+
+  /** The (doc_id, shh, is_eval) shingle frame both decontamination tiers
+    * score against. */
+  private def shingleStage(docs: DataFrame, evalBucketMin: Int): DataFrame =
+    TextOps.shingleRows(docs, NGramN)
       .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
       .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= evalBucketMin)
-      .cache()
+
+  /** d15/d15b share the documents-table shingle stage per (session, dir)
+    * via [[graft.StageCache]] — one build, session-managed lifetime,
+    * instead of each query pinning its own copy. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "d15_shingles")(
+      shingleStage(Tables.documents(spark, dir), EvalBucket))
+
+  private[llm] def contaminationFromShingles(sh: DataFrame): DataFrame = {
     val evalSet = sh.filter(col("is_eval"))
       .select(col("shh")).distinct().withColumn("__hit", lit(1))
     sh.filter(!col("is_eval"))
@@ -94,7 +111,7 @@ object QualityOps {
   }
 
   def d15Decontaminate(spark: SparkSession, dir: String): DataFrame =
-    contamination(Tables.documents(spark, dir), EvalBucket)
+    contaminationFromShingles(docShingles(spark, dir))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
@@ -115,11 +132,13 @@ object QualityOps {
   // ships to the probe side), never data rows.
   // ---------------------------------------------------------------------
   def d15bDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
-      .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
-      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= EvalBucket)
-      .cache()
-    val evalSet = sh.filter(col("is_eval")).select(col("shh")).distinct().cache()
+    // shared with d15 via StageCache — no second per-query pin of the
+    // corpus shingles (the r6 advisor finding); the eval set is a
+    // localCheckpoint (three consumers: count, bloom build, exact
+    // semi-join) reclaimed by the ContextCleaner once unreferenced
+    val sh = docShingles(spark, dir)
+    val evalSet = sh.filter(col("is_eval")).select(col("shh")).distinct()
+      .localCheckpoint()
     val bloom = evalSet.stat.bloomFilter("shh",
       math.max(evalSet.count(), 1L), 0.01)
     val bloomBytes = {

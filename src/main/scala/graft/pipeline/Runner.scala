@@ -31,15 +31,38 @@ object Runner {
     * write costs a whole job round-trip of scheduling latency), so
     * overlapping independent jobs is the idiomatic way to keep the
     * executors busy — same on a 1000-executor cluster, where sequential
-    * per-table jobs leave the cluster idle during each job's tail. Errors
-    * propagate: the first failed job rethrows on the caller thread. */
-  private def inParallel(jobs: Seq[() => Unit]): Unit = {
+    * per-table jobs leave the cluster idle during each job's tail.
+    *
+    * Pool size is capped at 8, not jobs.size: each driver thread holds a
+    * full job's task set in flight, so the useful concurrency is
+    * slots / typical-tasks-per-stage, and 8 concurrent jobs already
+    * saturate 32 local slots (and a real cluster's scheduler throughput)
+    * without stacking dozens of pending task sets in the DAGScheduler.
+    *
+    * Failure is fail-fast AND clean: every job in one `inParallel` call
+    * runs under a shared Spark job group; the first failure cancels the
+    * group (stopping sibling jobs mid-write instead of letting them keep
+    * writing sinks in the background), awaits the pool so no task is
+    * still running when the caller sees the exception, then rethrows. */
+  private def inParallel(spark: SparkSession, jobs: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val group = s"graft-inparallel-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(jobs.size, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+    try Await.result(Future.sequence(jobs.map(j => Future {
+      // job groups are thread-local on SparkContext: tag each pool thread
+      sc.setJobGroup(group, group, interruptOnCancel = true)
+      try j() finally sc.clearJobGroup()
+    })), Duration.Inf)
+    catch { case e: Throwable =>
+      sc.cancelJobGroup(group)
+      pool.shutdown()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      throw e
+    }
     finally pool.shutdown()
   }
 
@@ -51,7 +74,7 @@ object Runner {
     * INTO casts). Tables are independent of each other, so the eight
     * validate-and-write pipelines run as concurrent driver jobs. */
   def runBronze(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    inParallel(Seq(
+    inParallel(spark, Seq(
       "events" -> Tables.events(spark, sfDir),
       "orders" -> Tables.orders(spark, sfDir),
       "lineitem" -> Tables.lineitem(spark, sfDir),
@@ -72,7 +95,7 @@ object Runner {
   }
 
   def runSilver(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    inParallel(Seq(
+    inParallel(spark, Seq(
       () => Sinks.parquet(StagingQueries.q18DedupMap(spark, sfDir), s"$outDir/silver/line_dedup_map"),
       () => Sinks.parquet(StagingQueries.q19ProductImputation(spark, sfDir), s"$outDir/silver/part_conformed"),
       () => Sinks.parquet(StagingQueries.q20CustomerGeoEnrich(spark, sfDir), s"$outDir/silver/customer_enriched"),
@@ -88,7 +111,7 @@ object Runner {
     def audited(df: DataFrame): DataFrame =
       df.withColumn("_inserted_at", current_timestamp())
         .withColumn("_source", lit("graft-etl"))
-    inParallel(Seq(
+    inParallel(spark, Seq(
       () => Sinks.parquet(audited(Queries.q02KpiTotals(spark, sfDir)), s"$outDir/gold/kpi_totals", tinyOutput = true),
       () => Sinks.parquet(audited(Queries.q03DailySales(spark, sfDir)), s"$outDir/gold/daily_sales", tinyOutput = true),
       () => Sinks.parquet(audited(Queries.q07Rfm(spark, sfDir)), s"$outDir/gold/rfm"),
@@ -112,7 +135,7 @@ object Runner {
     // the stats rollup is independent of the prepared split, so it runs
     // concurrently with the prepared write (which materializes the cache
     // the chunk stage then reads)
-    inParallel(Seq(
+    inParallel(spark, Seq(
       () => Sinks.parquet(prepared, s"$outDir/corpus/prepared"),
       () => Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
         s"$outDir/corpus/stats", tinyOutput = true),
@@ -121,7 +144,7 @@ object Runner {
     // (cache already materialized by the prepared write above)
     val survivors = Tables.documents(spark, sfDir)
       .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    inParallel(Seq(
+    inParallel(spark, Seq(
       () => Sinks.parquet(graft.llm.QualityOps.chunkRows(survivors),
         s"$outDir/corpus/chunks"),
       () => Sinks.parquet(graft.llm.QualityOps.packRows(survivors),

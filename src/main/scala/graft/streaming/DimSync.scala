@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC apply: keep a keyed dimension snapshot in sync with a stream of
@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * Storage is VERSIONED parquet: each merge reads the highest complete
   * version `v<N>/` and writes `v<N+1>/` — never overwriting what it
   * reads. A version is "complete" only when Spark's `_SUCCESS` marker
-  * exists, so a crash mid-write leaves the previous version current and
-  * the next merge retries idempotently (re-applying an upsert batch is a
-  * no-op by construction — SCD-1 sets values, it does not accumulate).
+  * exists, so a crash mid-write leaves the previous version current
+  * (re-applying an upsert batch is a no-op by construction — SCD-1 sets
+  * values, it does not accumulate). A partial directory left by a crash
+  * does occupy its version slot (`ErrorIfExists` cannot distinguish a
+  * dead writer from an in-flight one); sweeping `v<N>` dirs without
+  * `_SUCCESS` older than the write timeout is the retention job's call,
+  * not the merge path's.
   * This is the optimistic-commit protocol of a lake table format (Delta/
   * Iceberg) reduced to its parquet essentials; swapping the version
   * listing for a real table catalog changes nothing upstream.
@@ -43,26 +47,56 @@ object DimSync {
       .sorted.lastOption
   }
 
-  /** The current snapshot frame (empty-with-batch-schema before the first
-    * merge, so merge #0 is a pure insert). */
+  /** The snapshot frame at a known version (empty-with-batch-schema when
+    * `version` is None, so merge #0 is a pure insert). */
+  private def readVersion(spark: SparkSession, dimPath: String,
+      version: Option[Int], like: DataFrame): DataFrame = version match {
+    case Some(n) => spark.read.parquet(s"$dimPath/v$n")
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+  }
+
+  /** The current snapshot frame. */
   def snapshot(spark: SparkSession, dimPath: String, like: DataFrame): DataFrame =
-    latestVersion(spark, dimPath) match {
-      case Some(n) => spark.read.parquet(s"$dimPath/v$n")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    }
+    readVersion(spark, dimPath, latestVersion(spark, dimPath), like)
 
   /** Apply one upsert batch: full-outer merge on `key`, batch values win
     * column-wise, result lands as the next version. Usable directly as a
-    * `foreachBatch` body. */
+    * `foreachBatch` body.
+    *
+    * Contract notes:
+    *   - COLUMN-WISE upsert, not whole-row SCD-1: a NULL in an incoming
+    *     value column inherits the current snapshot value rather than
+    *     overwriting it with NULL (partial-upsert / CDC-patch semantics,
+    *     matching q44's oracle). A source that must null a column out
+    *     needs a sentinel or a whole-row variant — this one cannot
+    *     express "set to NULL".
+    *   - A batch with several upserts for the same key is collapsed to
+    *     one row per key BEFORE the join (a fan-out there would plant
+    *     duplicate snapshot rows that persist into every later version).
+    *     `batchOrder` picks the survivor: highest ordering wins
+    *     (last-wins for a CDC offset/timestamp column). When omitted,
+    *     the survivor is still deterministic — highest packed value-
+    *     struct wins — but semantically arbitrary; pass the batch's real
+    *     ordering column whenever it has one.
+    *   - Optimistic concurrency: the base version is listed ONCE and the
+    *     output version derived from it, so a writer that raced us owns
+    *     v(base+1) and this write fails on `ErrorIfExists` instead of
+    *     silently discarding the concurrent commit. Retry the merge on
+    *     that failure (re-reads the new snapshot).
+    */
   def merge(spark: SparkSession, dimPath: String, batch: DataFrame,
-      key: String): Unit = {
-    val cur = snapshot(spark, dimPath, batch)
+      key: String, batchOrder: Seq[Column] = Nil): Unit = {
+    val base = latestVersion(spark, dimPath)
+    val cur = readVersion(spark, dimPath, base, batch)
     val valueCols = batch.columns.filter(_ != key).toSeq
-    val merged = cur.as("s").join(batch.as("b"), Seq(key), "full_outer")
+    val order = if (batchOrder.nonEmpty) batchOrder.map(_.desc)
+      else Seq(struct(valueCols.map(col): _*).desc)
+    val one = graft.operators.Dedup.keepFirst(batch, Seq(key), order)
+    val merged = cur.as("s").join(one.as("b"), Seq(key), "full_outer")
       .select(col(key) +: valueCols.map(c =>
         coalesce(col(s"b.$c"), col(s"s.$c")).as(c)): _*)
-    val next = latestVersion(spark, dimPath).getOrElse(-1) + 1
-    merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$dimPath/v$next")
+    merged.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$dimPath/v${base.getOrElse(-1) + 1}")
   }
 }

@@ -215,6 +215,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DimSync: duplicate keys within one batch collapse to one row, last-wins by batchOrder") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimdup").toString
+    val seed = Seq((1L, "a", 10.0, 0L)).toDF("k", "name", "acctbal", "seq")
+    graft.streaming.DimSync.merge(spark, dir, seed, "k")
+    // a routine CDC micro-batch: three upserts for k=1 plus an insert —
+    // must NOT fan out in the full-outer join; the highest-seq row wins
+    val batch = Seq(
+      (1L, "a1", 11.0, 1L), (1L, "a3", 13.0, 3L), (1L, "a2", 12.0, 2L),
+      (2L, "b", 20.0, 1L),
+    ).toDF("k", "name", "acctbal", "seq")
+    graft.streaming.DimSync.merge(spark, dir, batch, "k", Seq(col("seq")))
+    val snap = spark.read.parquet(
+      s"$dir/v${graft.streaming.DimSync.latestVersion(spark, dir).get}")
+    assert(snap.count() == 2, "in-batch duplicate keys must not fan out")
+    val r = snap.filter(col("k") === 1).collect()
+    assert(r.length == 1 && r(0).getAs[String]("name") == "a3"
+      && r(0).getAs[Double]("acctbal") == 13.0)
+    // without batchOrder the survivor is still ONE deterministic row
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dimdup2").toString
+    graft.streaming.DimSync.merge(spark, dir2, batch, "k")
+    val snap2 = spark.read.parquet(s"$dir2/v0")
+    assert(snap2.count() == 2)
+  }
+
+  test("DimSync: concurrent writer's claimed version collides loudly; retry after its commit sees it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimrace").toString
+    graft.streaming.DimSync.merge(spark, dir, Seq((1L, 10.0)).toDF("k", "v"), "k") // v0
+    // an in-flight concurrent writer has claimed v1 but not committed yet
+    // (_SUCCESS absent): our merge must fail on ErrorIfExists — the old
+    // two-listing path could instead derive a version PAST the concurrent
+    // commit from a snapshot BEFORE it, silently discarding it
+    new java.io.File(s"$dir/v1").mkdirs()
+    intercept[Exception] {
+      graft.streaming.DimSync.merge(spark, dir, Seq((1L, 99.0)).toDF("k", "v"), "k")
+    }
+    assert(graft.streaming.DimSync.latestVersion(spark, dir).contains(0))
+    // the concurrent writer commits v1; our retry re-lists, bases on v1,
+    // and lands as v2 carrying BOTH commits
+    Seq((2L, 20.0)).toDF("k", "v").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/v1")
+    graft.streaming.DimSync.merge(spark, dir, Seq((1L, 99.0)).toDF("k", "v"), "k")
+    val snap = spark.read.parquet(s"$dir/v2")
+    assert(snap.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 99.0, 2L -> 20.0))
+  }
+
   test("stream-stream interval join == batch join (purchase-view attribution)") {
     implicit val sqlCtx = spark.sqlContext
     val events = mkEvents
