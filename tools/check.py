@@ -116,6 +116,9 @@ def compare(name, got, exp):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     con = duckdb.connect()
@@ -124,6 +127,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     failed = []
+    results = {}
     for name in sorted(os.listdir(out_dir)):
         rp = os.path.join(out_dir, name)
         if not os.path.isdir(rp):
@@ -132,20 +136,28 @@ def main():
         if got is None:
             print(f"✗ {name}: no result parquet written (query failed?)")
             failed.append(name)
+            results[name] = {"match": False, "rows": None,
+                             "err": "no result parquet"}
             continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             if len(got) == 0:
                 print(f"    WARN: zero rows")
+            results[name] = {"match": None, "rows": len(got),
+                             "err": "no_oracle"}
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"✗ {name}: oracle SQL failed: {e}")
             failed.append(name)
+            results[name] = {"match": False, "rows": len(got),
+                             "err": f"oracle SQL failed: {e}"}
             continue
         probs = compare(name, got, exp)
         hard = [p for p in probs if not p.startswith("WARN")]
+        results[name] = {"match": not hard, "rows": len(got),
+                         "err": "; ".join(probs[:3]) or None}
         if hard:
             print(f"✗ {name}: ({len(got)} rows)")
             for p in probs[:8]:
@@ -156,6 +168,9 @@ def main():
             print(f"✓ {name}: {len(got)} rows{tag}")
             for p in probs[:3]:
                 print("    " + p)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     if failed:
         print(f"\nFAILED: {failed}")
         sys.exit(1)

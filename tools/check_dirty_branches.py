@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Assert the rejection branches actually FIRED on the dirty fixture set.
+
+check.py proves spark == oracle on the dirty data; this proves the dirt
+exercised the branches the clean corpus never reaches (round-7 verdict
+item #1):
+
+  d14  planted docs were redacted (n_urls/n_emails > 0, tokens replaced)
+  d26  index-duplicate batch docs were DROPPED; within-batch triples
+       collapsed to one row with n_batch_copies == 3
+  d01  exact-duplicate docs collapsed onto the original doc_id
+  q36  planted never-ordered customers show up as n_inactive
+  q46  out-of-order users count at step 1 only; the in-order control
+       reaches all three steps (delta vs the CLEAN dir's funnel)
+
+Writes a combined artifact (branch results + check.py's per-query gate
+results if --check-json points at one). Exits nonzero on any miss.
+
+Usage:
+  python3 tools/check_dirty_branches.py <dirty_dir> <verify_out> \
+      [--clean <clean_sf_dir>] [--check-json <check.py json>] [--out <artifact>]
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+
+def load(con, verify_out, name):
+    files = glob.glob(os.path.join(verify_out, name, "*.parquet"))
+    assert files, f"no verify output for {name}"
+    return ("read_parquet([" + ",".join(f"'{f}'" for f in files) + "])")
+
+
+def main():
+    dirty, vout = sys.argv[1], sys.argv[2]
+
+    def opt(flag, default=None):
+        return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+    clean = opt("--clean")
+    check_json = opt("--check-json")
+    out = opt("--out")
+    man = json.load(open(os.path.join(dirty, "dirty_manifest.json")))
+    con = duckdb.connect()
+    report, failed = {}, []
+
+    def branch(name, ok, detail):
+        report[name] = {"fired": bool(ok), "detail": detail}
+        print(("✓" if ok else "✗") + f" {name}: {detail}")
+        if not ok:
+            failed.append(name)
+
+    # --- d14: planted docs really were redacted -------------------------
+    ids = ",".join(map(str, man["d14_pii_docs"]))
+    n, urls, emails = con.execute(
+        f"""SELECT COUNT(*),
+                   SUM(CASE WHEN n_urls > 0 AND contains(text_redacted, '<URL>')
+                            THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN n_emails > 0 AND contains(text_redacted, '<EMAIL>')
+                            THEN 1 ELSE 0 END)
+            FROM {load(con, vout, 'd14_redact_pii')}
+            WHERE doc_id IN ({ids})""").fetchone()
+    branch("d14_url_email_redaction",
+           n == len(man["d14_pii_docs"]) and urls == n and emails == n,
+           f"{urls}/{n} planted docs URL-redacted, {emails}/{n} email-redacted")
+
+    # --- d26: index dups dropped, batch triples collapsed ----------------
+    d26 = load(con, vout, "d26_incremental_dedup")
+    ids = ",".join(map(str, man["d26_index_dups"]))
+    survivors = con.execute(
+        f"SELECT COUNT(*) FROM {d26} WHERE doc_id IN ({ids})").fetchone()[0]
+    branch("d26_index_dup_drop", survivors == 0,
+           f"{len(man['d26_index_dups'])} planted index-duplicates, "
+           f"{survivors} leaked through the anti-join")
+    bad = []
+    for triple in man["d26_batch_triples"]:
+        rows = con.execute(
+            f"""SELECT doc_id, n_batch_copies FROM {d26}
+                WHERE doc_id IN ({','.join(map(str, triple))})""").fetchall()
+        if rows != [(min(triple), 3)]:
+            bad.append((triple, rows))
+    branch("d26_batch_copy_collapse", not bad,
+           f"{len(man['d26_batch_triples'])} planted triples each kept "
+           f"min-id with n_batch_copies=3" + (f"; bad: {bad}" if bad else ""))
+
+    # --- d01: exact duplicates collapsed onto the original --------------
+    # output is (text_fp, rep_doc_id, n_copies): a planted dup must never
+    # BE the representative (the original has the lower doc_id), and its
+    # fingerprint's n_copies must count it
+    ids = ",".join(map(str, man["d01_exact_dups"]))
+    d01 = load(con, vout, "d01_dedup_exact")
+    leaked = con.execute(
+        f"SELECT COUNT(*) FROM {d01} WHERE rep_doc_id IN ({ids})").fetchone()[0]
+    n_multi = con.execute(
+        f"""SELECT COUNT(*) FROM {d01} d
+            JOIN (SELECT md5(text) AS fp FROM '{dirty}/documents.parquet'
+                  WHERE doc_id IN ({ids})) p ON d.text_fp = p.fp
+            WHERE d.n_copies >= 2""").fetchone()[0]
+    branch("d01_exact_dup_collapse",
+           leaked == 0 and n_multi == len(man["d01_exact_dups"]),
+           f"{len(man['d01_exact_dups'])} planted exact duplicates: "
+           f"{leaked} became representative (want 0), "
+           f"{n_multi} fingerprints show n_copies>=2")
+
+    # --- q36: planted never-ordered customers are counted inactive ------
+    n_inactive = con.execute(
+        f"""SELECT SUM(n_inactive) FROM {load(con, vout, 'q36_inactive_customers')}
+            """).fetchone()[0]
+    expect = len(man["q36_never_ordered"])
+    branch("q36_inactive_nonzero", n_inactive >= expect,
+           f"sum(n_inactive)={n_inactive} >= {expect} planted")
+
+    # --- q46: order-dependence (needs the clean dir for the delta) ------
+    if clean:
+        sql = json.load(open(os.path.join(vout, "oracle_sql.json")))["q46_funnel"]
+
+        def funnel(d):
+            c = duckdb.connect()
+            c.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+            return {r[0]: r[1] for r in c.execute(sql).fetchall()}
+
+        fd, fc = funnel(dirty), funnel(clean)
+        delta = {k: fd[k] - fc[k] for k in fd}
+        # 3 planted users view; only the in-order control clicks after a
+        # view and purchases after that click
+        ok = (delta["1_view"] == 3 and delta["2_click_after_view"] == 1
+              and delta["3_purchase_after_click"] == 1)
+        branch("q46_order_dependence", ok,
+               f"funnel delta dirty-clean = {delta} (want view+3, click+1, "
+               f"purchase+1: out-of-order users stop at step 1)")
+
+    artifact = {"dirty_dir": dirty, "branches": report}
+    if check_json:
+        artifact["gate"] = json.load(open(check_json))
+        n_match = sum(1 for v in artifact["gate"].values() if v["match"])
+        artifact["gate_summary"] = {
+            "queries": len(artifact["gate"]), "hash_green": n_match,
+            "rows_only": sum(1 for v in artifact["gate"].values()
+                             if v["match"] is None),
+            "failed": sum(1 for v in artifact["gate"].values()
+                          if v["match"] is False)}
+    if out:
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact → {out}")
+    if failed:
+        print(f"\nBRANCHES NOT FIRED: {failed}")
+        sys.exit(1)
+    print("\nall dirty branches fired and matched")
+
+
+if __name__ == "__main__":
+    main()

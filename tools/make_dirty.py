@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""Derive a DIRTY copy of a testdata scale dir (round-7 verdict item #1).
+
+The driver's synthetic corpus is clean — no duplicate texts, no URLs, no
+never-ordered customers, no out-of-order funnels — so the rejection
+branches of d01/d14/d26/q36/q46 only ever see empty sets in the oracle
+gate. This script copies a scale dir and PLANTS that dirt, preserving
+each table's parquet schema exactly, so the EXISTING gate
+(graft.Verify + tools/check.py) proves the branches on non-zero rows:
+
+  documents:  exact duplicates of index-bucket texts under batch-bucket
+              doc_ids (d26 drop branch), triple copies of fresh texts
+              within the batch bucket (d26 n_batch_copies>1, d01
+              collapse), URL+email-bearing docs (d14 redaction), and
+              near-duplicates (LSH candidate branches)
+  customer:   customers that never placed an order (q36 anti-join)
+  events:     users whose purchase/click precede any view (q46's
+              order-dependence — they must NOT count past step 1)
+
+A manifest of planted ids lands at <dst>/dirty_manifest.json for
+tools/check_dirty_branches.py to assert the branches actually fired.
+
+Dev harness (driver-side python stack), not part of the shipped library.
+Usage: python3 tools/make_dirty.py [src_sf_dir] [dst_dir]
+"""
+import hashlib
+import json
+import os
+import random
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def hash_bucket(doc_id):
+    """Must match graft.llm.TextOps.hashBucket / the oracle SQL:
+    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 100."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def ids_with_bucket(start, pred, n):
+    """First n ids >= start whose hash bucket satisfies pred."""
+    out, i = [], start
+    while len(out) < n:
+        if pred(hash_bucket(i)):
+            out.append(i)
+        i += 1
+    return out, i
+
+
+def append_rows(src_path, dst_path, new_rows):
+    """Append dict-rows to a parquet table, preserving its exact schema."""
+    orig = pq.read_table(src_path).replace_schema_metadata(None)
+    cols = {name: [r[name] for r in new_rows] for name in orig.schema.names}
+    extra = pa.table(cols).select(orig.schema.names).cast(orig.schema)
+    pq.write_table(pa.concat_tables([orig, extra]), dst_path)
+
+
+HH_CAPACITY = 64  # graft.llm.QualityOps.HhCapacity — d21's exact regime
+
+
+def dirty_documents(src, dst, manifest):
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    docs = t.to_pylist()
+    next_id = max(d["doc_id"] for d in docs) + 1
+    sources = sorted({d["source"] for d in docs})
+    texts = {d["text"] for d in docs}
+    # planted text reuses the EXISTING vocabulary (uniqueness comes from
+    # word order) + exactly two fixed PII tokens, so every lang stays
+    # under d21's Misra-Gries capacity and the sketch stays in its
+    # documented EXACT regime (vocab 31 + 2 << capacity 64)
+    vocab = sorted({w for d in docs for w in d["text"].lower().split() if w})
+    rnd = random.Random(7)
+    rows = []
+
+    def doc(doc_id, text, source, lang="en"):
+        return {"doc_id": doc_id, "text": text, "lang": lang,
+                "source": source, "n_chars": len(text)}
+
+    def fresh_text(n_words=14):
+        while True:
+            words = [rnd.choice(vocab) for _ in range(n_words)]
+            words[0], words[3] = "the", "a"  # quality-gate stopwords
+            text = " ".join(words)
+            if text not in texts:
+                texts.add(text)
+                return text
+
+    # (a) d26 drop branch: batch-bucket (>=80) copies of texts whose
+    # original doc sits in the index buckets (<80) — the incremental check
+    # must drop every one of them.
+    index_docs = [d for d in docs if hash_bucket(d["doc_id"]) < 80][:8]
+    ids, next_id = ids_with_bucket(next_id, lambda b: b >= 80, len(index_docs))
+    for new_id, d in zip(ids, index_docs):
+        rows.append(doc(new_id, d["text"], d["source"], d["lang"]))
+    manifest["d26_index_dups"] = ids
+
+    # (b) d26 within-batch copies: fresh unique texts, each planted 3x in
+    # the batch bucket — d26 keeps min doc_id with n_batch_copies=3.
+    triples = []
+    for i in range(4):
+        text = fresh_text()
+        ids, next_id = ids_with_bucket(next_id, lambda b: b >= 80, 3)
+        for new_id in ids:
+            rows.append(doc(new_id, text, sources[i % len(sources)]))
+        triples.append(ids)
+    manifest["d26_batch_triples"] = triples
+
+    # (c) d14 redaction branch: URL- and email-bearing docs. One shared
+    # email and URL literal — 2 new tokens total, not 2 per doc.
+    pii_ids = []
+    for i in range(10):
+        text = (fresh_text() +
+                " user@example.com https://example.com/a?q=1 " + fresh_text())
+        rows.append(doc(next_id, text, sources[i % len(sources)]))
+        pii_ids.append(next_id)
+        next_id += 1
+    manifest["d14_pii_docs"] = pii_ids
+
+    # (d) exact duplicates regardless of bucket (d01 collapse) and
+    # near-duplicates (one word swapped for another vocab word — LSH
+    # candidate branches).
+    dup_ids, near_ids = [], []
+    for i, d in enumerate(docs[:6]):
+        rows.append(doc(next_id, d["text"], d["source"], d["lang"]))
+        dup_ids.append(next_id)
+        next_id += 1
+        words = d["text"].split()
+        mid = len(words) // 2
+        words[mid] = next(w for w in vocab if w != words[mid])
+        near = " ".join(words)
+        if near not in texts:
+            texts.add(near)
+            rows.append(doc(next_id, near, d["source"], d["lang"]))
+            near_ids.append(next_id)
+            next_id += 1
+    manifest["d01_exact_dups"] = dup_ids
+    manifest["near_dups"] = near_ids
+
+    # capacity guard: every lang must stay in d21's exact regime
+    per_lang = {}
+    for d in docs + rows:
+        per_lang.setdefault(d["lang"], set()).update(
+            w for w in d["text"].lower().split() if w)
+    for lang, vs in sorted(per_lang.items()):
+        assert len(vs) <= HH_CAPACITY, (lang, len(vs))
+        print(f"  lang {lang}: {len(vs)} distinct tokens (cap {HH_CAPACITY})")
+
+    append_rows(os.path.join(src, "documents.parquet"),
+                os.path.join(dst, "documents.parquet"), rows)
+    return len(rows)
+
+
+def dirty_customer(src, dst, manifest):
+    t = pq.read_table(os.path.join(src, "customer.parquet"))
+    next_key = max(t.column("c_custkey").to_pylist()) + 1
+    segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+    rows = []
+    for i in range(30):
+        key = next_key + i
+        rows.append({"c_custkey": key, "c_name": f"Customer#{key:09d}",
+                     "c_nationkey": i % 25, "c_acctbal": 100.0 + i,
+                     "c_mktsegment": segs[i % len(segs)]})
+    manifest["q36_never_ordered"] = [r["c_custkey"] for r in rows]
+    append_rows(os.path.join(src, "customer.parquet"),
+                os.path.join(dst, "customer.parquet"), rows)
+    return len(rows)
+
+
+def dirty_events(src, dst, manifest):
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    next_eid = max(t.column("event_id").to_pylist()) + 1
+    base_user = max(t.column("user_id").to_pylist()) + 1000
+    base_ts = 1705000000 * 10**9  # 2024-01-11, inside the data's range
+    rows, users = [], {}
+
+    def ev(user, minute, etype):
+        nonlocal next_eid
+        rows.append({"event_id": next_eid, "ts": base_ts + minute * 60 * 10**9,
+                     "user_id": user, "event_type": etype,
+                     "value": 5.0 + minute, "props": '{"k": %d}' % minute})
+        next_eid += 1
+
+    # purchase and click BEFORE any view: counts at step 1 only
+    users["purchase_first"] = base_user
+    for m, e in enumerate(["purchase", "click", "view"]):
+        ev(base_user, m, e)
+    # click before view, purchase before qualified click: step 1 only
+    users["click_first"] = base_user + 1
+    for m, e in enumerate(["click", "view", "purchase"]):
+        ev(base_user + 1, m, e)
+    # in-order control: must reach all three steps
+    users["in_order"] = base_user + 2
+    for m, e in enumerate(["view", "click", "purchase"]):
+        ev(base_user + 2, m, e)
+    manifest["q46_users"] = users
+    append_rows(os.path.join(src, "events.parquet"),
+                os.path.join(dst, "events.parquet"), rows)
+    return len(rows)
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dirty_sf0.01"
+    os.makedirs(dst, exist_ok=True)
+    manifest = {"src": src}
+    for tbl in TABLES:
+        if tbl not in ("documents", "customer", "events"):
+            shutil.copyfile(os.path.join(src, f"{tbl}.parquet"),
+                            os.path.join(dst, f"{tbl}.parquet"))
+    nd = dirty_documents(src, dst, manifest)
+    nc = dirty_customer(src, dst, manifest)
+    ne = dirty_events(src, dst, manifest)
+    with open(os.path.join(dst, "dirty_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"dirty dir at {dst}: +{nd} documents, +{nc} customers, "
+          f"+{ne} events")
+
+
+if __name__ == "__main__":
+    main()
