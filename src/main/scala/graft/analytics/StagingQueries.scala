@@ -60,7 +60,12 @@ object StagingQueries {
     * hot key is known a priori); the gate proving both forms hash-equal
     * is the point of registering it. */
   def q18bDedupMapSalted(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    // project FIRST: keepFirstSalted packs every input column into its
+    // min-struct payload, which blocks Catalyst's column pruning — the
+    // explicit 5-column projection is what reaches the parquet scan
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+      col("l_linenumber"), col("l_shipdate"))
     Dedup.keepFirstSalted(l, Seq("l_partkey", "l_suppkey"),
         ord = coalesce(unix_micros(col("l_shipdate")), lit(Long.MinValue)),
         tieBreaker = struct(col("l_orderkey"), col("l_linenumber")))

@@ -57,7 +57,24 @@ object Dedup {
     * when `(ord, tieBreaker)` is unique per row (property-tested).
     *
     * Uses min_by on a packed struct: struct ordering is lexicographic, so
-    * min(struct(ord, tie, payload…)) IS argmin with deterministic ties. */
+    * min(struct(ord, tie, payload…)) IS argmin with deterministic ties.
+    *
+    * When to reach for it — measured crossover (round 7, q18 vs q18b on
+    * lineitem derivatives, back-to-back in one JVM at local[32]):
+    * unskewed 600k rows window 1.59 s vs salted 2.33 s (~1.5× tax); one
+    * key = 50% of rows, still 1.38 vs 1.72; one key = 18M of 19M rows,
+    * parity (2.7-3.1 vs 2.7-3.3, inside VM noise). A single in-memory
+    * sort of even an 18M-row lean partition is cheap, so on CPU alone
+    * the window wins until the hot partition stops FITTING — this
+    * operator is insurance against the hot key exceeding task memory
+    * (spill/OOM on a real cluster, where one 100 GB partition kills the
+    * stage), not a speedup for mere relative skew. Default to
+    * [[keepFirst]]; switch when a known-hot key approaches task memory,
+    * or AQE can't help (windows are not AQE-skew-splittable).
+    *
+    * The packed struct defeats Catalyst column pruning — project `df`
+    * to the columns you need BEFORE calling (q18b measured 4.7→2.7 s on
+    * the 18M-row hot key from that projection alone). */
   def keepFirstSalted(df: DataFrame, keys: Seq[String], ord: Column,
       tieBreaker: Column, salts: Int = 16): DataFrame = {
     val payload = struct(ord.as("__o") +: tieBreaker.as("__t") +:
