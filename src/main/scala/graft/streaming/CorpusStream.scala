@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,4 +49,92 @@ object CorpusStream {
     gated(docs)
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_fp")
+
+  // ---------------------------------------------------------------------
+  // Persisted-index ingestion — d26's batch-vs-index protocol
+  // (TextOps.d26IncrementalDedup) as the STREAMING corpus path, so the
+  // stream and the nightly batch dedup against the SAME index instead of
+  // each keeping a private notion of "already accepted" (r6 verdict #5;
+  // gateAndDedup's watermark state only spans its horizon — this index
+  // spans the corpus's lifetime).
+  //
+  // The index is versioned parquet of fingerprint DELTAS: each committed
+  // micro-batch appends `v<N>_b<batchId>/` holding only ITS new
+  // fingerprints (16 bytes/doc — the Delta-style add-file layout, never
+  // a snapshot rewrite), gated by Spark's `_SUCCESS` marker like
+  // DimSync. The current index is the union of committed deltas.
+  //
+  // Exactly-once across the two sinks (corpus rows + index delta)
+  // without a transaction, in commit order:
+  //   1. replay check: a committed delta already tagged with this
+  //      batchId → the batch fully committed, skip (idempotent);
+  //   2. corpus rows land at `out/batch=<batchId>/` with OVERWRITE — a
+  //      replay of a crash between 2 and 3 rewrites the same rows;
+  //   3. the delta commits LAST (ErrorIfExists) — only then can a replay
+  //      skip. A crash mid-3 leaves a partial dir occupying the slot
+  //      (same sweep caveat as DimSync).
+  // Single-writer per index (a streaming query's checkpoint enforces
+  // this); concurrent multi-writer dims are DimSync's territory.
+  // ---------------------------------------------------------------------
+  private val VersionBatchRe = "v(\\d+)_b(\\d+)".r
+
+  /** Committed (version, batchId) pairs of a fingerprint index. */
+  def indexVersions(spark: SparkSession, indexDir: String): Seq[(Int, Long)] = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionBatchRe(v, b) if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some((v.toInt, b.toLong))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** The current index: union of all committed fingerprint deltas
+    * (one `text_fp` column; empty before the first commit). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val vs = indexVersions(spark, indexDir)
+    if (vs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("text_fp", StringType))))
+    else
+      spark.read.parquet(vs.map { case (v, b) => s"$indexDir/v${v}_b$b" }: _*)
+        .select(col("text_fp"))
+  }
+
+  /** One micro-batch of the index-backed ingest: gate → within-batch
+    * keep-first (min doc_id per fingerprint, exactly d26's in-batch
+    * rule) → anti-join the persisted index → corpus rows to
+    * `out/batch=<batchId>`, new fingerprints to the next index delta.
+    * Usable directly as a `foreachBatch` body and equally callable on a
+    * plain batch frame — the nightly-batch and streaming paths ARE this
+    * one function. */
+  def ingestBatch(spark: SparkSession, indexDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (indexVersions(spark, indexDir).exists(_._2 == batchId)) return // replayed, fully committed
+    val inBatch = graft.operators.Dedup.keepFirst(
+      gated(batch), Seq("text_fp"), Seq(col("doc_id").asc))
+    // pinned: written to BOTH sinks; localCheckpoint so the anti-join
+    // runs once and the ContextCleaner reclaims the blocks afterwards
+    val fresh = inBatch
+      .join(readIndex(spark, indexDir), Seq("text_fp"), "left_anti")
+      .localCheckpoint()
+    fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    val next = indexVersions(spark, indexDir).map(_._1).maxOption.getOrElse(-1) + 1
+    fresh.select(col("text_fp")).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$indexDir/v${next}_b$batchId")
+  }
+
+  /** The index-backed streaming ingest: wire a document stream
+    * (doc_id, ingest_ts, text) through [[ingestBatch]]. */
+  def startIngest(docs: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

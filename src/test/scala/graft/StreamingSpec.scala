@@ -314,6 +314,66 @@ class StreamingSpec extends SparkSpec {
     assert(batch.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("index-backed corpus ingest: stream == batch d26 protocol, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fpout").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(i: Int) = new java.sql.Timestamp(t0 + i * 1000L)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b0 = Seq(
+      (1L, ts(0), body),                      // kept
+      (2L, ts(1), body),                      // within-batch dup of 1 → dropped
+      (3L, ts(2), body + " second content"))  // kept
+    val b1 = Seq(
+      (4L, ts(3), body),                      // dup of batch-0 content → index drop
+      (5L, ts(4), body + " third content"),   // kept
+      (6L, ts(5), "too short"))               // gated
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.startIngest(
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out,
+      java.nio.file.Files.createTempDirectory("graft_fpckpt").toString)
+    stream.addData(b0); q.processAllAvailable()
+    stream.addData(b1); q.processAllAvailable()
+    q.stop()
+    def survivors() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors() == Seq(1L, 3L, 5L))
+    // two committed index deltas, tagged with their batch ids
+    assert(CorpusStream.indexVersions(spark, idx).map(_._2) == Seq(0L, 1L))
+    assert(CorpusStream.readIndex(spark, idx).count() == 3)
+
+    // the BATCH path is the same function: batch-1 against the index
+    // built from batch-0 must equal what the stream emitted for batch 1
+    val batchIdx = java.nio.file.Files.createTempDirectory("graft_fpidx2").toString
+    val batchOut = java.nio.file.Files.createTempDirectory("graft_fpout2").toString
+    CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b0.toDF("doc_id", "ingest_ts", "text"), 0L)
+    CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b1.toDF("doc_id", "ingest_ts", "text"), 1L)
+    val batchSurvivors = spark.read.parquet(batchOut).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchSurvivors == survivors())
+
+    // at-least-once replay of an already-committed batch is a no-op:
+    // same output rows, no new index version
+    CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b1.toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(spark.read.parquet(batchOut).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(CorpusStream.indexVersions(spark, batchIdx).size == 2)
+
+    // crash-between-sinks replay: corpus rows written but the delta never
+    // committed → re-running the batch rewrites the same rows and commits
+    val d = new java.io.File(s"$batchIdx/v1_b1")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(d) // simulate: batch 1's delta commit never happened
+    CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b1.toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(spark.read.parquet(batchOut).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(CorpusStream.indexVersions(spark, batchIdx).map(_._2) == Seq(0L, 1L))
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
