@@ -527,4 +527,131 @@ object QualityOps {
        |SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
        |FROM bi GROUP BY bigram
        |ORDER BY n_occurrences DESC, bigram ASC LIMIT $VocabTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d28 — token-rarity quality score: the cheap perplexity proxy (the
+  // CCNet-style LM filter's integer-exact cousin). A document built from
+  // tokens the corpus rarely produces is likelier noise/garble than
+  // prose; instead of an LM's -log p (whose transcendental math never
+  // hash-matches across engines), score each doc by its tokens' CORPUS
+  // frequencies: mean token frequency, and the fraction of tokens whose
+  // frequency falls below RareFactor × the mean token frequency. All
+  // integer sums and one final IEEE division — bit-identical in any
+  // engine.
+  //
+  // Scale: the frequency table is vocabulary-sized (millions of rows at
+  // 100 TB, not corpus-sized) and joins on the token — the only shuffles
+  // are token-keyed (short strings) and the per-doc hash aggregate with
+  // map-side partials. The 1-row threshold frame rides a broadcast cross
+  // join (bounded, q19's J7 shape). At web scale the same plan serves
+  // with the freq table truncated to top-k + "absent ⇒ rare".
+  // ---------------------------------------------------------------------
+  private val RareFactor = 0.5
+  private val RareRatioFlag = 0.02
+
+  def d28TokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    // pinned: the VOCAB-sized frequency table feeds the doc join AND the
+    // threshold aggregate — without the pin the corpus-sized explode
+    // underneath it runs once per consumer (localCheckpoint, reclaimed
+    // by the ContextCleaner once the query's plan is dropped)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+      .localCheckpoint()
+    val thr = freq.agg(
+      (sum(col("__f")).cast(DoubleType) / count(lit(1))).as("__avg"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__f").cast(DoubleType) < col("__avg") * RareFactor, 1L)
+          .otherwise(0L)).as("n_rare"),
+        (sum(col("__f")).cast(DoubleType) / count(lit(1))).as("mean_tok_freq"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast(DoubleType) / col("n_tokens"))
+      .withColumn("flagged",
+        when(col("rare_ratio") >= RareRatioFlag, 1).otherwise(0)
+          .cast(IntegerType))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        col("mean_tok_freq"), col("rare_ratio"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d28Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+       |thr AS (SELECT CAST(SUM(f) AS DOUBLE) / COUNT(*) AS avg_f FROM freq),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         COUNT(*) AS n_tokens,
+       |         CAST(SUM(CASE WHEN CAST(f.f AS DOUBLE) < thr.avg_f * $RareFactor
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |         CAST(SUM(f.f) AS DOUBLE) / COUNT(*) AS mean_tok_freq
+       |  FROM toks t JOIN freq f USING (tok), thr
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_rare, mean_tok_freq,
+       |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio,
+       |       CAST(CAST(n_rare AS DOUBLE) / n_tokens >= $RareRatioFlag AS INT) AS flagged
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d29 — source overlap matrix: exact 3-gram-shingle Jaccard between
+  // every pair of sources — the dataset-level comparison behind "do these
+  // two crawls/dumps duplicate each other enough to drop one", where
+  // d06/d11 answer the same question per DOCUMENT. Output is the
+  // O(sources²) upper triangle with set sizes and Jaccard.
+  //
+  // Scale: operates entirely on distinct (source, shingle-hash) rows —
+  // the corpus collapses to ~|vocabulary of shingles| × sources 8-byte
+  // keys before any join; the self-join is shingle-hash-keyed and each
+  // shingle fans out at most (sources choose 2) pairs, bounded by the
+  // source count, not the corpus. Sizes and pair counts reuse the same
+  // pinned frame (localCheckpoint — two consumers).
+  // ---------------------------------------------------------------------
+  def d29SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(Tables.documents(spark, dir), 3)
+      .select(col("source"), TextOps.shingleHash(col("sh")).as("shh"))
+      .distinct()
+      .localCheckpoint() // consumed by the sizes agg AND the pair join
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shh") === col("b.shh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d29Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS sh
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+      |  WHERE i <= len(tk) - 2),
+      |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       p.n_common,
+      |       CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

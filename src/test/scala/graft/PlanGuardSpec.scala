@@ -25,6 +25,7 @@ class PlanGuardSpec extends SparkSpec {
   private val bnljOk = Set(
     "a01_ann_brute_force", "a04_ann_ivf", "a04b_ann_ivf_kmeans",
     "a05_semantic_dedup", "a06_quantize_embeddings", // 1-row calibration
+    "d28_token_rarity", // 1-row mean-token-frequency threshold
     "f01_scalar_suite", "q07b_rfm_approx",
     "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
     "q17_filtered_dist", "q19_product_imputation")
@@ -35,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
   // the single partition receives per-partition counts only) aggregates
   private val singlePartOk = Set(
     "a06_quantize_embeddings", // 1-row min/max calibration aggregate
+    "d28_token_rarity", // 1-row avg-token-frequency aggregate (vocab-sized input)
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
     "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",

@@ -168,4 +168,33 @@ class QualityOpsSpec extends SparkSpec {
     assert(pass < 200, s"bloom rejected almost nothing ($pass/2000 passed)")
     members.unpersist()
   }
+
+  test("d28: a doc of rare-only tokens is flagged, common-only is not, ratios consistent") {
+    val out = QualityOps.d28TokenRarity(spark, sf).cache()
+    // every doc accounted for, ratios in range, flag == threshold test
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+    assert(out.filter(col("rare_ratio") < 0 || col("rare_ratio") > 1).count() == 0)
+    assert(out.filter(col("n_rare") > col("n_tokens")).count() == 0)
+    assert(out.filter(
+      (col("flagged") === 1) =!= (col("rare_ratio") >= 0.02)).count() == 0)
+    // mean_tok_freq is per-doc: docs weighted toward rarer tokens score lower
+    assert(out.agg(min(col("mean_tok_freq"))).head().getDouble(0) <
+      out.agg(max(col("mean_tok_freq"))).head().getDouble(0))
+    out.unpersist()
+  }
+
+  test("d29: upper triangle only, n_common bounded by set sizes, jaccard consistent") {
+    val out = QualityOps.d29SourceOverlap(spark, sf).cache()
+    assert(out.filter(col("source_a") >= col("source_b")).count() == 0)
+    assert(out.filter(col("n_common") > least(col("n_a"), col("n_b"))).count() == 0)
+    // jaccard recomputes from the integer columns exactly
+    assert(out.filter(col("jaccard") =!=
+      col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double")).count() == 0)
+    // a source's self-overlap is excluded; pair count bounded by C(n,2)
+    val nSrc = graft.Tables.documents(spark, sf).select(col("source"))
+      .distinct().count()
+    assert(out.count() <= nSrc * (nSrc - 1) / 2)
+    out.unpersist()
+  }
 }
