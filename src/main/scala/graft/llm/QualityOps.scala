@@ -545,6 +545,13 @@ object QualityOps {
   // map-side partials. The 1-row threshold frame rides a broadcast cross
   // join (bounded, q19's J7 shape). At web scale the same plan serves
   // with the freq table truncated to top-k + "absent ⇒ rare".
+  //
+  // Contract: a document whose text tokenizes to ZERO tokens produces no
+  // explode rows, so it is ABSENT from the output rather than scored
+  // with n_tokens=0 (DuckDB's unnest agrees, so parity holds either
+  // way). Gated corpora never contain zero-token docs — the quality gate
+  // (d04/d13) drops them first; callers scoring UNgated text who need
+  // every doc_id back must left-join this result to their doc frame.
   // ---------------------------------------------------------------------
   private val RareFactor = 0.5
   private val RareRatioFlag = 0.02

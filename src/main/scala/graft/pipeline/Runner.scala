@@ -59,8 +59,16 @@ object Runner {
     })), Duration.Inf)
     catch { case e: Throwable =>
       sc.cancelJobGroup(group)
-      pool.shutdown()
-      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      // shutdownNow, not shutdown: shutdown() still RUNS queued tasks, and a
+      // task that starts after the cancel re-tags its thread via setJobGroup
+      // and writes its sink to completion — breaking fail-fast the moment a
+      // 9th job queues behind the 8-thread cap. shutdownNow drains the queue
+      // and interrupts (aligned with interruptOnCancel=true above).
+      pool.shutdownNow()
+      if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)) {
+        sc.cancelJobGroup(group) // a straggler survived the interrupt: re-cancel
+        System.err.println(s"[runner] WARN: job group $group did not terminate within 60s of cancellation")
+      }
       throw e
     }
     finally pool.shutdown()

@@ -59,35 +59,48 @@ object CorpusStream {
   // spans the corpus's lifetime).
   //
   // The index is versioned parquet of fingerprint DELTAS: each committed
-  // micro-batch appends `v<N>_b<batchId>/` holding only ITS new
+  // batch appends `v<N>_<writer>_b<batchId>/` holding only ITS new
   // fingerprints (16 bytes/doc — the Delta-style add-file layout, never
   // a snapshot rewrite), gated by Spark's `_SUCCESS` marker like
   // DimSync. The current index is the union of committed deltas.
   //
+  // The delta tag is namespaced by WRITER because batchIds are only
+  // unique within one writer's sequence: a streaming query's batchIds
+  // and a nightly batch run's batchIds both start at 0, so a bare
+  // `b<batchId>` tag would make the nightly run's batch 0 look like a
+  // replay of the stream's batch 0 and be silently skipped (data loss).
+  // Every writer sharing an index MUST use a distinct writer id; the
+  // version counter `v<N>` stays global across writers, and distinct
+  // writer ids also keep two writers that race to the same next version
+  // from colliding on a path.
+  //
   // Exactly-once across the two sinks (corpus rows + index delta)
   // without a transaction, in commit order:
   //   1. replay check: a committed delta already tagged with this
-  //      batchId → the batch fully committed, skip (idempotent);
-  //   2. corpus rows land at `out/batch=<batchId>/` with OVERWRITE — a
-  //      replay of a crash between 2 and 3 rewrites the same rows;
+  //      (writer, batchId) → the batch fully committed, skip (idempotent);
+  //   2. corpus rows land at `out/writer=<writer>/batch=<batchId>/` with
+  //      OVERWRITE — a replay of a crash between 2 and 3 rewrites the
+  //      same rows;
   //   3. the delta commits LAST (ErrorIfExists) — only then can a replay
-  //      skip. A crash mid-3 leaves a partial dir occupying the slot
-  //      (same sweep caveat as DimSync).
-  // Single-writer per index (a streaming query's checkpoint enforces
-  // this); concurrent multi-writer dims are DimSync's territory.
+  //      skip. A crash mid-3 leaves a partial dir (no _SUCCESS) at the
+  //      slot this batch will recompute on replay; since the index is
+  //      single-writer per writer id, the replay reclaims (deletes) that
+  //      partial dir before committing instead of wedging on
+  //      ErrorIfExists forever.
+  // Concurrent multi-writer dims are DimSync's territory.
   // ---------------------------------------------------------------------
-  private val VersionBatchRe = "v(\\d+)_b(\\d+)".r
+  private val VersionBatchRe = "v(\\d+)_([A-Za-z0-9-]+)_b(\\d+)".r
 
-  /** Committed (version, batchId) pairs of a fingerprint index. */
-  def indexVersions(spark: SparkSession, indexDir: String): Seq[(Int, Long)] = {
+  /** Committed (version, writer, batchId) triples of a fingerprint index. */
+  def indexVersions(spark: SparkSession, indexDir: String): Seq[(Int, String, Long)] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
-        case VersionBatchRe(v, b) if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
-          Some((v.toInt, b.toLong))
+        case VersionBatchRe(v, w, b) if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some((v.toInt, w, b.toLong))
         case _ => None
       })
       .sortBy(_._1)
@@ -102,20 +115,25 @@ object CorpusStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("text_fp", StringType))))
     else
-      spark.read.parquet(vs.map { case (v, b) => s"$indexDir/v${v}_b$b" }: _*)
+      spark.read.parquet(vs.map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }: _*)
         .select(col("text_fp"))
   }
 
   /** One micro-batch of the index-backed ingest: gate → within-batch
     * keep-first (min doc_id per fingerprint, exactly d26's in-batch
     * rule) → anti-join the persisted index → corpus rows to
-    * `out/batch=<batchId>`, new fingerprints to the next index delta.
-    * Usable directly as a `foreachBatch` body and equally callable on a
-    * plain batch frame — the nightly-batch and streaming paths ARE this
-    * one function. */
-  def ingestBatch(spark: SparkSession, indexDir: String, outDir: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    if (indexVersions(spark, indexDir).exists(_._2 == batchId)) return // replayed, fully committed
+    * `out/writer=<writer>/batch=<batchId>`, new fingerprints to the next
+    * index delta. Usable directly as a `foreachBatch` body and equally
+    * callable on a plain batch frame — the nightly-batch and streaming
+    * paths ARE this one function. `writer` namespaces the replay check:
+    * each caller with its own batchId sequence needs its own id (the
+    * streaming default is "stream", the batch default "batch"). */
+  def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
+      writer: String = "batch")(batch: DataFrame, batchId: Long): Unit = {
+    require(writer.matches("[A-Za-z0-9-]+"),
+      s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
+    if (indexVersions(spark, indexDir).exists(v => v._2 == writer && v._3 == batchId))
+      return // replayed, fully committed
     val inBatch = graft.operators.Dedup.keepFirst(
       gated(batch), Seq("text_fp"), Seq(col("doc_id").asc))
     // pinned: written to BOTH sinks; localCheckpoint so the anti-join
@@ -123,18 +141,30 @@ object CorpusStream {
     val fresh = inBatch
       .join(readIndex(spark, indexDir), Seq("text_fp"), "left_anti")
       .localCheckpoint()
-    fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/writer=$writer/batch=$batchId")
     val next = indexVersions(spark, indexDir).map(_._1).maxOption.getOrElse(-1) + 1
+    val delta = new Path(s"$indexDir/v${next}_${writer}_b$batchId")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-recovery: a prior attempt at THIS (writer, batchId) that died
+    // mid-write left a partial dir (no _SUCCESS) at exactly this slot —
+    // indexVersions ignores it, so `next` recomputes to the same value and
+    // ErrorIfExists would wedge the writer forever. Single-writer per
+    // writer id makes reclaiming it safe.
+    if (fs.exists(delta) && !fs.exists(new Path(delta, "_SUCCESS")))
+      fs.delete(delta, true)
     fresh.select(col("text_fp")).write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"$indexDir/v${next}_b$batchId")
+      .parquet(delta.toString)
   }
 
   /** The index-backed streaming ingest: wire a document stream
-    * (doc_id, ingest_ts, text) through [[ingestBatch]]. */
+    * (doc_id, ingest_ts, text) through [[ingestBatch]] under the given
+    * writer id (default "stream" — disjoint from the batch default, so a
+    * stream and a nightly batch sharing one index never mistake each
+    * other's batchIds for replays). */
   def startIngest(docs: DataFrame, indexDir: String, outDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, writer: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir) _)
+      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir, writer) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

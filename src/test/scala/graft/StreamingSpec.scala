@@ -341,7 +341,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(survivors() == Seq(1L, 3L, 5L))
     // two committed index deltas, tagged with their batch ids
-    assert(CorpusStream.indexVersions(spark, idx).map(_._2) == Seq(0L, 1L))
+    assert(CorpusStream.indexVersions(spark, idx).map(_._3) == Seq(0L, 1L))
+    assert(CorpusStream.indexVersions(spark, idx).map(_._2).distinct == Seq("stream"))
     assert(CorpusStream.readIndex(spark, idx).count() == 3)
 
     // the BATCH path is the same function: batch-1 against the index
@@ -363,7 +364,7 @@ class StreamingSpec extends SparkSpec {
 
     // crash-between-sinks replay: corpus rows written but the delta never
     // committed → re-running the batch rewrites the same rows and commits
-    val d = new java.io.File(s"$batchIdx/v1_b1")
+    val d = new java.io.File(s"$batchIdx/v1_batch_b1")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete()
     }
@@ -371,7 +372,31 @@ class StreamingSpec extends SparkSpec {
     CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b1.toDF("doc_id", "ingest_ts", "text"), 1L)
     assert(spark.read.parquet(batchOut).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
-    assert(CorpusStream.indexVersions(spark, batchIdx).map(_._2) == Seq(0L, 1L))
+    assert(CorpusStream.indexVersions(spark, batchIdx).map(_._3) == Seq(0L, 1L))
+
+    // crash MID-delta-write replay: a partial delta dir (no _SUCCESS) at the
+    // slot this batch recomputes must be reclaimed, not wedge ErrorIfExists
+    val partial = new java.io.File(s"$batchIdx/v1_batch_b1")
+    deleteRec(partial) // drop the committed delta, then plant a partial one
+    partial.mkdirs()
+    new java.io.File(partial, "part-00000.parquet").createNewFile() // partial, no _SUCCESS
+    CorpusStream.ingestBatch(spark, batchIdx, batchOut)(b1.toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(CorpusStream.indexVersions(spark, batchIdx).map(_._3) == Seq(0L, 1L))
+    assert(CorpusStream.readIndex(spark, batchIdx).count() == 3)
+
+    // writer-namespaced replay check: a NIGHTLY-BATCH writer sharing the
+    // stream's index starts its own batchIds at 0 — it must NOT be
+    // mistaken for a replay of the stream's batch 0 (that was silent data
+    // loss before the writer namespace). New content lands; dup content
+    // still dedups against the stream's fingerprints.
+    val nightly = Seq(
+      (7L, ts(6), body),                     // dup of streamed content -> dropped
+      (8L, ts(7), body + " nightly only"))   // kept
+    CorpusStream.ingestBatch(spark, idx, out, writer = "nightly")(
+      nightly.toDF("doc_id", "ingest_ts", "text"), 0L)
+    assert(survivors() == Seq(1L, 3L, 5L, 8L))
+    assert(CorpusStream.indexVersions(spark, idx).map(v => (v._2, v._3)).toSet ==
+      Set(("stream", 0L), ("stream", 1L), ("nightly", 0L)))
   }
 
   test("json event parsing roundtrip (N1)") {

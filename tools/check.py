@@ -115,10 +115,13 @@ def compare(name, got, exp):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    import argparse
+    ap = argparse.ArgumentParser(description="DuckDB oracle compare for graft.Verify output")
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--json", dest="json_out", default=None, metavar="PATH")
+    args = ap.parse_args()
+    sf_dir, out_dir, json_out = args.sf_dir, args.out_dir, args.json_out
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     con = duckdb.connect()

@@ -35,14 +35,16 @@ def load(con, verify_out, name):
 
 
 def main():
-    dirty, vout = sys.argv[1], sys.argv[2]
-
-    def opt(flag, default=None):
-        return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
-
-    clean = opt("--clean")
-    check_json = opt("--check-json")
-    out = opt("--out")
+    import argparse
+    ap = argparse.ArgumentParser(description="Assert each rejection branch fired on planted dirt")
+    ap.add_argument("dirty")
+    ap.add_argument("vout")
+    ap.add_argument("--clean", default=None)
+    ap.add_argument("--check-json", dest="check_json", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    dirty, vout = args.dirty, args.vout
+    clean, check_json, out = args.clean, args.check_json, args.out
     man = json.load(open(os.path.join(dirty, "dirty_manifest.json")))
     con = duckdb.connect()
     report, failed = {}, []
