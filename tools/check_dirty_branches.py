@@ -134,6 +134,41 @@ def main():
                f"funnel delta dirty-clean = {delta} (want view+3, click+1, "
                f"purchase+1: out-of-order users stop at step 1)")
 
+    # --- d28: planted garble docs flagged rare ---------------------------
+    ids = ",".join(map(str, man["d28_garble_docs"]))
+    n, n_flag = con.execute(
+        f"""SELECT COUNT(*), CAST(SUM(flagged) AS BIGINT)
+            FROM {load(con, vout, 'd28_token_rarity')}
+            WHERE doc_id IN ({ids})""").fetchone()
+    branch("d28_rare_token_flag",
+           n == len(man["d28_garble_docs"]) and n_flag == n,
+           f"{n_flag}/{len(man['d28_garble_docs'])} planted garble docs "
+           f"flagged rare (rare_ratio >= 0.02)")
+
+    # --- d29: planted cross-source copies raise the pair's overlap ------
+    src_a, src_b = man["d29_overlap_pair"]
+    row = con.execute(
+        f"""SELECT n_common, jaccard FROM {load(con, vout, 'd29_source_overlap')}
+            WHERE source_a = '{src_a}' AND source_b = '{src_b}'""").fetchone()
+    n_common, jac = row if row else (0, 0.0)
+    clean_common = None
+    if clean:
+        sql = json.load(open(os.path.join(vout, "oracle_sql.json")))[
+            "d29_source_overlap"]
+        c = duckdb.connect()
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"'{clean}/documents.parquet'")
+        r = c.execute(
+            f"""SELECT n_common FROM ({sql})
+                WHERE source_a = '{src_a}' AND source_b = '{src_b}'""").fetchone()
+        clean_common = r[0] if r else 0
+    fired = n_common > 0 and jac > 0 and (
+        clean_common is None or n_common > clean_common)
+    branch("d29_source_overlap_nonzero", fired,
+           f"pair ({src_a}, {src_b}): n_common={n_common}, jaccard={jac:.4f}"
+           + (f" (clean n_common={clean_common})" if clean_common is not None
+              else ""))
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

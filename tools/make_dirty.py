@@ -142,6 +142,36 @@ def dirty_documents(src, dst, manifest):
     manifest["d01_exact_dups"] = dup_ids
     manifest["near_dups"] = near_ids
 
+    # (e) d28 rare-token branch: garble docs built from NOVEL singleton
+    # tokens (corpus frequency 1 << RareFactor x mean frequency) so
+    # rare_ratio >> 0.02 and flagged=1 must fire. 12 new tokens total
+    # shared across the three docs, keeping lang en inside d21's exact
+    # capacity.
+    garble_vocab = [f"zzgarble{i:02d}" for i in range(12)]
+    assert not set(garble_vocab) & set(vocab)
+    garble_ids = []
+    for i in range(3):
+        words = ["the", "a"] + [garble_vocab[(i * 4 + j) % 12] for j in range(10)]
+        rnd.shuffle(words)
+        text = " ".join(words)
+        texts.add(text)
+        rows.append(doc(next_id, text, sources[i % len(sources)]))
+        garble_ids.append(next_id)
+        next_id += 1
+    manifest["d28_garble_docs"] = garble_ids
+
+    # (f) d29 source-overlap branch: replant source-A texts under
+    # source B — the (A, B) pair must show n_common > clean and
+    # jaccard > 0 in the overlap matrix.
+    src_a, src_b = sources[0], sources[1]
+    copied = []
+    for d in [d for d in docs if d["source"] == src_a][:12]:
+        rows.append(doc(next_id, d["text"], src_b, d["lang"]))
+        copied.append(next_id)
+        next_id += 1
+    manifest["d29_overlap_pair"] = [src_a, src_b]
+    manifest["d29_copied_docs"] = copied
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:
