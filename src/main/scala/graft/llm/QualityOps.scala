@@ -618,12 +618,43 @@ object QualityOps {
   // shingle fans out at most (sources choose 2) pairs, bounded by the
   // source count, not the corpus. Sizes and pair counts reuse the same
   // pinned frame (localCheckpoint — two consumers).
+  //
+  // maxDocFreq is the web-scale guard: the pair fan-out bound above is
+  // per SHINGLE, so join input is sum over shingles of C(df, 2) — at
+  // web scale, boilerplate shingles present in EVERY source ("all
+  // rights reserved") each contribute C(|sources|, 2) and dominate the
+  // join while carrying zero discriminating signal (a shingle shared by
+  // all sources separates none of them — the same reason search engines
+  // drop stopwords from postings). Dropping shingles whose source-level
+  // document frequency exceeds maxDocFreq bounds the join input at
+  // C(maxDocFreq, 2) x |shingle vocab| and redefines the measure over
+  // the discriminating-shingle universe only (set sizes shrink
+  // consistently, so jaccard stays internally coherent). The default
+  // (Int.MaxValue) keeps the measure exact and adds NO extra stage —
+  // the frequency filter only enters the plan when a finite bound is
+  // asked for.
   // ---------------------------------------------------------------------
-  def d29SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir), 3)
+  def d29SourceOverlap(spark: SparkSession, dir: String,
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), maxDocFreq)
+
+  /** Frame-level core of d29 — see the header above. `docs` needs
+    * (source, text) columns. */
+  def sourceOverlap(docs: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val distinctSh = TextOps.shingleRows(docs, 3)
       .select(col("source"), TextOps.shingleHash(col("sh")).as("shh"))
       .distinct()
-      .localCheckpoint() // consumed by the sizes agg AND the pair join
+    val bounded =
+      if (maxDocFreq == Int.MaxValue) distinctSh
+      else {
+        // source-level DF rides the same shh-keyed shuffle the pair join
+        // needs anyway; count(*) over the distinct frame IS the DF
+        val df = distinctSh.groupBy(col("shh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq)
+        distinctSh.join(df.select(col("shh")), Seq("shh"))
+      }
+    val sh = bounded.localCheckpoint() // consumed by the sizes agg AND the pair join
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.shh") === col("b.shh") && col("a.source") < col("b.source"))

@@ -197,4 +197,36 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.count() <= nSrc * (nSrc - 1) / 2)
     out.unpersist()
   }
+
+  test("d29 maxDocFreq: default is exact; finite bound drops ubiquitous shingles") {
+    import spark.implicits._
+    // boilerplate "all rights reserved here" in every source; one
+    // discriminating shingle shared by A and B only
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma epsilon", "B"),
+      (3L, "zeta eta theta iota", "C"),
+      (4L, "all rights reserved here", "A"),
+      (5L, "all rights reserved here", "B"),
+      (6L, "all rights reserved here", "C"))
+      .toDF("doc_id", "text", "source")
+    def pairs(maxDf: Int) = QualityOps.sourceOverlap(docs, maxDf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exact = pairs(Int.MaxValue)
+    // every pair overlaps via the boilerplate shingles (df = 3 sources)
+    assert(exact.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // A-B additionally share "alpha beta gamma" (df = 2)
+    assert(exact(("A", "B"))._3 == exact(("A", "C"))._3 + 1)
+    // df <= 2 drops the 3-source boilerplate: only the A-B pair survives,
+    // with exactly the one discriminating shingle, and set sizes shrink
+    // to the discriminating universe
+    val bounded = pairs(2)
+    assert(bounded.keySet == Set(("A", "B")))
+    assert(bounded(("A", "B"))._3 == 1)
+    assert(bounded(("A", "B"))._1 < exact(("A", "B"))._1)
+    // default-parameter path == explicit Int.MaxValue (exact tier unchanged)
+    assert(QualityOps.sourceOverlap(docs).collect().toSeq ==
+      QualityOps.sourceOverlap(docs, Int.MaxValue).collect().toSeq)
+  }
 }
