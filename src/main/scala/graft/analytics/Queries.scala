@@ -159,7 +159,20 @@ object Queries {
     * distinct counts replace the exact two-phase expansion — one pass, no
     * per-key distinct state. Rows-only check: HLL implementations differ
     * across engines, so there is no cross-engine oracle; the exact tier
-    * (q02) remains the correctness contract. */
+    * (q02) remains the correctness contract.
+    *
+    * MEASURED crossover (same-JVM best-of-2, local[16], 8g heap,
+    * distinct keys ≈ 60% of rows — the q01 grain's regime): exact
+    * countDistinct wins below ~5M rows (1M: 0.48s vs 1.57s at rsd 1%),
+    * HLL wins from ~10M (2.93s vs 2.02s), is 4.8× faster at 30M (13.6s
+    * vs 2.8s), and at 50M the exact two-phase distinct OOMs the 8g node
+    * outright while HLL finishes in 3.7s flat — the sketch is
+    * constant-memory, the exact expansion is O(distinct keys). At rsd 5%
+    * HLL wins at EVERY scale (1M: 0.23s). So below ~10M rows per
+    * aggregate q02 is both exact and faster; past it — i.e. everywhere
+    * the "100 TB variant" label applies — q02b is the only tier that
+    * survives. sf0.1's bench (600k rows, q02b slower than q02) is the
+    * left side of this curve, not a regression. */
   def q02bKpiApprox(spark: SparkSession, dir: String): DataFrame =
     q01Core(spark, dir).agg(
       sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
@@ -444,6 +457,16 @@ object Queries {
   // quantile-sketch algorithms differ across engines — so the driver
   // records the weaker rows-only check; the exact tier (Q7) stays the
   // correctness contract.
+  //
+  // MEASURED (same-JVM best-of-2, local[16], 3 metrics scored): unlike
+  // q02b there is NO crossover to wait for — the sketch tier wins at
+  // every scale from 1M customers up (1M: 0.64s vs 3.09s exact; 10M:
+  // 1.65s vs 10.92s; 30M: 4.26s vs 64.07s, 15×). The exact tier pays
+  // three range-repartition exchanges + three materialized rank frames;
+  // the sketch pays one agg pass + a broadcast compare. Prefer q07b
+  // whenever boundary-exact quartile membership isn't contractual; q07
+  // exists because the REFERENCE's qcut is exact and the oracle needs
+  // bit-equality.
   // ---------------------------------------------------------------------
   def q07bRfmApprox(spark: SparkSession, dir: String): DataFrame = {
     val rfm = rfmCore(spark, dir)
