@@ -523,15 +523,26 @@ object Queries {
   // reference's dropna(subset) precedes the group — here the same na.drop.
   // Scale: supplier is a broadcast dim; one shuffle on suppkey.
   // ---------------------------------------------------------------------
-  def q09SupplierScorecard(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+  def q09SupplierScorecard(spark: SparkSession, dir: String): DataFrame =
+    q09Rollup(q09Joined(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.supplier(spark, dir)))
+
+  /** Q9's join stage as a frame function: callers pick the fact layout —
+    * raw parquet scans (one shuffle per side), or the orderkey-bucketed
+    * warehouse tables that make this fact-fact join plan with ZERO
+    * exchanges (Runner.runGold wires that path; BucketingSpec proves it
+    * on the physical plan). */
+  def q09Joined(orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame): DataFrame =
+    orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
       .na.drop(Seq("l_shipdate", "o_orderdate", "l_discount"))
       .withColumn("__delay",
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+
+  /** Q9's rollup over [[q09Joined]]'s output. */
+  def q09Rollup(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier_name"))
       .agg(
         sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
@@ -541,7 +552,6 @@ object Queries {
         (sum(col("__delay")).cast(DoubleType) / count(col("__delay")))
           .as("avg_ship_delay"))
       .orderBy(col("total_revenue").desc, col("supplier_id"))
-  }
 
   val q09Sql: String =
     """SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,

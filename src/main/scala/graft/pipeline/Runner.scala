@@ -111,19 +111,51 @@ object Runner {
     ))
 
   /** Gold: audited marts. Audit columns mirror the reference DWH layer
-    * (`target_layer.py:52-53` insertion/modification dates). The four
-    * marts run concurrently; q02/q03/q07 share their StageCache stages,
+    * (`target_layer.py:52-53` insertion/modification dates). The marts
+    * run concurrently; q02/q03/q07 share their StageCache stages,
     * whose atomic computeIfAbsent guarantees a single build even under
-    * concurrent first consumers. */
+    * concurrent first consumers.
+    *
+    * The two big facts first land ONCE as orderkey-bucketed managed
+    * tables (the 100 TB layout: co-located + co-sorted on the join key),
+    * and the q09-shape supplier scorecard is built FROM them — its
+    * orders⋈lineitem fact-fact join plans with ZERO shuffle exchanges
+    * (asserted here, proven again in BucketingSpec). On a cluster, every
+    * later fact-fact query amortizes the same one-time bucketed write. */
   def runGold(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     def audited(df: DataFrame): DataFrame =
       df.withColumn("_inserted_at", current_timestamp())
         .withColumn("_source", lit("graft-etl"))
     inParallel(spark, Seq(
+      () => Sinks.bucketed(Tables.orders(spark, sfDir), "graft_wh_orders", 32, Seq("o_orderkey")),
+      () => Sinks.bucketed(Tables.lineitem(spark, sfDir), "graft_wh_lineitem", 32, Seq("l_orderkey")),
+    ))
+    // Plan proof on the PURE fact-fact join, broadcast disabled: at small
+    // SF a broadcast join would satisfy "no shuffle" trivially. The check
+    // reads the rendered plan tree (Spark 4 wraps plans in an
+    // AdaptiveSparkPlanExec LEAF, so node collect() can't see inside; the
+    // toString still prints the full tree): a correctly co-located join
+    // is a bare SortMergeJoin over Bucketed: true scans with no Exchange
+    // anywhere.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val factJoin = spark.table("graft_wh_orders")
+        .join(spark.table("graft_wh_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val planStr = factJoin.queryExecution.executedPlan.toString
+      require(planStr.contains("SortMergeJoin") && planStr.contains("Bucketed: true")
+          && !planStr.contains("Exchange"),
+        s"bucketed fact-fact join: expected exchange-free bucketed sort-merge join:\n${planStr.take(1500)}")
+      println("[runner] gold/supplier_scorecard fact-fact join: 0 shuffle exchanges (bucketed co-location)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    val scorecardJoin = Queries.q09Joined(spark.table("graft_wh_orders"),
+      spark.table("graft_wh_lineitem"), Tables.supplier(spark, sfDir))
+    inParallel(spark, Seq(
       () => Sinks.parquet(audited(Queries.q02KpiTotals(spark, sfDir)), s"$outDir/gold/kpi_totals", tinyOutput = true),
       () => Sinks.parquet(audited(Queries.q03DailySales(spark, sfDir)), s"$outDir/gold/daily_sales", tinyOutput = true),
       () => Sinks.parquet(audited(Queries.q07Rfm(spark, sfDir)), s"$outDir/gold/rfm"),
       () => Sinks.parquet(audited(EventQueries.q25RunningTotals(spark, sfDir)), s"$outDir/gold/event_totals", tinyOutput = true),
+      () => Sinks.parquet(audited(Queries.q09Rollup(scorecardJoin)), s"$outDir/gold/supplier_scorecard"),
     ))
   }
 

@@ -50,12 +50,24 @@ object Sinks {
     * both sides on every query. Bucket count is the scale knob: pick so a
     * bucket of the larger table fits an executor's memory. */
   def bucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: the in-memory catalog forgets managed tables
+    // between sessions but their warehouse directory survives, and
+    // Overwrite can only replace a table the catalog knows — drop the
+    // entry if present AND clear a stale orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** S7 — JDBC append sink, the warehouse egress the reference uses for
     * Postgres (`spark_transform.py:331-355`). Exercised end-to-end against
