@@ -331,9 +331,9 @@ class StreamingSpec extends SparkSpec {
       (5L, ts(4), body + " third content"),   // kept
       (6L, ts(5), "too short"))               // gated
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fpckpt").toString
     val q = CorpusStream.startIngest(
-      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out,
-      java.nio.file.Files.createTempDirectory("graft_fpckpt").toString)
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out, ckpt)
     stream.addData(b0); q.processAllAvailable()
     stream.addData(b1); q.processAllAvailable()
     q.stop()
@@ -397,6 +397,26 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() == Seq(1L, 3L, 5L, 8L))
     assert(CorpusStream.indexVersions(spark, idx).map(v => (v._2, v._3)).toSet ==
       Set(("stream", 0L), ("stream", 1L), ("nightly", 0L)))
+
+    // cross-restart dedup: a NEW query incarnation on the SAME checkpoint
+    // and index must drop content accepted BEFORE the restart — including
+    // content only the nightly batch writer ingested — because the
+    // persisted index spans the corpus lifetime, unlike watermark state,
+    // which dies with the query. (A fresh-checkpoint restart would also
+    // need a fresh writer id: batchIds restart at 0 and would read as
+    // replays of the first incarnation's commits.)
+    val b2 = Seq(
+      (9L, ts(8), body),                         // dup of pre-restart stream content
+      (10L, ts(9), body + " nightly only"),      // dup of the NIGHTLY batch's content
+      (11L, ts(10), body + " post restart"))     // kept
+    stream.addData(b2)
+    val q2 = CorpusStream.startIngest(
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(survivors() == Seq(1L, 3L, 5L, 8L, 11L))
+    assert(CorpusStream.indexVersions(spark, idx).map(v => (v._2, v._3)).toSet ==
+      Set(("stream", 0L), ("stream", 1L), ("stream", 2L), ("nightly", 0L)))
   }
 
   test("json event parsing roundtrip (N1)") {
