@@ -250,6 +250,14 @@ object OlapQueries {
   // the engine's decimal contract: inputs lifted to DECIMAL(18,2), exact
   // decimal products (scale grows per multiply), cast to double at the
   // end — associative, partition-order independent, oracle-identical.
+  //
+  // One sf1-found wrinkle (round 8): sum_charge is a scale-6 decimal sum,
+  // and once its unscaled value crosses 2^53 (~2.8e16 here at 6M rows)
+  // DuckDB's native decimal→double cast double-rounds (hugeint→double,
+  // THEN ÷10^6) and can land 1 ulp off Spark's correctly-rounded
+  // BigDecimal→double. The oracle therefore routes that one cast through
+  // VARCHAR (string→double parse is correctly rounded); Spark-side code
+  // is unchanged and exact.
   // ---------------------------------------------------------------------
   def q37PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
@@ -278,9 +286,9 @@ object OlapQueries {
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-      |             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |       COUNT(*) AS count_order
