@@ -543,8 +543,9 @@ object QualityOps {
   // 100 TB, not corpus-sized) and joins on the token — the only shuffles
   // are token-keyed (short strings) and the per-doc hash aggregate with
   // map-side partials. The 1-row threshold frame rides a broadcast cross
-  // join (bounded, q19's J7 shape). At web scale the same plan serves
-  // with the freq table truncated to top-k + "absent ⇒ rare".
+  // join (bounded, q19's J7 shape). The web-scale tier — freq table
+  // truncated to top-k with "absent ⇒ rare", which also turns the token
+  // join into a broadcast — is d28b below.
   //
   // Contract: a document whose text tokenizes to ZERO tokens produces no
   // explode rows, so it is ABSENT from the output rather than scored
@@ -599,6 +600,77 @@ object QualityOps {
        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
        |         CAST(SUM(f.f) AS DOUBLE) / COUNT(*) AS mean_tok_freq
        |  FROM toks t JOIN freq f USING (tok), thr
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_rare, mean_tok_freq,
+       |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio,
+       |       CAST(CAST(n_rare AS DOUBLE) / n_tokens >= $RareRatioFlag AS INT) AS flagged
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d28b — d28's web-scale tier, the header's "freq table truncated to
+  // top-k + absent ⇒ rare" made real: the frequency table keeps only the
+  // top-K tokens (ORDER BY f DESC, tok — a deterministic total order, so
+  // the truncation is EXACTLY reproducible and the query keeps a full
+  // DuckDB oracle, unlike the sketch tiers), the rarity threshold
+  // averages over that bounded table, and any token ABSENT from it is
+  // rare by definition.
+  //
+  // Scale: this flips d28's one data-sized shuffle into none — freqK is
+  // K rows, so the token join BROADCASTS (the plan's only exchanges are
+  // the vocab-sized freq aggregate, which d28 pays too, and the final
+  // per-doc aggregate). At web scale the full vocab is billions of rows
+  // while top-K at K~1M covers ~99% of token OCCURRENCES (Zipf); every
+  // uncovered occurrence is exactly what the filter wants to call rare.
+  // mean_tok_freq averages over PRESENT tokens only (a doc of all-absent
+  // tokens gets NULL — both engines agree).
+  // ---------------------------------------------------------------------
+  private val TopKTokens = 20
+
+  def d28bTokenRarityTopK(spark: SparkSession, dir: String,
+      k: Int = TopKTokens): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val freqK = toks.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("tok"))
+      .limit(k)
+      .localCheckpoint() // feeds the threshold agg AND the broadcast join
+    val thr = freqK.agg(
+      (sum(col("__f")).cast(DoubleType) / count(lit(1))).as("__avg"))
+    toks.join(broadcast(freqK), Seq("tok"), "left")
+      .crossJoin(broadcast(thr))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__f").isNull ||
+            col("__f").cast(DoubleType) < col("__avg") * RareFactor, 1L)
+          .otherwise(0L)).as("n_rare"),
+        (sum(col("__f")).cast(DoubleType) / count(col("__f")))
+          .as("mean_tok_freq"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast(DoubleType) / col("n_tokens"))
+      .withColumn("flagged",
+        when(col("rare_ratio") >= RareRatioFlag, 1).otherwise(0)
+          .cast(IntegerType))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        col("mean_tok_freq"), col("rare_ratio"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d28bSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |freqk AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
+       |          ORDER BY f DESC, tok LIMIT $TopKTokens),
+       |thr AS (SELECT CAST(SUM(f) AS DOUBLE) / COUNT(*) AS avg_f FROM freqk),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         COUNT(*) AS n_tokens,
+       |         CAST(SUM(CASE WHEN f.f IS NULL OR CAST(f.f AS DOUBLE) < thr.avg_f * $RareFactor
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |         CAST(SUM(f.f) AS DOUBLE) / COUNT(f.f) AS mean_tok_freq
+       |  FROM toks t LEFT JOIN freqk f USING (tok), thr
        |  GROUP BY t.doc_id)
        |SELECT doc_id, n_tokens, n_rare, mean_tok_freq,
        |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio,

@@ -183,6 +183,27 @@ class QualityOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d28b: top-k tier degenerates to d28 when k covers the vocab; rarity only grows under truncation") {
+    // k >= |vocab|: freqK is the full table, thresholds identical -> d28b == d28
+    val full = QualityOps.d28bTokenRarityTopK(spark, sf, k = 1000000).collect().toSeq
+    val exact = QualityOps.d28TokenRarity(spark, sf).collect().toSeq
+    assert(full == exact)
+    // default k truncates: per-doc token counts unchanged, but absent =>
+    // rare and the top-k average can only sit higher, so rarity grows
+    val topk = QualityOps.d28bTokenRarityTopK(spark, sf).cache()
+    val d28 = QualityOps.d28TokenRarity(spark, sf)
+    assert(topk.count() == d28.count())
+    val joined = topk.select(col("doc_id"), col("n_tokens").as("nt_b"),
+        col("n_rare").as("nr_b"))
+      .join(d28.select(col("doc_id"), col("n_tokens"), col("n_rare")), Seq("doc_id"))
+    assert(joined.filter(col("nt_b") =!= col("n_tokens")).count() == 0)
+    assert(joined.filter(col("nr_b") < col("n_rare")).count() == 0)
+    // the absent => rare branch actually fires on this corpus
+    assert(topk.agg(sum(col("n_rare"))).head().getLong(0) >
+      d28.agg(sum(col("n_rare"))).head().getLong(0))
+    topk.unpersist()
+  }
+
   test("d29: upper triangle only, n_common bounded by set sizes, jaccard consistent") {
     val out = QualityOps.d29SourceOverlap(spark, sf).cache()
     assert(out.filter(col("source_a") >= col("source_b")).count() == 0)

@@ -145,6 +145,17 @@ def main():
            f"{n_flag}/{len(man['d28_garble_docs'])} planted garble docs "
            f"flagged rare (rare_ratio >= 0.02)")
 
+    # --- d28b: same garble docs hit the top-k tier's absent=>rare path --
+    # (singleton garble tokens can never reach the top-k frequency table)
+    n, n_flag = con.execute(
+        f"""SELECT COUNT(*), CAST(SUM(flagged) AS BIGINT)
+            FROM {load(con, vout, 'd28b_token_rarity_topk')}
+            WHERE doc_id IN ({ids})""").fetchone()
+    branch("d28b_absent_token_flag",
+           n == len(man["d28_garble_docs"]) and n_flag == n,
+           f"{n_flag}/{len(man['d28_garble_docs'])} planted garble docs "
+           f"flagged via the absent-from-top-k path")
+
     # --- d29: planted cross-source copies raise the pair's overlap ------
     src_a, src_b = man["d29_overlap_pair"]
     row = con.execute(
