@@ -764,4 +764,44 @@ object QualityOps {
       |JOIN sizes sa ON sa.source = p.source_a
       |JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d29b — d29 under the stop-shingle bound as a gated tier: shingles
+  // whose source-level document frequency exceeds StopShingleDf are
+  // dropped before the pair join (they separate nothing — a shingle in
+  // every source carries zero discriminating signal, and at web scale
+  // boilerplate shingles would otherwise dominate the join's fan-out
+  // with C(|sources|, 2) pairs EACH). The truncation is deterministic,
+  // so unlike the sketch tiers this keeps a full DuckDB oracle; set
+  // sizes shrink to the discriminating-shingle universe consistently,
+  // keeping jaccard internally coherent.
+  // ---------------------------------------------------------------------
+  private val StopShingleDf = 4
+
+  def d29bSourceOverlapBounded(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), StopShingleDf)
+
+  val d29bSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS sh
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+      |  WHERE i <= len(tk) - 2),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $StopShingleDf),
+      |sh AS (SELECT s.source, s.sh FROM sh0 s JOIN keep USING (sh)),
+      |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       p.n_common,
+      |       CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -250,4 +250,14 @@ class QualityOpsSpec extends SparkSpec {
     assert(QualityOps.sourceOverlap(docs).collect().toSeq ==
       QualityOps.sourceOverlap(docs, Int.MaxValue).collect().toSeq)
   }
+
+  test("d29b: the registered stop-shingle tier actually drops shingles on the driver corpus") {
+    val exact = QualityOps.d29SourceOverlap(spark, sf)
+      .agg(sum(col("n_common")), sum(col("n_a"))).head()
+    val bounded = QualityOps.d29bSourceOverlapBounded(spark, sf)
+      .agg(sum(col("n_common")), sum(col("n_a"))).head()
+    // set sizes shrink (the cutoff removed shingles) and overlap never grows
+    assert(bounded.getLong(1) < exact.getLong(1))
+    assert(bounded.getLong(0) <= exact.getLong(0))
+  }
 }
