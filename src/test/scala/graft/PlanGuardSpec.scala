@@ -26,6 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     "a01_ann_brute_force", "a04_ann_ivf", "a04b_ann_ivf_kmeans",
     "a05_semantic_dedup", "a06_quantize_embeddings", // 1-row calibration
     "d28_token_rarity", // 1-row mean-token-frequency threshold
+    "d28b_token_rarity_topk", // same 1-row threshold, over the K-row table
     "f01_scalar_suite", "q07b_rfm_approx",
     "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
     "q17_filtered_dist", "q19_product_imputation")
@@ -37,6 +38,7 @@ class PlanGuardSpec extends SparkSpec {
   private val singlePartOk = Set(
     "a06_quantize_embeddings", // 1-row min/max calibration aggregate
     "d28_token_rarity", // 1-row avg-token-frequency aggregate (vocab-sized input)
+    "d28b_token_rarity_topk", // K-row global top-k limit + 1-row threshold, both over the aggregated vocab table
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
     "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",
