@@ -99,9 +99,23 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** `dir` may be the raw driver layout (single `<name>.parquet` files)
+    * OR a pipeline layer directory (`<name>/` parquet dirs as written by
+    * [[graft.pipeline.Runner]]) — the loaders serve both, so the layered
+    * pipeline can point every downstream query at the PREVIOUS layer's
+    * output with the same call. One driver-side existence probe per
+    * loaded table decides the layout (never per row). */
+  private[graft] def isLayerDir(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val raw = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(raw)
+  }
+
   private def read(spark: SparkSession, dir: String, name: String,
                    schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    spark.read.schema(schema).parquet(
+      if (isLayerDir(spark, dir, name)) s"$dir/$name" else s"$dir/$name.parquet")
 
   def orders(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "orders", ordersSchema)
@@ -118,16 +132,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "part", partSchema)
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // defensive: required to read TIMESTAMP(NANOS) parquet as long; set
-    // here (runtime-settable SQLConf) so callers with sessions not built
-    // by Engine still work
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events", eventsSchema)
-      // integer division, NOT `/` (double division loses precision above
-      // 2^53 — epoch-nanos are ~1.7e18)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    if (isLayerDir(spark, dir, "events")) {
+      // a layer copy was WRITTEN by this loader's consumer, so its ts is
+      // already a micros TIMESTAMP — read it back as such, no conversion
+      val layerSchema = StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+      spark.read.schema(layerSchema).parquet(s"$dir/events")
+    } else {
+      // defensive: required to read TIMESTAMP(NANOS) parquet as long; set
+      // here (runtime-settable SQLConf) so callers with sessions not built
+      // by Engine still work
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      read(spark, dir, "events", eventsSchema)
+        // integer division, NOT `/` (double division loses precision above
+        // 2^53 — epoch-nanos are ~1.7e18)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", documentsSchema)

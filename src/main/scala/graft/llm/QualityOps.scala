@@ -624,10 +624,17 @@ object QualityOps {
   // mean_tok_freq averages over PRESENT tokens only (a doc of all-absent
   // tokens gets NULL — both engines agree).
   // ---------------------------------------------------------------------
-  private val TopKTokens = 20
+  // K for the REGISTERED demo tier only — pinned tiny so the truncation
+  // branch (absent ⇒ rare) actually exercises on the driver corpus and
+  // the DuckDB oracle reproduces it bit-for-bit. At K=20 most of the
+  // vocabulary is absent⇒rare — that is the truncation artifact on
+  // display, not a production setting. Real deployments pass `k`
+  // explicitly (the header's Zipf argument sizes K~1M for web scale,
+  // where top-K covers ~99% of occurrences and absent⇒rare is the tail).
+  private val DemoTopK = 20
 
   def d28bTokenRarityTopK(spark: SparkSession, dir: String,
-      k: Int = TopKTokens): DataFrame = {
+      k: Int = DemoTopK): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     val freqK = toks.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
@@ -662,7 +669,7 @@ object QualityOps {
        |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
        |  FROM documents),
        |freqk AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
-       |          ORDER BY f DESC, tok LIMIT $TopKTokens),
+       |          ORDER BY f DESC, tok LIMIT $DemoTopK),
        |thr AS (SELECT CAST(SUM(f) AS DOUBLE) / COUNT(*) AS avg_f FROM freqk),
        |scored AS (
        |  SELECT t.doc_id,

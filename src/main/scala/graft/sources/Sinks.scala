@@ -61,7 +61,22 @@ object Sinks {
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // guard the recursive delete: only reclaim a directory that looks
+      // like an orphaned managed-table remnant (parquet part files or a
+      // _SUCCESS marker at its top level). Anything else at this warehouse
+      // path — e.g. data another tool parked there, or an external table
+      // registered under a different name — is NOT ours to destroy.
+      val top = fs.listStatus(loc).map(_.getPath.getName)
+      val looksLikeTableRemnant = top.isEmpty ||
+        top.exists(n => n == "_SUCCESS" || (n.startsWith("part-") && n.contains(".parquet")))
+      require(looksLikeTableRemnant,
+        s"refusing to overwrite $loc for table `$table`: directory exists " +
+        s"but does not look like an orphaned managed-table remnant " +
+        s"(top-level entries: ${top.take(5).mkString(", ")}); move it aside first")
+      println(s"[sinks] reclaiming orphaned managed-table dir $loc for `$table`")
+      fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

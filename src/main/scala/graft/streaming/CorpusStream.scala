@@ -90,8 +90,19 @@ object CorpusStream {
   // Concurrent multi-writer dims are DimSync's territory.
   // ---------------------------------------------------------------------
   private val VersionBatchRe = "v(\\d+)_([A-Za-z0-9-]+)_b(\\d+)".r
+  // the pre-writer-namespace delta layout (`v<N>_b<id>`, one implicit
+  // writer) — recognized only to fail loudly below
+  private val LegacyVersionBatchRe = "v(\\d+)_b(\\d+)".r
 
-  /** Committed (version, writer, batchId) triples of a fingerprint index. */
+  /** Committed (version, writer, batchId) triples of a fingerprint index.
+    *
+    * An index written by the pre-writer-namespace layout (`v<N>_b<id>`)
+    * is REJECTED loudly rather than silently skipped: ignoring committed
+    * deltas would re-ingest all prior content as "fresh" (duplicate
+    * corpus rows) and forget replayed batchIds — the silent-data-quality
+    * failure this index exists to prevent. Migration is a pure rename:
+    * `v<N>_b<id>` → `v<N>_<writer>_b<id>` for whichever single writer
+    * produced the old sequence. */
   def indexVersions(spark: SparkSession, indexDir: String): Seq[(Int, String, Long)] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,6 +110,13 @@ object CorpusStream {
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
+        case LegacyVersionBatchRe(v, b) =>
+          throw new IllegalStateException(
+            s"fingerprint index $indexDir contains a legacy delta " +
+            s"'${s.getPath.getName}' (pre-writer-namespace layout); rename " +
+            s"committed deltas to v${v}_<writer>_b$b (e.g. writer 'legacy') " +
+            "before ingesting — skipping them would re-ingest all prior " +
+            "content as duplicates")
         case VersionBatchRe(v, w, b) if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
           Some((v.toInt, w, b.toLong))
         case _ => None
@@ -127,7 +145,16 @@ object CorpusStream {
     * callable on a plain batch frame — the nightly-batch and streaming
     * paths ARE this one function. `writer` namespaces the replay check:
     * each caller with its own batchId sequence needs its own id (the
-    * streaming default is "stream", the batch default "batch"). */
+    * streaming default is "stream", the batch default "batch").
+    *
+    * SERIALIZATION CONTRACT: distinct writer ids make replays and paths
+    * collision-free, but writers to ONE index must not run CONCURRENTLY —
+    * there is no lock, so two simultaneous ingests each anti-join a
+    * snapshot of the index that lacks the other's in-flight delta, and
+    * both can commit the same text_fp (duplicate corpus rows + duplicate
+    * index fingerprints). Run the stream and the nightly batch against a
+    * shared index back-to-back (e.g. pause the stream for the batch
+    * window), or give each its own index. */
   def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
       writer: String = "batch")(batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),

@@ -26,6 +26,48 @@ class PipelineSpec extends SparkSpec {
     val kpi = spark.read.parquet(s"$out/gold/kpi_totals")
     assert(kpi.count() == 1 && kpi.columns.contains("_inserted_at"))
     assert(spark.read.parquet(s"$out/gold/rfm").count() == 150)
+
+    // --- layer hand-off is REAL (round-8 verdict #2) ---
+    // The loaders detect the layer layout: pointing them at silver/ must
+    // scan silver's parquet, not the raw drop. Asserted by scan path in
+    // the physical plan of a mart-shaped query built against silver.
+    val silverPlan = graft.analytics.Queries
+      .q03DailySales(spark, s"$out/silver")
+      .queryExecution.executedPlan.toString
+    assert(silverPlan.contains(s"$out/silver/orders"))
+    assert(!silverPlan.contains(sfDir))
+    // silver entity copies carry the same typed contract as the raw read
+    assert(Tables.orders(spark, s"$out/silver").schema == Tables.ordersSchema)
+    assert(Tables.events(spark, s"$out/silver").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // ... and the same rows for the pass-through tables (every table but
+    // lineitem validates clean on the driver data)
+    assert(Tables.events(spark, s"$out/silver")
+      .except(Tables.events(spark, sfDir)).isEmpty)
+    assert(Tables.orders(spark, s"$out/silver")
+      .except(Tables.orders(spark, sfDir)).isEmpty)
+    // lineitem is NOT a pass-through: the driver data carries duplicate
+    // (l_orderkey, l_linenumber) keys, which bronze quarantines. Row
+    // conservation: valid ∪ quarantine == raw, and silver == the valid side.
+    val rawLi = Tables.lineitem(spark, sfDir).count()
+    val silverLi = Tables.lineitem(spark, s"$out/silver").count()
+    val quarantinedLi = spark.read.option("header", "true")
+      .csv(s"$out/bronze/lineitem_bad/quarantine").count()
+    assert(silverLi + quarantinedLi == rawLi && quarantinedLi > 0)
+    // gold marts aggregate the VALIDATED fact layer: mart == registered
+    // query pointed at silver (not raw — raw still carries the duplicate
+    // keys bronze exists to strip; the CORRECTNESS oracle board runs over
+    // raw via Verify and is untouched by the pipeline)
+    val goldKpi = spark.read.parquet(s"$out/gold/kpi_totals")
+      .drop("_inserted_at", "_source")
+    assert(goldKpi.collect().map(_.toSeq).toSeq ==
+      graft.analytics.Queries.q02KpiTotals(spark, s"$out/silver")
+        .collect().map(_.toSeq).toSeq)
+    val goldScorecard = spark.read.parquet(s"$out/gold/supplier_scorecard")
+      .drop("_inserted_at", "_source")
+    val q09silver = graft.analytics.Queries.q09SupplierScorecard(spark, s"$out/silver")
+    assert(goldScorecard.except(q09silver).isEmpty &&
+      q09silver.except(goldScorecard).isEmpty)
   }
 
   test("corpus layer: prepared split, stats, chunks of survivors only") {

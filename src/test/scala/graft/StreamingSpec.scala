@@ -417,6 +417,18 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() == Seq(1L, 3L, 5L, 8L, 11L))
     assert(CorpusStream.indexVersions(spark, idx).map(v => (v._2, v._3)).toSet ==
       Set(("stream", 0L), ("stream", 1L), ("stream", 2L), ("nightly", 0L)))
+
+    // a legacy pre-writer-namespace delta (v<N>_b<id>) must fail LOUDLY,
+    // not be silently skipped (skipping committed fingerprints would
+    // re-ingest all prior content as duplicates)
+    val legacyIdx = java.nio.file.Files.createTempDirectory("graft_fpidx3").toString
+    val legacy = new java.io.File(s"$legacyIdx/v0_b0")
+    legacy.mkdirs()
+    new java.io.File(legacy, "_SUCCESS").createNewFile()
+    val ex = intercept[IllegalStateException] {
+      CorpusStream.indexVersions(spark, legacyIdx)
+    }
+    assert(ex.getMessage.contains("legacy delta"))
   }
 
   test("json event parsing roundtrip (N1)") {
