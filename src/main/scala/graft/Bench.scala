@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, print ONE JSON metrics line.
+  * SPARK_GRAFT_SF_DIR, print the JSON metrics line (full per-query form,
+  * then a short totals line that survives the driver's bounded tail
+  * capture; the full JSON is also written to SPARK_GRAFT_BENCH_OUT,
+  * default ./BENCH_LOCAL.json, as the self-contained artifact).
   *
   * Queries execute into the `noop` sink — full computation, every column
   * materialized, no disk write — rather than `.count()`, which would let
@@ -91,7 +94,28 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+    // The round driver stores only a bounded TAIL of this process's
+    // output before parsing, and the full line (~3.4 KB at 100 queries)
+    // overflows it — BENCH_r07/r08 both landed as parsed:null with the
+    // first ~32 per-query timings cut off. Three-way belt and braces:
+    //   1. the complete JSON goes to a FILE (self-contained artifact,
+    //      committed with the round);
+    //   2. the full line still prints (driver contract, parseable
+    //      whenever the window is big enough);
+    //   3. a short totals line prints LAST — it always fits the tail
+    //      window whole, so a last-match parse always succeeds, and it
+    //      carries the file path + query count for whoever reads it.
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")).getAbsoluteFile
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(full)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }
