@@ -568,6 +568,31 @@ object Queries {
       |ORDER BY total_revenue DESC, supplier_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q9b — the SAME scorecard from the orderkey-bucketed warehouse (the
+  // layout Runner.runGold builds; reference A9 again). The first call per
+  // (warehouse, dir) pays the one-time bucketed write of both facts; every
+  // later call — and the bench's best-of-2, by construction — reads the
+  // co-located managed tables, so the orders⋈lineitem fact-fact join
+  // plans with ZERO shuffle exchanges (BucketingSpec proves the plan).
+  // This is q09's 100 TB shape as a benchmarkable registry entry: the
+  // remaining exchanges are the suppkey rollup and the final sort, both
+  // rollup-sized. Table names embed the source dir (the warehouse
+  // outlives the in-memory catalog across JVMs and dirs — sf0.001 tables
+  // must never satisfy an sf0.1 run). Same oracle as q09.
+  // ---------------------------------------------------------------------
+  def q09bScorecardBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(
+      java.util.Objects.hashCode(new java.io.File(dir).getAbsolutePath))
+    val (ot, lt) = (s"graft_wh_orders_$suffix", s"graft_wh_lineitem_$suffix")
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+      graft.sources.Sinks.bucketed(Tables.orders(spark, dir), ot, 32, Seq("o_orderkey"))
+      graft.sources.Sinks.bucketed(Tables.lineitem(spark, dir), lt, 32, Seq("l_orderkey"))
+    }
+    q09Rollup(q09Joined(spark.table(ot), spark.table(lt),
+      Tables.supplier(spark, dir)))
+  }
+
+  // ---------------------------------------------------------------------
   // Q10 — mean metric by delivery status (reference A10,
   // `run_analytics.py:175-177`: avg review score per On-Time/Late bucket).
   // Reuses Q6's enrichment semantics (delay >= 0 filter included).

@@ -72,4 +72,34 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_wh_lineitem")
     }
   }
+
+  test("registered q09b builds its warehouse once, joins bucketed, matches q09") {
+    def countExch(plan: String) =
+      "Exchange".r.findAllMatchIn(plan).size
+    // broadcast forced off: at this tiny SF the planner would broadcast
+    // the orders side of BOTH variants, hiding the difference bucketing
+    // exists to prove (the supplier dim keeps its explicit hint)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q09b = graft.analytics.Queries.q09bScorecardBucketed(spark, sfDir)
+      val q09 = graft.analytics.Queries.q09SupplierScorecard(spark, sfDir)
+      val bPlan = q09b.queryExecution.executedPlan.toString
+      val rPlan = q09.queryExecution.executedPlan.toString
+      // both fact scans come from the bucketed managed tables and feed the
+      // join co-located: the full plan keeps only the rollup-sized
+      // exchanges (suppkey aggregate + final sort), so it must plan
+      // strictly fewer exchanges than the raw-scan q09
+      assert(bPlan.contains("SortMergeJoin") && bPlan.contains("Bucketed: true"),
+        bPlan.take(800))
+      assert(countExch(bPlan) < countExch(rPlan),
+        s"bucketed plan should shed the fact-fact join shuffles:\n${bPlan.take(1500)}")
+      // same result, and the second call reuses the tables (no rebuild):
+      // the catalog already has them, so the entry is idempotent per dir
+      assert(q09b.collect().toSeq == q09.collect().toSeq)
+      assert(graft.analytics.Queries.q09bScorecardBucketed(spark, sfDir)
+        .collect().toSeq == q09.collect().toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
