@@ -180,6 +180,24 @@ def main():
            + (f" (clean n_common={clean_common})" if clean_common is not None
               else ""))
 
+    # --- d29b: the planted every-source boilerplate shingle is dropped --
+    # by the stop-shingle tier (DF=20 > StopShingleDf=4) while exact d29
+    # counts it: for the planted overlap pair the bounded tier's n_common
+    # must sit strictly BELOW d29's (dropping boilerplate is the tier's
+    # whole point; its universe is a subset, so <= holds by construction
+    # and the plant forces <).
+    if "d29b_boilerplate_docs" in man:
+        rowb = con.execute(
+            f"""SELECT n_common FROM {load(con, vout, 'd29b_source_overlap_bounded')}
+                WHERE source_a = '{src_a}' AND source_b = '{src_b}'""").fetchone()
+        nb = rowb[0] if rowb else 0
+        branch("d29b_stop_shingle_drop", 0 < nb < n_common,
+               f"pair ({src_a}, {src_b}): d29b n_common={nb} < d29 "
+               f"n_common={n_common} (planted boilerplate shingle "
+               f"'{man['d29b_boilerplate_shingle']}' in all "
+               f"{len(man['d29b_boilerplate_docs'])} sources dropped by the "
+               f"stop-shingle tier)")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

@@ -172,6 +172,24 @@ def dirty_documents(src, dst, manifest):
     manifest["d29_overlap_pair"] = [src_a, src_b]
     manifest["d29_copied_docs"] = copied
 
+    # (g) d29b stop-shingle branch: ONE fixed boilerplate trigram (built
+    # from existing vocab words — no new tokens, d21 capacity unchanged)
+    # planted into a doc of EVERY source. Its source-level document
+    # frequency (= n_sources = 20) exceeds d29b's StopShingleDf=4, so the
+    # stop-shingle tier must DROP it while exact d29 counts it in every
+    # pair's n_common — check_dirty_branches asserts d29b's n_common for
+    # the planted overlap pair is strictly below d29's.
+    boiler = " ".join(vocab[:3])
+    boiler_ids = []
+    for s in sources:
+        text = fresh_text() + " " + boiler
+        texts.add(text)
+        rows.append(doc(next_id, text, s))
+        boiler_ids.append(next_id)
+        next_id += 1
+    manifest["d29b_boilerplate_shingle"] = boiler
+    manifest["d29b_boilerplate_docs"] = boiler_ids
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:
