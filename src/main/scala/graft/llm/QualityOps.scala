@@ -623,6 +623,28 @@ object QualityOps {
   // uncovered occurrence is exactly what the filter wants to call rare.
   // mean_tok_freq averages over PRESENT tokens only (a doc of all-absent
   // tokens gets NULL — both engines agree).
+  //
+  // MEASURED crossover (same-JVM best-of-2, local[16], 8g heap, Zipf-ish
+  // synthetic corpus at 100 tokens/doc, production code paths): there is
+  // NO crossover to wait for — the broadcast tier wins at every scale,
+  // and the gap widens as the occurrence shuffle grows. d28 vs
+  // d28b(k=10k): 3M tokens 1.64s vs 1.23s; 10M 3.01 vs 2.26; 30M 10.28
+  // vs 3.85 (2.7×); 100M 40.0 vs 13.9 (2.9×). k=10k vs k=100k is noise
+  // (the broadcast stays kilobytes–megabytes) — both tiers pay the same
+  // vocab aggregate, so the whole gap is the data-sized token-keyed
+  // shuffle join d28b deletes. sf0.1's bench (0.56 vs 0.61s) is the flat
+  // left end of the same curve.
+  //
+  // K-sensitivity of the FLAG (dirty sf0.01 fixture, 577 docs): the
+  // planted garble docs' singleton tokens are absent from top-K at every
+  // K below the full vocab AND fall under the frequency threshold when
+  // present, so their flag is K-invariant (3/3 at k=5, 10, 20, 64). What
+  // moves with K is the false-flag rate on ordinary docs: at k≤20 on
+  // this tiny-vocab corpus EVERY doc is flagged (577/577 — the
+  // truncation artifact DemoTopK's comment warns about), while k=64
+  // (covering the vocab) reproduces d28's 41/577. Size K so top-K covers
+  // ~99% of occurrences (Zipf: K~1M at web scale) and absent⇒rare is
+  // the tail it is meant to be.
   // ---------------------------------------------------------------------
   // K for the REGISTERED demo tier only — pinned tiny so the truncation
   // branch (absent ⇒ rare) actually exercises on the driver corpus and
