@@ -129,6 +129,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(b2 -> 2L, b4 -> 1L))
   }
 
+  test("d30 planted fixture: index near-dup rejected via band probe, fresh content kept") {
+    val buckets = spark.range(1, 300)
+      .select(col("id"), TextOps.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idxIds = buckets.collect { case (id, b) if b < 80 => id }.toSeq.sorted.take(2)
+    val batchIds = buckets.collect { case (id, b) if b >= 80 => id }.toSeq.sorted.take(3)
+    val Seq(i1, i2) = idxIds
+    val Seq(b1, b2, b3) = batchIds
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (i1, base, "en", "s"),
+      (i2, "completely different indexed material here", "en", "s"),
+      // NEAR dup of i1 (last word differs → 7 of 9 union shingles shared,
+      // jaccard ≈ 0.78): exact-fp dedup (d26) would MISS this pair
+      (b1, base.replace("kappa", "lambda"), "en", "s"),
+      (b2, "fresh unrelated batch content nothing shared", "en", "s"),
+      (b3, "tiny doc", "en", "s")) // <3 tokens: no shingles, no signature
+    val dir = java.nio.file.Files.createTempDirectory("graft_d30").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SketchOps.d30IncrementalNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // output covers exactly the batch docs
+    assert(got.keySet == batchIds.toSet)
+    val (c1, n1, k1) = got(b1)
+    assert(c1 >= 1L && n1 == 1L && !k1) // probed i1's bands, verified, rejected
+    assert(got(b2) == ((0L, 0L, true)))
+    assert(got(b3) == ((0L, 0L, true)))
+  }
+
   test("d27: per-shard positions are contiguous 1..n and re-runs agree") {
     val out = TextOps.d27EpochShuffle(spark, sfDir)
     val perShard = out.groupBy("shard").agg(
