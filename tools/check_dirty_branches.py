@@ -198,6 +198,22 @@ def main():
                f"{len(man['d29b_boilerplate_docs'])} sources dropped by the "
                f"stop-shingle tier)")
 
+    # --- d30: planted index-vs-batch near-dups are rejected by the ------
+    # incremental band-index probe (the pair the exact-fp tier misses)
+    if man.get("d30_neardup_pairs"):
+        near_ids = ",".join(str(n) for _, n in man["d30_neardup_pairs"])
+        n, n_rej = con.execute(
+            f"""SELECT COUNT(*),
+                       CAST(SUM(CASE WHEN NOT kept AND n_index_neardup >= 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM {load(con, vout, 'd30_incremental_neardup')}
+                WHERE doc_id IN ({near_ids})""").fetchone()
+        branch("d30_incremental_neardup_reject",
+               n == len(man["d30_neardup_pairs"]) and n_rej == n,
+               f"{n_rej}/{len(man['d30_neardup_pairs'])} planted "
+               f"batch-bucket near-dups of index-bucket originals rejected "
+               f"(kept=false, n_index_neardup>=1)")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

@@ -125,7 +125,7 @@ def dirty_documents(src, dst, manifest):
     # (d) exact duplicates regardless of bucket (d01 collapse) and
     # near-duplicates (one word swapped for another vocab word — LSH
     # candidate branches).
-    dup_ids, near_ids = [], []
+    dup_ids, near_ids, near_pairs = [], [], []
     for i, d in enumerate(docs[:6]):
         rows.append(doc(next_id, d["text"], d["source"], d["lang"]))
         dup_ids.append(next_id)
@@ -138,9 +138,17 @@ def dirty_documents(src, dst, manifest):
             texts.add(near)
             rows.append(doc(next_id, near, d["source"], d["lang"]))
             near_ids.append(next_id)
+            near_pairs.append([d["doc_id"], next_id])
             next_id += 1
     manifest["d01_exact_dups"] = dup_ids
     manifest["near_dups"] = near_ids
+    # (original, near) pairs for d30's branch check: a near-dup whose
+    # original sits in the index buckets (<80) and which itself lands in
+    # the batch buckets (>=80) must be REJECTED by the incremental
+    # near-dup probe
+    manifest["d30_neardup_pairs"] = [
+        [o, n] for o, n in near_pairs
+        if hash_bucket(o) < 80 and hash_bucket(n) >= 80]
 
     # (e) d28 rare-token branch: garble docs built from NOVEL singleton
     # tokens (corpus frequency 1 << RareFactor x mean frequency) so
