@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llm.TextOps
+import graft.llm.{SketchOps, TextOps}
 
 /** Streaming corpus ingestion — the LLM tier's batch stages that are pure
   * per-row functions (quality signals, content fingerprinting) run
@@ -124,17 +124,76 @@ object CorpusStream {
       .sortBy(_._1)
   }
 
+  private val FpSchema = StructType(Seq(StructField("text_fp", StringType)))
+  // the near-dup tier's delta rows: fp rows carry (text_fp, doc_id) with
+  // null band columns; band rows carry (doc_id, band, bh) with null fp.
+  // Explicit-schema reads keep exact-tier deltas (text_fp only) valid in
+  // the same index: their missing columns read as null.
+  private val BandSchema = StructType(Seq(
+    StructField("text_fp", StringType), StructField("doc_id", LongType),
+    StructField("band", IntegerType), StructField("bh", StringType)))
+
+  private def committedPaths(spark: SparkSession, indexDir: String): Seq[String] =
+    indexVersions(spark, indexDir).map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }
+
   /** The current index: union of all committed fingerprint deltas
     * (one `text_fp` column; empty before the first commit). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val vs = indexVersions(spark, indexDir)
-    if (vs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("text_fp", StringType))))
-    else
-      spark.read.parquet(vs.map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }: _*)
-        .select(col("text_fp"))
+    val vs = committedPaths(spark, indexDir)
+    if (vs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FpSchema)
+    else spark.read.schema(FpSchema).parquet(vs: _*)
+      .filter(col("text_fp").isNotNull)
+  }
+
+  /** The current LSH band index: (doc_id, band, bh) rows of every
+    * accepted doc ingested through the near-dup tier. Docs accepted by an
+    * exact-only writer have no band rows and are invisible to the probe —
+    * the documented degradation of mixing tiers on one index. */
+  def readBandIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val vs = committedPaths(spark, indexDir)
+    if (vs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandSchema)
+        .select(col("doc_id"), col("band"), col("bh"))
+    else spark.read.schema(BandSchema).parquet(vs: _*)
+      .filter(col("band").isNotNull)
+      .select(col("doc_id"), col("band"), col("bh"))
+  }
+
+  /** Accepted corpus rows across all writers: the store candidate
+    * near-dup verification fetches document bodies from. */
+  private def readCorpus(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).select(col("doc_id"), col("text"))
+
+  /** Drop batch docs with a VERIFIED near-dup among accepted docs: probe
+    * the persisted band index for candidates (an equi-join moving only
+    * (band, bh) keys), fetch ONLY candidate docs' bodies from the corpus
+    * store (semi-join pushdown — accepted history is read where a band
+    * collision names it, never scanned for shingling wholesale), then
+    * exact shingle-Jaccard via [[graft.llm.SketchOps.crossVerifiedPairs]].
+    * Within-batch near-dups are the nightly d11/d12 pass's job — this is
+    * the batch-vs-history edge, same contract as the batch d30.
+    * Requires globally unique doc_ids across writers (the crawl's doc-id
+    * contract): the band index names accepted docs by doc_id alone. */
+  private def dropNearDups(spark: SparkSession, fresh: DataFrame,
+      indexDir: String, outDir: String): DataFrame = {
+    val idxBands = readBandIndex(spark, indexDir)
+      .select(col("doc_id").as("di"), col("band"), col("bh"))
+    val srced = fresh.withColumn("source", lit("batch"))
+    val batchBands = SketchOps.bandRows(SketchOps.minhashSignatures(srced))
+      .select(col("doc_id").as("db"), col("band"), col("bh"))
+    val cand = batchBands.join(idxBands, Seq("band", "bh"))
+      .select(col("db"), col("di")).distinct().cache()
+    val candDocs = readCorpus(spark, outDir)
+      .join(cand.select(col("di").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .withColumn("source", lit("index"))
+    val shB = TextOps.shingleRows(srced, 3)
+      .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
+    val shI = TextOps.shingleRows(candDocs, 3)
+      .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    val rejected = SketchOps.crossVerifiedPairs(cand, shB, shI)
+      .select(col("db")).distinct()
+    fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
   /** One micro-batch of the index-backed ingest: gate → within-batch
@@ -156,18 +215,24 @@ object CorpusStream {
     * shared index back-to-back (e.g. pause the stream for the batch
     * window), or give each its own index. */
   def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
-      writer: String = "batch")(batch: DataFrame, batchId: Long): Unit = {
+      writer: String = "batch", nearDup: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),
       s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
     if (indexVersions(spark, indexDir).exists(v => v._2 == writer && v._3 == batchId))
       return // replayed, fully committed
     val inBatch = graft.operators.Dedup.keepFirst(
       gated(batch), Seq("text_fp"), Seq(col("doc_id").asc))
-    // pinned: written to BOTH sinks; localCheckpoint so the anti-join
-    // runs once and the ContextCleaner reclaims the blocks afterwards
-    val fresh = inBatch
+    val exactFresh = inBatch
       .join(readIndex(spark, indexDir), Seq("text_fp"), "left_anti")
-      .localCheckpoint()
+    // pinned: written to BOTH sinks; localCheckpoint so the anti-join
+    // (and the near-dup probe) runs once and the ContextCleaner reclaims
+    // the blocks afterwards. Before the first commit there is no corpus
+    // store to fetch candidate bodies from (and no bands to collide
+    // with), so the probe is skipped wholesale.
+    val fresh = (if (nearDup && committedPaths(spark, indexDir).nonEmpty)
+      dropNearDups(spark, exactFresh, indexDir, outDir)
+    else exactFresh).localCheckpoint()
     fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/writer=$writer/batch=$batchId")
     val next = indexVersions(spark, indexDir).map(_._1).maxOption.getOrElse(-1) + 1
     val delta = new Path(s"$indexDir/v${next}_${writer}_b$batchId")
@@ -179,8 +244,20 @@ object CorpusStream {
     // writer id makes reclaiming it safe.
     if (fs.exists(delta) && !fs.exists(new Path(delta, "_SUCCESS")))
       fs.delete(delta, true)
-    fresh.select(col("text_fp")).write.mode(SaveMode.ErrorIfExists)
-      .parquet(delta.toString)
+    val deltaRows =
+      if (!nearDup) fresh.select(col("text_fp"))
+      else {
+        // fp rows + this batch's band rows in ONE atomic delta: the
+        // probe and the exact tier advance together or not at all
+        val fpRows = fresh.select(col("text_fp"), col("doc_id"),
+          lit(null).cast(IntegerType).as("band"), lit(null).cast(StringType).as("bh"))
+        val bands = SketchOps.bandRows(SketchOps.minhashSignatures(
+            fresh.withColumn("source", lit("batch"))))
+          .select(lit(null).cast(StringType).as("text_fp"), col("doc_id"),
+            col("band"), col("bh"))
+        fpRows.unionByName(bands)
+      }
+    deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
   }
 
   /** The index-backed streaming ingest: wire a document stream
@@ -189,9 +266,10 @@ object CorpusStream {
     * stream and a nightly batch sharing one index never mistake each
     * other's batchIds for replays). */
   def startIngest(docs: DataFrame, indexDir: String, outDir: String,
-      checkpoint: String, writer: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, writer: String = "stream",
+      nearDup: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir, writer) _)
+      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir, writer, nearDup) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

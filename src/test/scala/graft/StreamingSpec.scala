@@ -431,6 +431,66 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("legacy delta"))
   }
 
+  test("near-dup streaming ingest: band index rejects near-dups across batches, restarts, writers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ndout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndckpt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(i: Int) = new java.sql.Timestamp(t0 + i * 1000L)
+    // both bodies: 10 tokens (inside the gate); the near-dup variants
+    // below were chosen so >=1 of the 4 LSH bands provably collides
+    // (md5 signatures are deterministic) with jaccard 0.78 >= 0.2
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.startIngest(
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out, ckpt,
+      nearDup = true)
+    stream.addData(Seq((1L, ts(0), body), (2L, ts(1), other)))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      (3L, ts(2), body.replace("kappa", "lambda")), // NEAR-dup of 1: new fp, exact tier blind to it
+      (4L, ts(3), "completely fresh unrelated content with enough tokens to pass the gate")))
+    q.processAllAvailable()
+    q.stop()
+    def survivors() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors() == Seq(1L, 2L, 4L))
+    // one atomic delta per batch carries fp rows AND band rows
+    assert(CorpusStream.readIndex(spark, idx).count() == 3)
+    assert(CorpusStream.readBandIndex(spark, idx).count() == 3 * 4)
+
+    // restart on the same checkpoint + index: near-dups of content
+    // accepted BEFORE the restart still bounce off the persisted bands
+    stream.addData(Seq(
+      (5L, ts(4), other.replace("ten", "eleven")), // near-dup of pre-restart 2
+      (6L, ts(5), body),                           // exact dup → fp tier
+      (7L, ts(6), "genuinely new third stream content arriving after the restart just fine")))
+    val q2 = CorpusStream.startIngest(
+      stream.toDF().toDF("doc_id", "ingest_ts", "text"), idx, out, ckpt,
+      nearDup = true)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(survivors() == Seq(1L, 2L, 4L, 7L))
+
+    // a nightly batch writer sharing the index sees stream-accepted
+    // bands (candidate bodies are fetched from the shared corpus store),
+    // and its replay is a no-op
+    val nightly = Seq(
+      (8L, ts(7), body.replace("alpha", "omega")), // near-dup of streamed 1
+      (9L, ts(8), "the nightly pass contributes its own novel document body for the corpus"))
+    CorpusStream.ingestBatch(spark, idx, out, writer = "nightly", nearDup = true)(
+      nightly.toDF("doc_id", "ingest_ts", "text"), 0L)
+    assert(survivors() == Seq(1L, 2L, 4L, 7L, 9L))
+    val nVersions = CorpusStream.indexVersions(spark, idx).size
+    CorpusStream.ingestBatch(spark, idx, out, writer = "nightly", nearDup = true)(
+      nightly.toDF("doc_id", "ingest_ts", "text"), 0L)
+    assert(survivors() == Seq(1L, 2L, 4L, 7L, 9L))
+    assert(CorpusStream.indexVersions(spark, idx).size == nVersions)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
