@@ -92,4 +92,66 @@ object Sinks {
   def jdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  case class CompactStats(leaves: Int, compacted: Int,
+      filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction — the maintenance pass every streaming lake
+    * needs at scale: micro-batch and per-partition writes accumulate
+    * part files far below the scan-efficient size, and a 100 TB table of
+    * kilobyte files is a metadata DoS on its own listing. Walks the
+    * partition tree under `dir`, and rewrites every leaf whose part-file
+    * count exceeds ceil(bytes/targetBytes) down to exactly that many
+    * files (`repartition` — round-robin for even output sizes; the
+    * shuffle is the price of not writing one skewed giant file).
+    *
+    * Safety: the rewrite lands in a sibling temp dir, is row-count
+    * verified against the source leaf, then swapped in by rename —
+    * readers see the old or the new leaf, never a mix. A crash between
+    * the two renames leaves `<leaf>.__old__` next to a complete new
+    * leaf: recovery is delete the leftover; a crash before the swap
+    * leaves only temp dirs this pass overwrites on retry. NOT for
+    * replay-ledger layouts (CorpusStream's `batch=<id>` dirs ARE the
+    * commit protocol — compacting across them would forge replays). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val subdirs = fs.listStatus(p)
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith(".")
+          && !s.getPath.getName.endsWith("__compact__")
+          && !s.getPath.getName.endsWith("__old__")) // crashed-pass leftovers
+        .map(_.getPath).toSeq
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(leaves)
+    }
+    var compacted, before, after = 0
+    val all = leaves(root)
+    all.foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val n = math.max(1, math.ceil(
+        parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      before += parts.length
+      if (parts.length <= n) after += parts.length
+      else {
+        val src = spark.read.parquet(leaf.toString)
+        val nRows = src.count()
+        val tmp = new Path(leaf.getParent, leaf.getName + ".__compact__")
+        src.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        require(spark.read.parquet(tmp.toString).count() == nRows,
+          s"compaction of $leaf would change its row count; aborting swap")
+        val old = new Path(leaf.getParent, leaf.getName + ".__old__")
+        fs.delete(old, true) // leftover from a crashed prior pass
+        require(fs.rename(leaf, old) && fs.rename(tmp, leaf),
+          s"compaction swap failed for $leaf")
+        fs.delete(old, true)
+        compacted += 1
+        after += n
+      }
+    }
+    CompactStats(all.size, compacted, before, after)
+  }
 }

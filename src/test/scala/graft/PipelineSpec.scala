@@ -120,4 +120,33 @@ class PipelineSpec extends SparkSpec {
     assert(back(0).getString(1) == "x")
     assert(back(1).isNullAt(1))
   }
+
+  test("small-file compaction: per-leaf rewrite, content identical, partition col intact") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("dt", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    // 16 tiny part files per dt partition — the streaming-writer shape
+    ev.repartition(16).write.mode("overwrite").partitionBy("dt")
+      .parquet(s"$out/events")
+    val beforeDf = spark.read.parquet(s"$out/events")
+    val beforeCols = beforeDf.columns.sorted.toSeq
+    // eager capture: the lazy frame would re-list the SWAPPED files
+    val beforeRows = beforeDf.select(beforeCols.map(
+      org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val stats = Sinks.compact(spark, s"$out/events") // 128 MB target → 1 file/leaf
+    assert(stats.leaves > 1 && stats.compacted >= 1)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(stats.filesAfter == stats.leaves) // every leaf ends at exactly 1 file
+    val after = spark.read.parquet(s"$out/events")
+    assert(after.columns.sorted.toSeq == beforeCols) // dt partition col survives
+    val afterRows = after.select(beforeCols.map(
+      org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(afterRows == beforeRows)
+    // already-compact leaves are left alone (idempotent second pass)
+    val again = Sinks.compact(spark, s"$out/events")
+    assert(again.compacted == 0 && again.filesAfter == again.filesBefore)
+  }
 }
