@@ -28,6 +28,11 @@ object Engine {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: outputTimestampType stays at the INT96 default on purpose —
+      // Spark's annotated TIMESTAMP(MICROS) carries isAdjustedToUTC=true,
+      // which downstream naive-timestamp readers (DuckDB/pandas, incl. the
+      // driver's oracle compare) surface as tz-aware values that no longer
+      // string-match a naive oracle. Tables.tsUnit reads INT96 fine.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,9 +14,34 @@ import graft.analytics.{EventQueries, Queries, StagingQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Queries.q01SalesOverview(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * Doubles as the fixture-contract smoke (round-9 lesson): every
+    * timestamp-bearing table must convert into [1990, 2100) END-TO-END, so
+    * a regenerated fixture with a drifted unit/encoding fails the driver's
+    * cheap smoke check — not 50 queries into the oracle board. sf0.001 is
+    * ~6k rows, so the three min/max scans cost milliseconds. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{min, max}
+    val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    Seq(
+      "events"   -> Tables.events(spark, dir).select(min("ts"), max("ts")),
+      "orders"   -> Tables.orders(spark, dir)
+        .select(min("o_orderdate"), max("o_orderdate")),
+      "lineitem" -> Tables.lineitem(spark, dir)
+        .select(min("l_shipdate"), max("l_shipdate"))
+    ).foreach { case (name, mm) =>
+      val r = mm.collect()(0)
+      val (tmin, tmax) = (r.getTimestamp(0), r.getTimestamp(1))
+      require(tmin != null && !tmin.before(lo) && tmax.before(hi),
+        s"[graft] fixture contract violated: $name timestamps [$tmin, $tmax] " +
+          s"outside [1990, 2100) — the driver fixture's timestamp unit or " +
+          "encoding drifted; see Tables.tsUnit")
+    }
+    Queries.q01SalesOverview(spark, dir)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

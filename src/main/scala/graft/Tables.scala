@@ -74,18 +74,23 @@ object Tables {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
-  /** events.ts is TIMESTAMP(NANOS) in the parquet file, which Spark cannot
-    * map to TimestampType (micros). Read it as raw nanos (LongType, via
-    * `spark.sql.legacy.parquet.nanosAsLong`) and convert with integer
-    * division — the same ns→µs truncation DuckDB applies on read, so the
-    * two engines see identical timestamps. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events.ts arrives with whatever timestamp unit the upstream generator
+    * chose — the fixture has shipped both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across regenerations, so [[events]] derives the unit
+    * from the parquet footer instead of assuming one (see [[tsUnit]]).
+    * This is the nanos-layout variant (ts as raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong`); [[eventsSchema]] is the
+    * native-timestamp variant used for MICROS/MILLIS files. */
+  val eventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  val eventsSchema: StructType = StructType(eventsNanosSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = TimestampType) else f))
 
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -131,24 +136,94 @@ object Tables {
     read(spark, dir, "region", regionSchema)
   def part(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "part", partSchema)
+  /** Parquet-declared time unit of the events `ts` column ("NANOS",
+    * "MICROS" or "MILLIS"), read from the footer of the first data file —
+    * NOT assumed. The driver has regenerated the fixture with a different
+    * unit mid-build before (nanos → micros); assuming a unit silently lands
+    * every event in 1970 when it drifts. The footer is authoritative and
+    * costs one metadata read per [[events]] call.
+    *
+    * Also enforces a sanity bound from the footer's column statistics
+    * (no data scan): the minimum `ts`, interpreted in the declared unit,
+    * must fall in [1990, 2100). A unit/annotation drift that somehow slips
+    * past the sniff fails HERE, loudly, instead of producing 1970 garbage
+    * downstream. */
+  private[graft] def tsUnit(spark: SparkSession, path: String): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_") &&
+            !q.getName.startsWith("."))
+          .getOrElse(sys.error(s"[graft] no parquet data files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val tsType = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+      if (tsType.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+        // legacy Spark/Impala INT96 timestamp (julian-day+nanos struct, no
+        // logical annotation) — Spark reads it natively to TimestampType;
+        // its footer stats are unordered by spec, so skip the bound
+        return "MICROS"
+      val unit = tsType.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit.toString
+        case other =>
+          sys.error(s"[graft] events.ts in $file has logical type $other — " +
+            "expected a TIMESTAMP annotation; refusing to guess the unit")
+      }
+      for {
+        block <- footer.getBlocks.asScala.headOption
+        col <- block.getColumns.asScala.find(_.getPath.toDotString == "ts")
+        stats = col.getStatistics
+        if stats != null && stats.hasNonNullValue
+      } {
+        val minRaw = stats.genericGetMin.asInstanceOf[Number].longValue()
+        val minMicros = unit match {
+          case "NANOS"  => minRaw / 1000L
+          case "MICROS" => minRaw
+          case "MILLIS" => minRaw * 1000L
+          case u => sys.error(s"[graft] unsupported events.ts unit $u in $file")
+        }
+        val lo = 631152000000000L   // 1990-01-01T00:00Z in epoch micros
+        val hi = 4102444800000000L  // 2100-01-01T00:00Z
+        require(minMicros >= lo && minMicros < hi,
+          s"[graft] events.ts sanity bound violated in $file: footer min " +
+            s"${stats.genericGetMin} as $unit = $minMicros µs is outside " +
+            "[1990-01-01, 2100-01-01) — the fixture's timestamp unit has " +
+            "drifted; fix Tables.tsUnit before trusting any event query")
+      }
+      unit
+    } finally reader.close()
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (isLayerDir(spark, dir, "events")) {
-      // a layer copy was WRITTEN by this loader's consumer, so its ts is
-      // already a micros TIMESTAMP — read it back as such, no conversion
-      val layerSchema = StructType(eventsSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = TimestampType) else f))
-      spark.read.schema(layerSchema).parquet(s"$dir/events")
-    } else {
-      // defensive: required to read TIMESTAMP(NANOS) parquet as long; set
-      // here (runtime-settable SQLConf) so callers with sessions not built
-      // by Engine still work
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      read(spark, dir, "events", eventsSchema)
-        // integer division, NOT `/` (double division loses precision above
-        // 2^53 — epoch-nanos are ~1.7e18)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val path =
+      if (isLayerDir(spark, dir, "events")) s"$dir/events" else s"$dir/events.parquet"
+    tsUnit(spark, path) match {
+      case "NANOS" =>
+        // Spark cannot map TIMESTAMP(NANOS) to TimestampType — read raw
+        // longs and convert. Integer division, NOT `/` (double division
+        // loses precision above 2^53 — epoch-nanos are ~1.7e18). The DIV
+        // 1000 truncation matches what DuckDB applies on read, so engine
+        // and oracle see identical microsecond timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(eventsNanosSchema).parquet(path)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        // MICROS and MILLIS both map natively to TimestampType
+        spark.read.schema(eventsSchema).parquet(path)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -139,9 +139,10 @@ class OperatorsSpec extends SparkSpec {
     // user 1: view->click->purchase (full funnel); user 2: click BEFORE
     // its view, then purchase (click unqualified => purchase unqualified);
     // user 3: view->purchase with no click (purchase unqualified)
-    // raw events carry TIMESTAMP(NANOS)-as-long (Tables.events converts)
-    def ts(m: Int): java.lang.Long =
-      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00").getTime * 1000000L
+    // written as native TIMESTAMP (micros) — Tables.events sniffs the
+    // footer unit, so the fixture file no longer needs to be nanos-as-long
+    def ts(m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val rows = Seq(
       Row(1L, ts(1), 1L, "view", 1.0, null),
       Row(2L, ts(2), 1L, "click", 1.0, null),
