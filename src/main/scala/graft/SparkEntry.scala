@@ -134,6 +134,9 @@ object SparkEntry {
     "d29_source_overlap" -> ((s: org.apache.spark.sql.SparkSession, d: String) => graft.llm.QualityOps.d29SourceOverlap(s, d)),
     "d29b_source_overlap_bounded" -> (graft.llm.QualityOps.d29bSourceOverlapBounded _),
     "d30_incremental_neardup" -> (graft.llm.SketchOps.d30IncrementalNearDup _),
+    "d31_lm_score" -> (graft.llm.LmOps.d31LmScore _),
+    "d32_source_divergence" -> (graft.llm.LmOps.d32SourceDivergence _),
+    "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
@@ -238,6 +241,8 @@ object SparkEntry {
     "d29_source_overlap" -> graft.llm.QualityOps.d29Sql,
     "d29b_source_overlap_bounded" -> graft.llm.QualityOps.d29bSql,
     "d30_incremental_neardup" -> graft.llm.SketchOps.d30Sql,
+    "d31_lm_score" -> graft.llm.LmOps.d31Sql,
+    "d32_source_divergence" -> graft.llm.LmOps.d32Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,

@@ -1,0 +1,318 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Statistical language-model operators over the `documents` table — the
+  * model-based tier of the quality/filtering family (reference scope:
+  * the pipeline's quality gate, `spark_transform.py` validation rules,
+  * generalized to LLM-corpus curation per SURVEY.md §7.5).
+  *
+  *   - d31 bigram-LM scoring — the CCNet-style perplexity filter, exact:
+  *     train an add-one-smoothed bigram LM on the corpus itself, score
+  *     every document by mean token log-likelihood. d28 is the
+  *     integer-exact proxy tier; this is the real thing, oracle-checked.
+  *   - d32 per-source Jensen-Shannon divergence — mixture diagnostics:
+  *     how far each source's unigram distribution sits from the corpus
+  *     mixture, the number a data-mixing run watches when reweighting.
+  *   - d33 BPE merge training — distributed byte-pair-encoding: the
+  *     iterative pair-count → argmax → merge loop run as Spark jobs over
+  *     a word-frequency table, driver state bounded by the merge table.
+  *
+  * All bigram/token construction is array-slicing over the shared
+  * [[TextOps.tokens]] tokenizer — pure codegen projections, no window
+  * shuffle (contrast [[QualityOps.ngramRows]], which pays a per-doc
+  * window; here adjacency comes from the token array itself).
+  *
+  * Cross-engine float contract (measured, not hoped): JVM `Math.log`/
+  * `Math.exp` are BIT-IDENTICAL to DuckDB's libm on identical IEEE
+  * inputs, and every scalar +,-,*,/ is IEEE-deterministic — so any
+  * per-row transcendental expression written with the same operation
+  * tree hash-matches. What does NOT match is a floating SUM/AVG over
+  * many rows (each engine picks its own summation order; the driver
+  * hash is bit-strict — d28's lesson). Both d31 and d32 therefore
+  * quantize per-row terms to integer fixed-point (micro-/nano-nats),
+  * sum LONGS (order-free, exact), and divide once at the end: the
+  * score's contract is fixed-point, and the whole query is
+  * bit-reproducible on any engine, any partitioning, any row order.
+  */
+object LmOps {
+
+  // ---------------------------------------------------------------------
+  // d31 — bigram-LM document scoring. Model: P(w2|w1) = (c(w1,w2) + 1) /
+  // (c(w1,·) + V), add-one smoothing over the corpus vocabulary V; score:
+  // mean ln P over a document's bigram instances, ppl = exp(-mean).
+  // Trained on the corpus being scored (the self-scoring configuration a
+  // corpus-level filter uses; a held-out-trained variant is the same
+  // plan with a hash-bucket filter on the training side).
+  //
+  // Scale: the corpus-sized explode happens ONCE (localCheckpoint-pinned,
+  // consumed by the count stage and the scoring join). Every shuffle
+  // after it carries 8-byte 60-bit hashes ([[TextOps.shingleHash]]
+  // contract, same as d06/d15): pair counts group on (w1-hash,
+  // bigram-hash), the model is bigram-vocabulary-sized — millions of
+  // rows at 100 TB, not corpus-sized — and the scoring join keys on the
+  // bigram hash the instance rows already own. V and the 1-row corpus
+  // constants ride broadcasts. A production LM would prune the count
+  // table (min-count threshold) exactly like d28b truncates its
+  // frequency table; the plan shape is unchanged.
+  //
+  // Contract (d28's): a doc with < 2 tokens has no bigrams and is ABSENT
+  // from the output (DuckDB's unnest agrees); gated corpora never
+  // contain such docs.
+  // ---------------------------------------------------------------------
+  def d31LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+
+    // corpus vocabulary size |V| — exact distinct over token strings
+    // (vocabulary-sized shuffle; the strings never travel again after
+    // this aggregate)
+    val vocab = docs
+      .select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).cast(DoubleType).as("__v"))
+
+    // one bigram-instance row per adjacent token pair; slice+zip_with is
+    // a codegen projection — no window, no shuffle. size>=2 guard: slice
+    // with negative length throws, and null/empty token arrays must
+    // vanish rather than error.
+    val pairs = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        expr("explode(zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+          " (a, b) -> named_struct('w1', a, 'w2', b))) AS pr"))
+      .select(col("doc_id"),
+        TextOps.shingleHash(col("pr.w1")).as("w1h"),
+        TextOps.shingleHash(concat_ws(" ", col("pr.w1"), col("pr.w2"))).as("bh"))
+      .localCheckpoint() // pinned: feeds the count stage AND the scoring join
+
+    // per-bigram log-likelihood, quantized to integer MICRO-NATS in the
+    // model table (one floor per distinct bigram, not per instance):
+    // floor(ll·1e6 + 0.5) is round-half-up, exact on the bit-identical
+    // ll both engines compute. Doc scores then sum LONGS.
+    val cnt = pairs.groupBy(col("w1h"), col("bh"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
+    val model = cnt.join(ctx, Seq("w1h"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bh"),
+        floor(log((col("c12").cast(DoubleType) + lit(1.0)) /
+          (col("c1").cast(DoubleType) + col("__v"))) * lit(1e6) + lit(0.5))
+          .as("llq"))
+
+    pairs.join(model, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llq")).as("__s"))
+      .withColumn("avg_ll", col("__s").cast(DoubleType) /
+        (col("n_bigrams").cast(DoubleType) * lit(1e6)))
+      // ppl is fixed-point too: JVM's exp intrinsic is within-1-ulp but
+      // not correctly rounded (libm is), so raw exp() diverges on ~4% of
+      // values — measured, not theoretical
+      .withColumn("ppl",
+        floor(exp(-col("avg_ll")) * lit(1e6) + lit(0.5)).cast(DoubleType) / lit(1e6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_ll"), col("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB joins bigram STRINGS where the engine joins their 60-bit
+    * hashes — identical results under the corpus-wide no-collision
+    * contract every sketch op shares. The micro-nat quantization makes
+    * the doc aggregate an exact integer sum on both sides. */
+  val d31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+      |  WHERE i <= len(tk) - 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(tk) AS w FROM toks)),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+      |ctx AS (SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY w1),
+      |model AS (
+      |  SELECT w1, w2,
+      |         CAST(floor(ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + (SELECT v FROM v))) * 1e6 + 0.5) AS BIGINT) AS llq
+      |  FROM cnt JOIN ctx USING (w1)),
+      |sc AS (
+      |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(m.llq) AS DOUBLE) AS s
+      |  FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |       s / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_ll,
+      |       CAST(floor(exp(-(s / (CAST(n_bigrams AS DOUBLE) * 1e6))) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ppl
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d32 — per-source Jensen-Shannon divergence from the corpus unigram
+  // mixture. With P = the source's unigram distribution and Q = the whole
+  // corpus', JS(P,Q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)). Tokens the
+  // source never emits (p=0) contribute ½·q·ln2 each, so the full-vocab
+  // sum collapses to rows the source DOES own plus a closed-form
+  // remainder: ½·ln2·(1 − Σ_{w∈source} q). Nothing iterates over absent
+  // (source, token) pairs — the join stays present-pairs-sized.
+  //
+  // Scale: one corpus explode → (source, token) counts with map-side
+  // partials (vocabulary×sources rows, not corpus rows); corpus totals
+  // derive from that same table (second aggregate over it, not a second
+  // scan); per-source totals broadcast. JS of disjoint vocabularies is
+  // ln 2 — the bound a mixture dashboard normalizes against.
+  //
+  // Exactness: each (source, token) term quantizes to integer NANO-NATS
+  // (floor(term·1e9 + 0.5) on the bit-identical double both engines
+  // compute), the per-source sum is a LONG sum, and the coverage
+  // Σ_{w∈source} q = (Σ nw)/N needs no quantization at all — an exact
+  // integer sum with one final division. Long-sum headroom: |term| ≤
+  // ln2·(p+q) ⇒ Σ|term·1e9| ≤ 1.4e9 per source regardless of vocabulary
+  // size, nowhere near 2^63.
+  // ---------------------------------------------------------------------
+  def d32SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("nsw"))
+      .localCheckpoint() // feeds corpus counts, source totals, and the term join
+
+    val corpus = sc.groupBy(col("tok")).agg(sum(col("nsw")).as("nw"))
+    val srcTot = sc.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
+    val tot = sc.agg(sum(col("nsw")).cast(DoubleType).as("n")) // 1 row
+
+    val p = col("nsw").cast(DoubleType) / col("ns").cast(DoubleType)
+    val q = col("nw").cast(DoubleType) / col("n")
+    sc.join(corpus, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(floor((p * log(lit(2.0) * p / (p + q)) +
+                   q * log(lit(2.0) * q / (p + q))) * lit(1e9) + lit(0.5)))
+          .as("__coreq"),
+        sum(col("nw")).as("__nwsum"),
+        max(col("n")).as("__n"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        (lit(0.5) * (col("__coreq").cast(DoubleType) / lit(1e9)) +
+          lit(0.5) * log(lit(2.0)) *
+            (lit(1.0) - col("__nwsum").cast(DoubleType) / col("__n")))
+          .as("js_div"))
+      .orderBy(col("source"))
+  }
+
+  val d32Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |sc AS (SELECT source, tok, COUNT(*) AS nsw FROM toks GROUP BY source, tok),
+      |corpus AS (SELECT tok, SUM(nsw) AS nw FROM sc GROUP BY tok),
+      |srct AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sc GROUP BY source),
+      |tot AS (SELECT CAST(SUM(nsw) AS DOUBLE) AS n FROM sc)
+      |SELECT s.source,
+      |       MAX(t.ns) AS n_tokens,
+      |       COUNT(*) AS n_distinct_tokens,
+      |       0.5 * (CAST(SUM(CAST(floor(
+      |                ( (CAST(s.nsw AS DOUBLE) / CAST(t.ns AS DOUBLE))
+      |                  * ln(2.0 * (CAST(s.nsw AS DOUBLE) / CAST(t.ns AS DOUBLE))
+      |                       / ((CAST(s.nsw AS DOUBLE) / CAST(t.ns AS DOUBLE)) + (CAST(c.nw AS DOUBLE) / tot.n)))
+      |                + (CAST(c.nw AS DOUBLE) / tot.n)
+      |                  * ln(2.0 * (CAST(c.nw AS DOUBLE) / tot.n)
+      |                       / ((CAST(s.nsw AS DOUBLE) / CAST(t.ns AS DOUBLE)) + (CAST(c.nw AS DOUBLE) / tot.n)))
+      |                ) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9)
+      |       + 0.5 * ln(2.0) * (1.0 - CAST(SUM(c.nw) AS DOUBLE) / MAX(tot.n)) AS js_div
+      |FROM sc s
+      |JOIN corpus c USING (tok)
+      |JOIN srct t USING (source)
+      |CROSS JOIN tot
+      |GROUP BY s.source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d33 — distributed BPE merge training (Sennrich-style): words become
+  // char sequences + '</w>'; each round counts adjacent symbol pairs
+  // weighted by word frequency, merges the most frequent pair
+  // (deterministic tie-break: count desc, then pair lexicographic), and
+  // rewrites the vocabulary with a greedy left-to-right fold. The output
+  // is the ranked merge table a tokenizer ships.
+  //
+  // Scale: the corpus collapses to a WORD-FREQUENCY table in the first
+  // aggregate (vocabulary-sized — the 100 TB corpus touches the loop
+  // only once); each round's pair count is a map-side-combined aggregate
+  // over that table, and the driver pulls back exactly ONE row per round
+  // (the argmax — same driver-sync contract as a04b's k-means
+  // centroids). Lineage is truncated per round with localCheckpoint so K
+  // rounds cost K bounded jobs, not a K-deep recursive plan. The merge
+  // REWRITE is a higher-order `aggregate` fold (interpreted, not
+  // codegen) — acceptable exactly because it runs on the vocabulary
+  // table, never the corpus.
+  //
+  // No DuckDB oracle — K data-dependent passes are not one SQL query
+  // (a04b precedent); BpeSpec pins the merge sequence on a planted
+  // corpus and the reconstruction invariant (symbols rejoin to the
+  // original word) on the fixture.
+  // ---------------------------------------------------------------------
+  private[graft] val BpeMerges = 20
+
+  def d33BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, Tables.documents(spark, dir), BpeMerges)
+
+  /** Greedy left-to-right application of one merge to a symbol array,
+    * as a SQL fold: scan the symbols, gluing (left, right) whenever the
+    * accumulator's tail is `left` and the next symbol is `right` —
+    * non-overlapping by construction, the standard BPE apply order. */
+  private def applyMergeExpr(left: String, right: String): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val merged = q(left + right)
+    s"""aggregate(syms, CAST(array() AS array<string>),
+       | (acc, s) -> CASE
+       |   WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(left)} AND s = ${q(right)}
+       |   THEN concat(slice(acc, 1, size(acc) - 1), array($merged))
+       |   ELSE concat(acc, array(s)) END)""".stripMargin
+  }
+
+  def bpeTrain(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    // corpus → word-frequency table, words split to char symbols + '</w>'
+    var vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(expr("concat(split(word, ''), array('</w>')) AS syms"), col("wc"))
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= k) {
+      // adjacent-pair counts weighted by word frequency; argmax with a
+      // total order so the merge sequence is deterministic
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"),
+          expr("explode(zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1)," +
+            " (a, b) -> named_struct('l', a, 'r', b))) AS pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("wc")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1) // TakeOrdered — one row to the driver per round
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case Some((l, r, pc)) if pc >= 2 =>
+          merges += ((rank, l, r, pc))
+          vocab = vocab
+            .select(expr(applyMergeExpr(l, r)).as("syms"), col("wc"))
+            .localCheckpoint() // truncate lineage: K rounds, not a K-deep plan
+          rank += 1
+        case _ => rank = k + 1 // nothing left worth merging
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.LmOps
+
+/** d31 bigram-LM scoring, d32 source JS divergence, d33 BPE training.
+  * Planted-corpus expectations are hand-computed; fixture runs assert the
+  * structural invariants the DuckDB oracle can't see (d33 has no oracle).
+  */
+class LmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def writeDocs(rows: (Long, String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lmops").toString
+    docsOf(rows: _*)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d31: hand-computed add-one bigram LM scores on a planted corpus") {
+    // corpus: "a b", "a b", "a c" → V=3, c(a,b)=2, c(a,c)=1, c(a,·)=3
+    // P(b|a)=(2+1)/(3+3)=1/2; P(c|a)=(1+1)/(3+3)=1/3
+    val dir = writeDocs((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s"))
+    val r = LmOps.d31LmScore(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_ll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(math.abs(r(0)._3 - math.log(0.5)) < 1e-5)
+    assert(math.abs(r(2)._3 - math.log(1.0 / 3)) < 1e-5)
+    // ppl = exp(-avg_ll), micro-quantized
+    assert(math.abs(r(0)._4 - 2.0) < 1e-4)
+    assert(math.abs(r(2)._4 - 3.0) < 1e-4)
+  }
+
+  test("d31: near-duplicate high-probability docs score above garble") {
+    val r = LmOps.d31LmScore(spark, sfDir)
+    val n = r.count()
+    assert(n > 0)
+    // every scored doc has >=1 bigram and a negative log-likelihood
+    assert(r.filter(col("n_bigrams") < 1 || col("avg_ll") >= 0).count() === 0)
+    // ppl must invert avg_ll within the quantization contract
+    val bad = r.withColumn("__e",
+      abs(col("ppl") - exp(-col("avg_ll")))).filter(col("__e") > 1e-3)
+    assert(bad.count() === 0)
+  }
+
+  test("d32: identical sources diverge zero; disjoint sources approach ln 2") {
+    val same = writeDocs((1L, "x y z", "s1"), (2L, "x y z", "s2"))
+    val r1 = LmOps.d32SourceDivergence(spark, same)
+      .select("source", "js_div").as[(String, Double)].collect().toMap
+    assert(math.abs(r1("s1")) < 1e-6 && math.abs(r1("s2")) < 1e-6)
+
+    // disjoint unigram supports, equal sizes: P=(a:1), Q=(a:1/2, b:1/2)
+    // JS = 1/2·ln(4/3) + 1/2·(1/2·ln(2/3) + 1/2·ln 2) per source
+    val disj = writeDocs((1L, "a a a", "s1"), (2L, "b b b", "s2"))
+    val expected = 0.5 * math.log(4.0 / 3) +
+      0.5 * (0.5 * math.log(2.0 / 3) + 0.5 * math.log(2.0))
+    val r2 = LmOps.d32SourceDivergence(spark, disj)
+      .select("source", "js_div").as[(String, Double)].collect().toMap
+    assert(math.abs(r2("s1") - expected) < 1e-6)
+    assert(math.abs(r2("s2") - expected) < 1e-6)
+  }
+
+  test("d32: fixture divergences are finite, non-negative, below ln 2") {
+    val r = LmOps.d32SourceDivergence(spark, sfDir)
+      .select("js_div").as[Double].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(v => v >= -1e-9 && v <= math.log(2.0) + 1e-9))
+  }
+
+  test("d33: hand-computed merge sequence with deterministic tie-breaks") {
+    // words: "aaab"×2, "aab"×1 → symbols [a,a,a,b,</w>]×2, [a,a,b,</w>]×1
+    // r1: (a,a) pc=5 → aa          r2: (b,</w>) pc=3 → b</w>
+    // r3: tie at 2 — (a,b</w>) beats (aa,a) lexicographically → ab</w>
+    // r4: (aa,ab</w>) pc=2         then best pair pc=1 < 2 → stop
+    val dir = writeDocs((1L, "aaab aaab", "s"), (2L, "aab", "s"))
+    val r = LmOps.bpeTrain(spark, Tables.documents(spark, dir), 10)
+      .select("rank", "left", "right", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(r === Seq(
+      (1, "a", "a", "aa", 5L),
+      (2, "b", "</w>", "b</w>", 3L),
+      (3, "a", "b</w>", "ab</w>", 2L),
+      (4, "aa", "ab</w>", "aaab</w>", 2L)))
+  }
+
+  test("d33: fixture merge table invariants") {
+    val r = LmOps.d33BpeTrain(spark, sfDir)
+      .select("rank", "left", "right", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(r.nonEmpty && r.size <= graft.llm.LmOps.BpeMerges)
+    assert(r.map(_._1) === (1 to r.size))             // contiguous ranks
+    assert(r.forall { case (_, l, rt, m, pc) => m == l + rt && pc >= 2 })
+    assert(r.map(x => (x._2, x._3)).distinct.size === r.size) // no repeat merges
+  }
+}
