@@ -135,6 +135,8 @@ object SparkEntry {
     "d29b_source_overlap_bounded" -> (graft.llm.QualityOps.d29bSourceOverlapBounded _),
     "d30_incremental_neardup" -> (graft.llm.SketchOps.d30IncrementalNearDup _),
     "d31_lm_score" -> (graft.llm.LmOps.d31LmScore _),
+    "d31b_lm_score_pruned" -> (graft.llm.LmOps.d31bLmScorePruned _), // broadcast pruned-LM tier: corpus stream never shuffles
+
     "d32_source_divergence" -> (graft.llm.LmOps.d32SourceDivergence _),
     "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -242,6 +244,7 @@ object SparkEntry {
     "d29b_source_overlap_bounded" -> graft.llm.QualityOps.d29bSql,
     "d30_incremental_neardup" -> graft.llm.SketchOps.d30Sql,
     "d31_lm_score" -> graft.llm.LmOps.d31Sql,
+    "d31b_lm_score_pruned" -> graft.llm.LmOps.d31bSql,
     "d32_source_divergence" -> graft.llm.LmOps.d32Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,

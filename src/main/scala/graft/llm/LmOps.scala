@@ -64,7 +64,11 @@ object LmOps {
   // from the output (DuckDB's unnest agrees); gated corpora never
   // contain such docs.
   // ---------------------------------------------------------------------
-  def d31LmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared LM training stages: (bigram-instance rows, 1-row |V|, bigram
+    * counts, context totals). `pairs` is checkpoint-pinned — every tier
+    * consumes it at least twice (count stage + scoring join). */
+  private def lmStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
 
@@ -89,32 +93,40 @@ object LmOps {
         TextOps.shingleHash(concat_ws(" ", col("pr.w1"), col("pr.w2"))).as("bh"))
       .localCheckpoint() // pinned: feeds the count stage AND the scoring join
 
+    val cnt = pairs.groupBy(col("w1h"), col("bh"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
+    (pairs, vocab, cnt, ctx)
+  }
+
+  /** Common scoring tail: LONG-sum the micro-nat terms per doc, divide
+    * once, fixed-point the ppl (JVM's exp intrinsic is within-1-ulp but
+    * not correctly rounded — libm is — so raw exp() diverges on ~4% of
+    * values; measured, not theoretical). */
+  private def scoreTail(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llq")).as("__s"))
+      .withColumn("avg_ll", col("__s").cast(DoubleType) /
+        (col("n_bigrams").cast(DoubleType) * lit(1e6)))
+      .withColumn("ppl",
+        floor(exp(-col("avg_ll")) * lit(1e6) + lit(0.5)).cast(DoubleType) / lit(1e6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_ll"), col("ppl"))
+      .orderBy(col("doc_id"))
+
+  def d31LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, vocab, cnt, ctx) = lmStages(spark, dir)
     // per-bigram log-likelihood, quantized to integer MICRO-NATS in the
     // model table (one floor per distinct bigram, not per instance):
     // floor(ll·1e6 + 0.5) is round-half-up, exact on the bit-identical
     // ll both engines compute. Doc scores then sum LONGS.
-    val cnt = pairs.groupBy(col("w1h"), col("bh"))
-      .agg(count(lit(1)).as("c12"))
-    val ctx = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
     val model = cnt.join(ctx, Seq("w1h"))
       .crossJoin(broadcast(vocab))
       .select(col("bh"),
         floor(log((col("c12").cast(DoubleType) + lit(1.0)) /
           (col("c1").cast(DoubleType) + col("__v"))) * lit(1e6) + lit(0.5))
           .as("llq"))
-
-    pairs.join(model, Seq("bh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("llq")).as("__s"))
-      .withColumn("avg_ll", col("__s").cast(DoubleType) /
-        (col("n_bigrams").cast(DoubleType) * lit(1e6)))
-      // ppl is fixed-point too: JVM's exp intrinsic is within-1-ulp but
-      // not correctly rounded (libm is), so raw exp() diverges on ~4% of
-      // values — measured, not theoretical
-      .withColumn("ppl",
-        floor(exp(-col("avg_ll")) * lit(1e6) + lit(0.5)).cast(DoubleType) / lit(1e6))
-      .select(col("doc_id"), col("n_bigrams"), col("avg_ll"), col("ppl"))
-      .orderBy(col("doc_id"))
+    scoreTail(pairs.join(model, Seq("bh")))
   }
 
   /** DuckDB joins bigram STRINGS where the engine joins their 60-bit
@@ -147,6 +159,90 @@ object LmOps {
       |       s / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_ll,
       |       CAST(floor(exp(-(s / (CAST(n_bigrams AS DOUBLE) * 1e6))) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ppl
       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d31b — pruned-LM broadcast tier: d31's 100 TB path. d31's model is
+  // bigram-vocabulary-sized, so at web scale the scoring join shuffles
+  // the corpus-sized instance stream against a model too big to
+  // broadcast. Here the model keeps only bigrams seen >= MinBigramCount
+  // times and the backoff table only contexts seen >= MinCtxCount times
+  // — both bounded by corpus_tokens/M (the long-tail singleton mass, the
+  // overwhelming majority of distinct bigrams, vanishes) — and unseen
+  // pairs back off deterministically:
+  //     ll = seen bigram      → ln((c12+1)/(c1+V))      (exact d31 value)
+  //        | known context    → ln(    1   /(c1+V))      (c12 = 0)
+  //        | unknown context  → ln(    1   /    V)       (c1 = 0 floor)
+  // Every branch is integer-exact under the same micro-nat quantization,
+  // so the tier keeps a FULL DuckDB oracle (deterministic pruning — no
+  // sketch). The scoring join becomes broadcast-hash against the pruned
+  // tables: the corpus-sized instance stream never shuffles at all —
+  // the same absent-means-default move as d28b's top-k frequency table.
+  // ---------------------------------------------------------------------
+  private[graft] val MinBigramCount = 3
+  private[graft] val MinCtxCount = 3
+
+  def d31bLmScorePruned(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, vocab, cnt, ctx) = lmStages(spark, dir)
+    // kept bigrams have c1 >= c12 >= MinBigramCount, so their context is
+    // always in ctx — the exact-model join needs no null handling
+    val model = cnt.filter(col("c12") >= MinBigramCount)
+      .join(ctx, Seq("w1h"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bh"),
+        floor(log((col("c12").cast(DoubleType) + lit(1.0)) /
+          (col("c1").cast(DoubleType) + col("__v"))) * lit(1e6) + lit(0.5))
+          .as("llq"))
+    val backoff = ctx.filter(col("c1") >= MinCtxCount)
+      .crossJoin(broadcast(vocab))
+      .select(col("w1h"),
+        floor(log(lit(1.0) /
+          (col("c1").cast(DoubleType) + col("__v"))) * lit(1e6) + lit(0.5))
+          .as("bllq"))
+    val floorLl = vocab.select(
+      floor(log(lit(1.0) / col("__v")) * lit(1e6) + lit(0.5)).as("fllq"))
+    scoreTail(
+      pairs
+        .join(broadcast(model), Seq("bh"), "left")
+        .join(broadcast(backoff), Seq("w1h"), "left")
+        .crossJoin(broadcast(floorLl))
+        .withColumn("llq", coalesce(col("llq"), col("bllq"), col("fllq"))))
+  }
+
+  val d31bSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - 1),
+       |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+       |      FROM (SELECT unnest(tk) AS w FROM toks)),
+       |cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+       |ctx AS (SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY w1),
+       |model AS (
+       |  SELECT w1, w2,
+       |         CAST(floor(ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + (SELECT v FROM v))) * 1e6 + 0.5) AS BIGINT) AS llq
+       |  FROM cnt JOIN ctx USING (w1)
+       |  WHERE c12 >= $MinBigramCount),
+       |backoff AS (
+       |  SELECT w1,
+       |         CAST(floor(ln(1.0 / (CAST(c1 AS DOUBLE) + (SELECT v FROM v))) * 1e6 + 0.5) AS BIGINT) AS bllq
+       |  FROM ctx WHERE c1 >= $MinCtxCount),
+       |fl AS (SELECT CAST(floor(ln(1.0 / v) * 1e6 + 0.5) AS BIGINT) AS fllq FROM v),
+       |sc AS (
+       |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(COALESCE(m.llq, k.bllq, fl.fllq)) AS DOUBLE) AS s
+       |  FROM big b
+       |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |  LEFT JOIN backoff k ON b.w1 = k.w1
+       |  CROSS JOIN fl
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams,
+       |       s / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_ll,
+       |       CAST(floor(exp(-(s / (CAST(n_bigrams AS DOUBLE) * 1e6))) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ppl
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d32 — per-source Jensen-Shannon divergence from the corpus unigram

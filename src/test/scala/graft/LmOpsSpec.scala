@@ -51,6 +51,32 @@ class LmOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("d31b: pruned model, context backoff, and vocabulary floor all fire") {
+    // V={a,b,z,q,r}=5; (a,b)×3 kept (c12=3), c(a,·)=4 kept; (a,z) rare →
+    // context backoff; (q,r) rare with rare context → vocabulary floor
+    val dir = writeDocs((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a b", "s"),
+      (4L, "a z", "s"), (5L, "q r", "s"))
+    val r = LmOps.d31bLmScorePruned(spark, dir)
+      .select("doc_id", "avg_ll").as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - math.log(4.0 / 9)) < 1e-5)  // exact model branch
+    assert(math.abs(r(4L) - math.log(1.0 / 9)) < 1e-5)  // known-context backoff
+    assert(math.abs(r(5L) - math.log(1.0 / 5)) < 1e-5)  // unknown-context floor
+  }
+
+  test("d31b: agrees with d31 on docs whose bigrams all clear the pruning bar") {
+    val exact = LmOps.d31LmScore(spark, sfDir)
+      .select(col("doc_id"), col("avg_ll").as("exact_ll"))
+    val pruned = LmOps.d31bLmScorePruned(spark, sfDir)
+      .select(col("doc_id"), col("avg_ll").as("pruned_ll"))
+    val both = exact.join(pruned, "doc_id")
+    assert(both.count() === LmOps.d31LmScore(spark, sfDir).count())
+    // the tiers must agree in aggregate direction: mean absolute gap is
+    // bounded by the backoff mass (the fixture corpus is dense, so small)
+    val gap = both.select(avg(abs(col("exact_ll") - col("pruned_ll"))))
+      .as[Double].collect()(0)
+    assert(gap < 0.5, s"pruned tier diverges from exact LM: mean |gap| = $gap")
+  }
+
   test("d32: identical sources diverge zero; disjoint sources approach ln 2") {
     val same = writeDocs((1L, "x y z", "s1"), (2L, "x y z", "s2"))
     val r1 = LmOps.d32SourceDivergence(spark, same)

@@ -28,6 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     "d28_token_rarity", // 1-row mean-token-frequency threshold
     "d28b_token_rarity_topk", // same 1-row threshold, over the K-row table
     "d31_lm_score", // 1-row vocabulary-size |V| broadcast into the model table
+    "d31b_lm_score_pruned", // 1-row |V| + 1-row vocabulary-floor broadcasts
     "d32_source_divergence", // 1-row corpus token total broadcast into the term join
     "f01_scalar_suite", "q07b_rfm_approx",
     "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
@@ -42,6 +43,7 @@ class PlanGuardSpec extends SparkSpec {
     "d28_token_rarity", // 1-row avg-token-frequency aggregate (vocab-sized input)
     "d28b_token_rarity_topk", // K-row global top-k limit + 1-row threshold, both over the aggregated vocab table
     "d31_lm_score", // 1-row |V| count-distinct aggregate (vocab-sized input, map-side partials)
+    "d31b_lm_score_pruned", // same 1-row |V| aggregate feeding model, backoff, and floor
     "d32_source_divergence", // 1-row corpus-total aggregate over the (source, token) count table
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
