@@ -68,8 +68,15 @@ object LmOps {
     * counts, context totals). `pairs` is checkpoint-pinned — every tier
     * consumes it at least twice (count stage + scoring join). */
   private def lmStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    lmStagesFrom(Tables.documents(spark, dir))
+
+  /** Frame-level twin of [[lmStages]] so the streaming model trainer
+    * ([[graft.streaming.LmStream]]) can run the identical stages over an
+    * accepted-corpus frame instead of a fixture dir. */
+  private[graft] def lmStagesFrom(docsIn: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docsIn
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
 
     // corpus vocabulary size |V| — exact distinct over token strings
@@ -79,18 +86,7 @@ object LmOps {
       .select(explode(col("tk")).as("tok"))
       .agg(countDistinct(col("tok")).cast(DoubleType).as("__v"))
 
-    // one bigram-instance row per adjacent token pair; slice+zip_with is
-    // a codegen projection — no window, no shuffle. size>=2 guard: slice
-    // with negative length throws, and null/empty token arrays must
-    // vanish rather than error.
-    val pairs = docs
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        expr("explode(zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
-          " (a, b) -> named_struct('w1', a, 'w2', b))) AS pr"))
-      .select(col("doc_id"),
-        TextOps.shingleHash(col("pr.w1")).as("w1h"),
-        TextOps.shingleHash(concat_ws(" ", col("pr.w1"), col("pr.w2"))).as("bh"))
+    val pairs = bigramRows(docsIn)
       .localCheckpoint() // pinned: feeds the count stage AND the scoring join
 
     val cnt = pairs.groupBy(col("w1h"), col("bh"))
@@ -98,6 +94,22 @@ object LmOps {
     val ctx = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
     (pairs, vocab, cnt, ctx)
   }
+
+  /** One bigram-instance row per adjacent token pair: (doc_id, w1h, bh).
+    * slice+zip_with is a codegen projection — no window, no shuffle.
+    * size>=2 guard: slice with negative length throws, and null/empty
+    * token arrays must vanish rather than error. NOT checkpointed — a
+    * single-consumer caller (the streaming scorer) pays nothing extra. */
+  private[graft] def bigramRows(docsIn: DataFrame): DataFrame =
+    docsIn
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        expr("explode(zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+          " (a, b) -> named_struct('w1', a, 'w2', b))) AS pr"))
+      .select(col("doc_id"),
+        TextOps.shingleHash(col("pr.w1")).as("w1h"),
+        TextOps.shingleHash(concat_ws(" ", col("pr.w1"), col("pr.w2"))).as("bh"))
 
   /** Common scoring tail: LONG-sum the micro-nat terms per doc, divide
     * once, fixed-point the ppl (JVM's exp intrinsic is within-1-ulp but
@@ -181,8 +193,12 @@ object LmOps {
   private[graft] val MinBigramCount = 3
   private[graft] val MinCtxCount = 3
 
-  def d31bLmScorePruned(spark: SparkSession, dir: String): DataFrame = {
-    val (pairs, vocab, cnt, ctx) = lmStages(spark, dir)
+  /** The pruned-LM artifact: (model (bh, llq), backoff (w1h, bllq),
+    * 1-row floor (fllq)). Shared by d31b (train-and-score-in-place) and
+    * the streaming model store ([[graft.streaming.LmStream]]), which
+    * persists exactly these three frames. */
+  private[graft] def prunedTablesFrom(vocab: DataFrame, cnt: DataFrame,
+      ctx: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // kept bigrams have c1 >= c12 >= MinBigramCount, so their context is
     // always in ctx — the exact-model join needs no null handling
     val model = cnt.filter(col("c12") >= MinBigramCount)
@@ -200,12 +216,25 @@ object LmOps {
           .as("bllq"))
     val floorLl = vocab.select(
       floor(log(lit(1.0) / col("__v")) * lit(1e6) + lit(0.5)).as("fllq"))
+    (model, backoff, floorLl)
+  }
+
+  /** Score bigram-instance rows against a pruned LM: broadcast-hash
+    * joins only — the instance stream never shuffles before the per-doc
+    * aggregate. */
+  private[graft] def scorePruned(pairs: DataFrame, model: DataFrame,
+      backoff: DataFrame, floorLl: DataFrame): DataFrame =
     scoreTail(
       pairs
         .join(broadcast(model), Seq("bh"), "left")
         .join(broadcast(backoff), Seq("w1h"), "left")
         .crossJoin(broadcast(floorLl))
         .withColumn("llq", coalesce(col("llq"), col("bllq"), col("fllq"))))
+
+  def d31bLmScorePruned(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, vocab, cnt, ctx) = lmStages(spark, dir)
+    val (model, backoff, floorLl) = prunedTablesFrom(vocab, cnt, ctx)
+    scorePruned(pairs, model, backoff, floorLl)
   }
 
   val d31bSql: String =
