@@ -139,6 +139,7 @@ object SparkEntry {
 
     "d32_source_divergence" -> (graft.llm.LmOps.d32SourceDivergence _),
     "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
+    "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
@@ -246,6 +247,7 @@ object SparkEntry {
     "d31_lm_score" -> graft.llm.LmOps.d31Sql,
     "d31b_lm_score_pruned" -> graft.llm.LmOps.d31bSql,
     "d32_source_divergence" -> graft.llm.LmOps.d32Sql,
+    "d34_stratified_sample" -> graft.llm.LmOps.d34Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,

@@ -357,6 +357,52 @@ object LmOps {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d34 — stratified quota sampling: take EXACTLY min(quota, |stratum|)
+  // documents per (lang, source) stratum, chosen by deterministic hash
+  // rank (shingleHash(doc_id), doc_id tie-break — reproducible across
+  // runs, engines, and partitionings). The fixed-budget mixture-capping
+  // op: d10 samples at a RATE per language, d24 replicates by weight —
+  // this caps each cell of the mixture grid at an absolute budget, the
+  // thing a token-budgeted training run actually enforces.
+  //
+  // Scale: one shuffle keyed on the stratum for the per-stratum
+  // row_number window. Strata are (lang, source) cells — thousands, not
+  // billions — so the window's partitions are the mixture grid; a
+  // pathologically hot cell (one source dominating the corpus) is
+  // bounded by the same skew playbook as q18b's salted dedup: rank
+  // within salted sub-cells, take quota from the merged top. At gate
+  // scale the plain window is the right plan.
+  // ---------------------------------------------------------------------
+  // 10 < the fixture's max stratum size (16) at every gate scale, so the
+  // cap provably FIRES in the oracle gate rather than passing everything
+  private[graft] val StratumQuota = 10
+
+  def d34StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(TextOps.shingleHash(col("doc_id").cast(StringType)).asc,
+        col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= StratumQuota)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("lang"), col("source"), col("rn"))
+  }
+
+  val d34Sql: String =
+    s"""SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT doc_id, lang, source,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY lang, source
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+       |                    doc_id ASC) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratumQuota
+       |ORDER BY lang, source, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d33 — distributed BPE merge training (Sennrich-style): words become
   // char sequences + '</w>'; each round counts adjacent symbol pairs
   // weighted by word frequency, merges the most frequent pair

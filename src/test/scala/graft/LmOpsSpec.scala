@@ -101,6 +101,28 @@ class LmOpsSpec extends SparkSpec {
     assert(r.forall(v => v >= -1e-9 && v <= math.log(2.0) + 1e-9))
   }
 
+  test("d34: exact per-stratum quotas, contiguous ranks, rerun-stable") {
+    val r = LmOps.d34StratifiedSample(spark, sfDir)
+    val base = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> math.min(n, LmOps.StratumQuota.toLong) }
+      .toMap
+    val got = r.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("k"), max(col("rn")).as("mx"))
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (l, s, k, mx) =>
+      assert(k === base((l, s)), s"stratum ($l,$s)")
+      assert(mx === k, s"ranks not contiguous in ($l,$s)")
+    }
+    // deterministic: a second run selects the identical doc set
+    val a = r.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = LmOps.d34StratifiedSample(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("d33: hand-computed merge sequence with deterministic tie-breaks") {
     // words: "aaab"×2, "aab"×1 → symbols [a,a,a,b,</w>]×2, [a,a,b,</w>]×1
     // r1: (a,a) pc=5 → aa          r2: (b,</w>) pc=3 → b</w>
