@@ -139,6 +139,7 @@ object SparkEntry {
 
     "d32_source_divergence" -> (graft.llm.LmOps.d32SourceDivergence _),
     "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
+    "d33b_bpe_encode" -> (graft.llm.LmOps.d33bBpeEncode _), // rows-only: the K-fold encode is not one SQL query
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),

@@ -486,4 +486,47 @@ object LmOps {
       .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_count"))
       .orderBy(col("rank"))
   }
+
+  // ---------------------------------------------------------------------
+  // d33b — BPE ENCODING with the trained merge table: the apply half of
+  // the tokenizer (train → ship merges → encode). Each document's token
+  // count under the learned vocabulary is what a token-budgeted pipeline
+  // actually bills by.
+  //
+  // Scale: merges apply to the DISTINCT-WORD vocabulary, never the
+  // corpus — the K interpreted folds run over vocabulary-sized rows
+  // (the same bound as training), and documents get their counts back
+  // through a vocabulary join (word-keyed, broadcastable once encoded:
+  // the encoded vocab is (word, n_sym) — smaller than d28b's frequency
+  // table). The merge list itself is the K-row driver-side artifact the
+  // trainer produced; no per-round jobs here, one plan applies all K.
+  //
+  // Rows-only like d33 (the fold is not one SQL query); LmOpsSpec pins
+  // the hand-computed encoding of the planted corpus and the token-count
+  // bounds on the fixture.
+  // ---------------------------------------------------------------------
+  def d33bBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(spark, docs, BpeMerges)
+      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+    bpeEncode(docs, merges)
+  }
+
+  /** Per-doc token counts under a merge table: (doc_id, n_words,
+    * n_bpe_tokens). Words beyond the learned vocabulary still encode —
+    * they just merge less. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val vocab0 = words.select(col("word")).distinct()
+      .withColumn("syms", expr("concat(split(word, ''), array('</w>'))"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("syms", expr(applyMergeExpr(l, r)))
+    }.select(col("word"), size(col("syms")).cast(LongType).as("n_sym"))
+    words.join(broadcast(encoded), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

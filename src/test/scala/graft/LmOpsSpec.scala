@@ -139,6 +139,36 @@ class LmOpsSpec extends SparkSpec {
       (4, "aa", "ab</w>", "aaab</w>", 2L)))
   }
 
+  test("d33b: hand-computed encoding under the trained merges") {
+    // merges from the d33 planted corpus: (a,a),(b,</w>),(a,b</w>),(aa,ab</w>)
+    // encode "aaab" -> [aaab</w>] = 1 symbol; "aab" -> [aa, b</w>] = 2
+    val dir = writeDocs((1L, "aaab aaab", "s"), (2L, "aab", "s"))
+    val docs = Tables.documents(spark, dir)
+    val merges = LmOps.bpeTrain(spark, docs, 10)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val r = LmOps.bpeEncode(docs, merges)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r === Seq((1L, 2L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("d33b: fixture token counts sit between word count and char+word count") {
+    val enc = LmOps.d33bBpeEncode(spark, sfDir)
+    val joined = enc.join(
+      Tables.documents(spark, sfDir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+    // every word encodes to >= 1 symbol and <= |chars|+1 symbols
+    val bad = joined.filter(col("n_bpe_tokens") < col("n_words") ||
+      col("n_bpe_tokens") > col("n_chars") + col("n_words")).count()
+    assert(bad === 0)
+    // the learned merges actually compress: strictly fewer symbols than
+    // the unmerged char+marker baseline on the whole corpus
+    val (bpe, base) = joined
+      .agg(sum(col("n_bpe_tokens")), sum(col("n_chars") + col("n_words")))
+      .as[(Long, Long)].collect()(0)
+    assert(bpe < base, s"BPE failed to compress: $bpe vs $base")
+  }
+
   test("d33: fixture merge table invariants") {
     val r = LmOps.d33BpeTrain(spark, sfDir)
       .select("rank", "left", "right", "merged", "pair_count")
