@@ -141,6 +141,7 @@ object SparkEntry {
     "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
     "d33b_bpe_encode" -> (graft.llm.LmOps.d33bBpeEncode _), // rows-only: the K-fold encode is not one SQL query
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
+    "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
     "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),
     "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // rows-only: iterative k-means has no single-SQL oracle
+    "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // rows-only: iterative codebook training; PqSpec recall contract
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
@@ -249,6 +251,7 @@ object SparkEntry {
     "d31b_lm_score_pruned" -> graft.llm.LmOps.d31bSql,
     "d32_source_divergence" -> graft.llm.LmOps.d32Sql,
     "d34_stratified_sample" -> graft.llm.LmOps.d34Sql,
+    "d34b_stratified_salted" -> graft.llm.LmOps.d34Sql, // salting changes the plan, not the result
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,

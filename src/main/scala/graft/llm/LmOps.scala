@@ -403,6 +403,41 @@ object LmOps {
        |ORDER BY lang, source, rn""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d34b — the salted skew tier of d34 (q18b's playbook, same oracle):
+  // when one mixture cell holds a disproportionate share of the corpus
+  // (one crawl source dominating), d34's per-cell window concentrates
+  // that cell's rows in one task. Salting splits each cell into
+  // SampleSalts sub-cells ranked independently; each sub-cell keeps its
+  // own top-quota (a SUPERSET of the global top-quota, since the global
+  // rank-k element ranks <= k within its salt), and a second window over
+  // the <= salts x quota survivors per cell produces the exact global
+  // answer. The hot cell's heavy first pass spreads over SampleSalts
+  // tasks; the second pass is quota-bounded. Results are byte-identical
+  // to d34 — the driver gate holds both to d34's oracle.
+  // ---------------------------------------------------------------------
+  private[graft] val SampleSalts = 8
+
+  def d34bStratifiedSampleSalted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = TextOps.shingleHash(col("doc_id").cast(StringType))
+    val salted = Window
+      .partitionBy(col("lang"), col("source"), col("__salt"))
+      .orderBy(orderKey.asc, col("doc_id").asc)
+    val cell = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(orderKey.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("__salt", pmod(hash(col("doc_id")), lit(SampleSalts)))
+      .withColumn("__srn", row_number().over(salted))
+      .filter(col("__srn") <= StratumQuota) // superset of the global top-quota
+      .withColumn("rn", row_number().over(cell))
+      .filter(col("rn") <= StratumQuota)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy(col("lang"), col("source"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------------
   // d33 — distributed BPE merge training (Sennrich-style): words become
   // char sequences + '</w>'; each round counts adjacent symbol pairs
   // weighted by word frequency, merges the most frequent pair

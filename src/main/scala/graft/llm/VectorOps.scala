@@ -484,4 +484,119 @@ object VectorOps {
        |SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // a07 — product quantization with asymmetric-distance scoring (ADC) +
+  // exact re-rank: the MEMORY half of web-scale ANN that IVF alone lacks.
+  // Vectors normalize once, split into PqM subspaces, and each subspace
+  // trains its own PqK-code L2 codebook (Lloyd's, deterministic first-K
+  // init); a vector is then PqM one-byte codes — 8 bytes here vs 256 for
+  // float32×64, a 32× memory cut, the layout that lets a billion-vector
+  // index live in RAM. A query never touches stored vectors during the
+  // scan: it precomputes per-subspace dot tables against the PqM×PqK
+  // codebook (tiny, broadcast) and scores every vector as a sum of PqM
+  // table lookups (approximate cosine, since everything is normalized).
+  // The top PqRerank ADC candidates — and only those — are re-ranked
+  // with exact dots for the final top-K.
+  //
+  // Scale: codebooks and query tables are model-sized broadcasts; the
+  // ADC scan is one hash join on (m, code) + a map-side-partial sum per
+  // (query, vector); the exact pass touches PqRerank vectors per query.
+  // Composes with a04's IVF the standard way (probe lists first, ADC
+  // within them) — registered standalone so the gate measures the PQ
+  // machinery itself. Rows-only (iterative training, a04b precedent);
+  // PqSpec pins recall against a01 and the code-size invariants.
+  // ---------------------------------------------------------------------
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 3
+  private val PqRerank = 50
+
+  /** L2 assignment of sub-vectors to a sub-codebook: argmin ‖x−c‖² =
+    * argmax (x·c − ‖c‖²/2), code-asc tie-break. */
+  private def assignL2(s: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    s.crossJoin(broadcast(
+        cents.withColumn("__c2", dot(col("ce"), col("ce")))))
+      .withColumn("__sc", dot(col("sv"), col("ce")) - col("__c2") / lit(2.0))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__sc").desc, col("code"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("sv"), col("code"))
+  }
+
+  /** Lloyd's over one subspace's sub-vectors; returns (code, ce). */
+  private def trainSub(s: DataFrame): DataFrame = {
+    var cents = s.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast(IntegerType).as("code"), col("sv").as("ce"))
+    for (_ <- 1 to PqIters) {
+      cents = assignL2(s, cents)
+        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("code"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("code"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+        .cache()
+      cents.count() // materialize the K×sub model; bounds lineage depth
+    }
+    cents
+  }
+
+  def a07AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("__n", norm(col("embedding")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
+          .as("nemb"))
+      .localCheckpoint() // consumed by PqM trainings, the encode, and queries
+    val dim = e.select(size(col("nemb"))).first().getInt(0) // 1-row driver probe
+    require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
+    val sub = dim / PqM
+
+    val perM = (0 until PqM).map { m =>
+      val s = e.select(col("vec_id"),
+        expr(s"slice(nemb, ${m * sub + 1}, $sub)").as("sv"))
+      val cents = trainSub(s)
+      (cents.withColumn("m", lit(m)),
+        assignL2(s, cents).select(col("vec_id"), lit(m).as("m"), col("code")))
+    }
+    val books = perM.map(_._1).reduce(_ unionByName _) // PqM×PqK rows
+    val codes = perM.map(_._2).reduce(_ unionByName _) // N×PqM rows — the index
+
+    // per-query subspace dot tables against the codebook (broadcast-sized)
+    val q = e.filter(col("vec_id") < NQueries)
+    val qsubs = (0 until PqM).map { m =>
+      q.select(col("vec_id").as("query_id"), lit(m).as("m"),
+        expr(s"slice(nemb, ${m * sub + 1}, $sub)").as("qsv"))
+    }.reduce(_ unionByName _)
+    val tables = qsubs.join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dot(col("qsv"), col("ce")).as("part"))
+
+    // ADC scan: one hash join on (m, code), partial-summed per pair
+    val adc = codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("adc_sim"))
+    val cand = adc.withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_sim").desc, col("vec_id"))))
+      .filter(col("__r") <= PqRerank)
+
+    // exact re-rank of the candidates only (normalized → dot == cosine)
+    val exact = cand
+      .join(e.select(col("vec_id"), col("nemb")), Seq("vec_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("nemb").as("qne")),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qne"), col("nemb")).as("cos_sim"))
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

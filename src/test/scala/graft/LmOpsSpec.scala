@@ -139,6 +139,14 @@ class LmOpsSpec extends SparkSpec {
       (4, "aa", "ab</w>", "aaab</w>", 2L)))
   }
 
+  test("d34b: salted path returns byte-identical rows to d34") {
+    val a = LmOps.d34StratifiedSample(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = LmOps.d34bStratifiedSampleSalted(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("d33b: hand-computed encoding under the trained merges") {
     // merges from the d33 planted corpus: (a,a),(b,</w>),(a,b</w>),(aa,ab</w>)
     // encode "aaab" -> [aaab</w>] = 1 symbol; "aab" -> [aa, b</w>] = 2
