@@ -142,6 +142,7 @@ object SparkEntry {
     "d33b_bpe_encode" -> (graft.llm.LmOps.d33bBpeEncode _), // rows-only: the K-fold encode is not one SQL query
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
+    "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
@@ -252,6 +253,7 @@ object SparkEntry {
     "d32_source_divergence" -> graft.llm.LmOps.d32Sql,
     "d34_stratified_sample" -> graft.llm.LmOps.d34Sql,
     "d34b_stratified_salted" -> graft.llm.LmOps.d34Sql, // salting changes the plan, not the result
+    "d35_span_dedup" -> graft.llm.TextOps.d35Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,

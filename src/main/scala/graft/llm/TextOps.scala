@@ -516,4 +516,123 @@ object TextOps {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sk ASC, doc_id ASC) AS INTEGER) AS pos
        |FROM s
        |ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d35 — span-level (substring) deduplication: remove every k-token span
+  // that occurs MORE THAN ONCE anywhere in the corpus (cross-doc or
+  // within-doc), keeping the rest of each document intact. This is the
+  // sequence-level dedup of Lee et al. 2022 ("Deduplicating Training Data
+  // Makes Language Models Better"), with the suffix array replaced by the
+  // standard distributed approximation: exact k-token shingles with
+  // positions. Doc-level dedup (d01/d06–d11) cannot express this — a
+  // boilerplate paragraph shared by a million otherwise-distinct pages
+  // survives every doc-level tier, and span dedup is what removes it.
+  //
+  // Exactness: a token is "duplicated" iff some duplicated shingle covers
+  // it — a pure function of the text, no sketches, so the op keeps a full
+  // DuckDB oracle (incl. the reconstructed clean_text). Tokenization is
+  // split on a single space, mirrored exactly by the oracle's
+  // string_split; the fixture (and the dirty gate's planted docs) are
+  // single-space joined, so both sides see identical token streams.
+  //
+  // Scale (the two-phase shape is the whole design):
+  //  * Phase 1 finds candidate shingle FINGERPRINTS: groupBy(xxhash64)
+  //    with map-side partial counts — the corpus-sized shuffle moves
+  //    8-byte hashes, never shingle text (d01's fingerprint discipline).
+  //  * Phase 2 re-groups ONLY the candidate-hash survivors by shingle
+  //    text, so a 64-bit collision between two once-seen shingles cannot
+  //    fabricate a duplicate — exactness is restored on a set bounded by
+  //    actually-repeated content, which is the set a dedup pass exists to
+  //    shrink. (At web scale this is the Zipf head: tiny relative to the
+  //    corpus; AQE broadcasts it into the probe joins below at runtime —
+  //    no static hint, so a pathological dup set degrades to a shuffle
+  //    join instead of an OOM.)
+  //  * Coverage explode is k rows per duplicated-shingle OCCURRENCE (not
+  //    per corpus token), and the final per-doc aggregate is the same
+  //    one-shuffle group-by-doc every corpus op here pays.
+  // ---------------------------------------------------------------------
+  private val SpanK = 5
+
+  /** Core span dedup over any (doc_id, text) frame; k = span length. */
+  def spanDedup(docs: DataFrame, k: Int): DataFrame = {
+    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val sh = arr.where(size(col("arr")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(arr) - ${k - 1}), " +
+          s"i -> array_join(slice(arr, i, $k), ' '))")).as(Seq("i0", "shingle")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("shingle"),
+        xxhash64(col("shingle")).as("fp"))
+    val candFp = sh.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("fp")
+    val dup = sh.join(candFp, "fp")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("shingle")
+    val cov = sh.join(dup, "shingle")
+      .select(col("doc_id").as("c_doc"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cpos"))
+      .distinct()
+    val tok = arr
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+    tok.join(cov,
+        tok("doc_id") === cov("c_doc") && col("pos") === col("cpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("cpos")).as("dup_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cpos").isNull, struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+      .withColumn("dup_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("dup_ppm"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def d35SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir), SpanK)
+
+  val d35Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |),
+       |tok AS (
+       |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos FROM toks
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(arr) - ${SpanK - 1})) AS pos, arr
+       |  FROM toks WHERE len(arr) >= $SpanK
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(arr[pos:pos + ${SpanK - 1}], ' ') AS shingle
+       |  FROM sh
+       |),
+       |dup AS (
+       |  SELECT shingle FROM sh2 GROUP BY shingle HAVING count(*) >= 2
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT s0.doc_id,
+       |           unnest(generate_series(s0.pos, s0.pos + ${SpanK - 1})) AS pos
+       |    FROM sh2 s0 JOIN dup d USING (shingle)
+       |  )
+       |),
+       |final AS (
+       |  SELECT t.doc_id,
+       |         count(*) AS n_tokens,
+       |         count(c.pos) AS dup_tokens,
+       |         (count(c.pos) * 1000000) // count(*) AS dup_ppm,
+       |         coalesce(string_agg(
+       |           CASE WHEN c.pos IS NULL THEN t.arr[t.pos] END,
+       |           ' ' ORDER BY t.pos), '') AS clean_text
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT doc_id, n_tokens, dup_tokens, dup_ppm, clean_text
+       |FROM final ORDER BY doc_id""".stripMargin
 }

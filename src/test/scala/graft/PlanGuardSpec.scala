@@ -79,4 +79,17 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("d35: the corpus-sized candidate shuffle hashes the 8-byte fingerprint, not shingle text") {
+    val plan = SparkEntry.queries("d35_span_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // phase-1 candidate aggregate partitions on fp (xxhash64 of the
+    // shingle) with a map-side partial — the only corpus-sized groupBy
+    // shuffle in the op moves 8-byte keys
+    assert(plan.contains("hashpartitioning(fp"))
+    val partialIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("keys=[fp") &&
+        l.contains("partial_count"))
+    assert(partialIdx >= 0, "phase-1 fp aggregate lost its map-side partial")
+  }
 }

@@ -174,4 +174,39 @@ class TextOpsSpec extends SparkSpec {
     // pure function of (epoch, doc_id): a second evaluation is identical
     assert(out.except(TextOps.d27EpochShuffle(spark, sfDir)).isEmpty)
   }
+
+  test("d35 span dedup: cross-doc span, within-doc repeat, short doc") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),             // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "p q r"),                       // shorter than k: no shingles
+      (4L, "m n o p q m n o p q r s"))     // within-doc repeated span
+      .toDF("doc_id", "text")
+    val out = TextOps.spanDedup(d, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((8L, 5L, 625000L, "f g h")))
+    assert(out(2L) == ((8L, 5L, 625000L, "x y z")))
+    assert(out(3L) == ((3L, 0L, 0L, "p q r")))
+    assert(out(4L) == ((12L, 10L, 833333L, "r s")))
+  }
+
+  test("d35 on the fixture: every doc accounted, dup signal present") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = TextOps.d35SpanDedup(spark, sfDir).cache()
+    assert(out.count() == docs.count())
+    // the fixture's planted near-dup pairs share >= one 5-token span
+    assert(out.where(col("dup_tokens") > 0).count() > 0)
+    // n_tokens agrees with an independent tokenization of the source text
+    val bad = out.join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n2")), "doc_id")
+      .where(col("n_tokens") =!= col("n2")).count()
+    assert(bad == 0)
+    // clean_text of an untouched doc round-trips the original text
+    val any = out.where(col("dup_tokens") === 0).limit(1).collect()(0)
+    val orig = docs.where(col("doc_id") === any.getLong(0))
+      .collect()(0).getAs[String]("text")
+    assert(any.getString(4) == orig)
+    out.unpersist()
+  }
 }
