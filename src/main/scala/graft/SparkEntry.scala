@@ -143,6 +143,8 @@ object SparkEntry {
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
     "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
+    "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
+    "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
@@ -254,6 +256,8 @@ object SparkEntry {
     "d34_stratified_sample" -> graft.llm.LmOps.d34Sql,
     "d34b_stratified_salted" -> graft.llm.LmOps.d34Sql, // salting changes the plan, not the result
     "d35_span_dedup" -> graft.llm.TextOps.d35Sql,
+    "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
+    "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,
     "a06_quantize_embeddings" -> graft.llm.VectorOps.a06Sql,
     "a01_ann_brute_force" -> graft.llm.VectorOps.a01Sql,

@@ -564,4 +564,89 @@ object LmOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // d37 — frozen hashed-linear quality classifier: inference for the
+  // model-based quality gate every web-scale corpus runs (the GPT-3 /
+  // CCNet move: a linear classifier over hashed bag-of-words features
+  // scores each page, the score gates or buckets it). The model artifact
+  // is a D-bucket weight table — trained OFFLINE in a real deployment
+  // and shipped frozen; here the weights are a deterministic PRF of the
+  // bucket index (Knuth multiplicative hash) so the op stays a pure
+  // function of its inputs with a full DuckDB oracle. What the engine
+  // owns — and what this op exercises — is the INFERENCE plumbing:
+  // feature hashing, broadcast of the model artifact, the per-doc
+  // fixed-point aggregate, the logistic link.
+  //
+  // Model: bucket(t) = md5_32(t) mod D (d10's portable hash contract);
+  // w_int(b) = ((b · 2654435761) mod 8192) − 4096, i.e. weights in
+  // [−1, 1) at 1/4096 grain — INTEGER in the table, so doc sums are
+  // exact longs in any order. score = Σ w_int / (4096 · n_tokens);
+  // prob = σ(score), quantized to micro-units (exp is within-1-ulp on
+  // the JVM, not correctly rounded — d31's measured lesson); kept =
+  // prob ≥ 0.5 at the 1e-6 grain.
+  //
+  // Scale: the weight table is D rows — at D = 2^21 (a production
+  // fasttext dim) a few MB — and BROADCASTS; the corpus-sized token
+  // stream never shuffles before the per-doc aggregate (one shuffle,
+  // map-side partials). Exchange census = d31b's: broadcast-hash join +
+  // one doc-keyed aggregate. Inference over a 100 TB corpus is one scan.
+  //
+  // Contract (d28's): a zero-token doc has no feature rows and is absent.
+  // ---------------------------------------------------------------------
+  private[graft] val ClfBuckets = 512L
+  private[graft] val ClfWeightGrain = 4096.0
+
+  /** The frozen model artifact: (bucket, w_int). Deterministic PRF of
+    * the bucket index — stands in for a trained-weights parquet load;
+    * swap `weightTable` for `spark.read.parquet(modelPath)` and nothing
+    * else changes. */
+  private[graft] def weightTable(spark: SparkSession): DataFrame =
+    spark.range(ClfBuckets).select(
+      col("id").as("bucket"),
+      ((col("id") * lit(2654435761L)) % lit(8192L) - lit(4096L)).as("w_int"))
+
+  def d37QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType),
+          lit(ClfBuckets)).as("bucket"))
+    feats.join(broadcast(weightTable(spark)), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_int")).as("sum_w"))
+      .withColumn("score", col("sum_w").cast(DoubleType) /
+        (lit(ClfWeightGrain) * col("n_tokens").cast(DoubleType)))
+      .withColumn("prob_q",
+        floor(lit(1.0) / (lit(1.0) + exp(-col("score"))) * lit(1e6) + lit(0.5))
+          .cast(DoubleType) / lit(1e6))
+      .withColumn("kept",
+        when(col("prob_q") >= 0.5, 1).otherwise(0).cast(IntegerType))
+      .select(col("doc_id"), col("n_tokens"), col("sum_w"), col("score"),
+        col("prob_q"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d37Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |w AS (
+       |  SELECT b AS bucket, (b * 2654435761) % 8192 - 4096 AS w_int
+       |  FROM (SELECT unnest(range(0, ${ClfBuckets})) AS b)),
+       |feats AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % ${ClfBuckets} AS bucket
+       |  FROM toks),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(w.w_int) AS BIGINT) AS sum_w
+       |  FROM feats f JOIN w USING (bucket)
+       |  GROUP BY f.doc_id)
+       |SELECT doc_id, n_tokens, sum_w,
+       |       CAST(sum_w AS DOUBLE) / (${ClfWeightGrain} * CAST(n_tokens AS DOUBLE)) AS score,
+       |       floor(1.0 / (1.0 + exp(-(CAST(sum_w AS DOUBLE) / (${ClfWeightGrain} * CAST(n_tokens AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS prob_q,
+       |       CAST(floor(1.0 / (1.0 + exp(-(CAST(sum_w AS DOUBLE) / (${ClfWeightGrain} * CAST(n_tokens AS DOUBLE))))) * 1e6 + 0.5) / 1e6 >= 0.5 AS INT) AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin
 }

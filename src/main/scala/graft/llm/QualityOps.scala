@@ -833,4 +833,88 @@ object QualityOps {
       |JOIN sizes sa ON sa.source = p.source_a
       |JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d36 — per-document tf-idf keyword extraction: the top-K terms of
+  // every document by tf·idf, the metadata field a curation pipeline
+  // attaches for topic routing, domain mixing, and search over the
+  // corpus. Completes the term-statistics family: d17 is the GLOBAL
+  // vocabulary head, d28 scores docs by rarity mass, this names the
+  // distinguishing terms PER DOC. tf = c(t,d)/|d|; idf = ln((N+1)/(df+1))
+  // + 1 (the smoothed form that keeps corpus-universal terms at weight
+  // 1 rather than 0); rank by tf·idf desc with the term string as the
+  // deterministic tie-break.
+  //
+  // Scale: the corpus-sized explode collapses FIRST into per-(doc, term)
+  // counts (one corpus-sized shuffle, map-side partials absorb repeats);
+  // everything after operates on the distinct doc-term frame (pinned —
+  // it feeds the doc-length re-aggregate, the document-frequency
+  // aggregate, and the scoring join). The df table is vocabulary-sized
+  // (d28's argument: millions of rows at 100 TB, not corpus-sized) and
+  // joins back on the term key the doc side already carries; at web
+  // scale it truncates to top-K-by-df with absent ⇒ idf-floor, exactly
+  // d28b's broadcast move — plan shape unchanged. The top-K window
+  // partitions by doc_id over a doc's DISTINCT terms (bounded by doc
+  // vocabulary, never corpus-sized — the global forms live in
+  // operators.Ranks).
+  //
+  // Cross-engine contract (d31's): tf·idf is one per-row scalar
+  // expression over identical integer inputs (c, |d|, df, N) — ln/÷/×
+  // are bit-identical on both engines — quantized ONCE to integer
+  // nano-units (floor(x·1e9 + 0.5)) so the ranking key and the output
+  // column are exact longs. A doc with zero tokens has no terms and is
+  // absent (d28's contract).
+  // ---------------------------------------------------------------------
+  private val KeywordTopK = 5
+
+  def d36TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct (doc, term) counts — pinned: feeds doc-length re-agg,
+    // document-frequency agg, and the scoring join
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docLen.agg(count(lit(1)).cast(DoubleType).as("__n"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_q",
+        floor((col("tf").cast(DoubleType) / col("n_tokens").cast(DoubleType)) *
+          (log((col("__n") + lit(1.0)) / (col("df").cast(DoubleType) + lit(1.0))) +
+            lit(1.0)) * lit(1e9) + lit(0.5)).cast(LongType))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_q").desc, col("tok").asc)))
+      .filter(col("rank") <= KeywordTopK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("n_tokens"), col("tfidf_q"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val d36Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |sc AS (
+       |  SELECT t.doc_id, t.tok, t.tf, f.df, l.n_tokens,
+       |         CAST(floor((CAST(t.tf AS DOUBLE) / CAST(l.n_tokens AS DOUBLE)) *
+       |           (ln((nd.n + 1.0) / (CAST(f.df AS DOUBLE) + 1.0)) + 1.0) * 1e9 + 0.5)
+       |           AS BIGINT) AS tfidf_q
+       |  FROM tf t JOIN dl l USING (doc_id) JOIN df f USING (tok), nd),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tfidf_q DESC, tok ASC) AS rank
+       |  FROM sc)
+       |SELECT doc_id, rank, tok, tf, df, n_tokens, tfidf_q
+       |FROM rk WHERE rank <= $KeywordTopK ORDER BY doc_id, rank""".stripMargin
 }

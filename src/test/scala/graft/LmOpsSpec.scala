@@ -186,4 +186,52 @@ class LmOpsSpec extends SparkSpec {
     assert(r.forall { case (_, l, rt, m, pc) => m == l + rt && pc >= 2 })
     assert(r.map(x => (x._2, x._3)).distinct.size === r.size) // no repeat merges
   }
+
+  /** Reference model on the JVM side: same bucket/weight arithmetic as the
+    * engine's expressions, computed with MessageDigest — an independent
+    * implementation path, not the code under test. */
+  private def refBucket(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % LmOps.ClfBuckets
+  }
+  private def refWeight(b: Long): Long = (b * 2654435761L) % 8192L - 4096L
+
+  test("d37: hand-checked classifier scores on a planted corpus") {
+    val dir = writeDocs((1L, "good clean prose", "s"), (2L, "zzqx", "s"))
+    val r = LmOps.d37QualityClassifier(spark, dir)
+      .select("doc_id", "n_tokens", "sum_w", "score", "prob_q", "kept")
+      .as[(Long, Long, Long, Double, Double, Int)].collect().sortBy(_._1)
+    val w1 = Seq("good", "clean", "prose").map(t => refWeight(refBucket(t))).sum
+    val w2 = refWeight(refBucket("zzqx"))
+    assert(r(0) ._2 === 3L); assert(r(0)._3 === w1)
+    assert(r(1)._2 === 1L); assert(r(1)._3 === w2)
+    val s1 = w1.toDouble / (LmOps.ClfWeightGrain * 3)
+    assert(math.abs(r(0)._4 - s1) < 1e-12)
+    assert(r(0)._5 === math.floor(1.0 / (1.0 + math.exp(-s1)) * 1e6 + 0.5) / 1e6)
+    assert(r(0)._6 === (if (r(0)._5 >= 0.5) 1 else 0))
+    assert(r(1)._6 === (if (r(1)._5 >= 0.5) 1 else 0))
+  }
+
+  test("d37: weight table is the deterministic PRF, bounded in [-4096, 4096)") {
+    import org.apache.spark.sql.functions.col
+    val w = LmOps.weightTable(spark).as[(Long, Long)].collect().sortBy(_._1)
+    assert(w.length === LmOps.ClfBuckets)
+    assert(w.forall { case (b, wi) => wi == refWeight(b) })
+    assert(w.forall { case (_, wi) => wi >= -4096L && wi < 4096L })
+    // not degenerate: both signs occur
+    assert(w.exists(_._2 < 0) && w.exists(_._2 > 0))
+  }
+
+  test("d37: fixture scores are consistent (prob inverts score, kept matches threshold)") {
+    val r = LmOps.d37QualityClassifier(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("prob_q") <= 0.0 || col("prob_q") >= 1.0).count() === 0)
+    assert(r.filter((col("prob_q") >= 0.5) =!= (col("kept") === 1)).count() === 0)
+    val bad = r.withColumn("__e",
+      abs(col("prob_q") - lit(1.0) / (lit(1.0) + exp(-col("score")))))
+      .filter(col("__e") > 1e-3)
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
 }

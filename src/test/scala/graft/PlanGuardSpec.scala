@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkSpec {
     "d31_lm_score", // 1-row vocabulary-size |V| broadcast into the model table
     "d31b_lm_score_pruned", // 1-row |V| + 1-row vocabulary-floor broadcasts
     "d32_source_divergence", // 1-row corpus token total broadcast into the term join
+    "d36_tfidf_keywords", // 1-row corpus doc-count broadcast into the idf expression
     "f01_scalar_suite", "q07b_rfm_approx",
     "q11_returnflag_dist", "q15_status_dist", "q16_priority_dist",
     "q17_filtered_dist", "q19_product_imputation")
@@ -46,6 +47,7 @@ class PlanGuardSpec extends SparkSpec {
     "d31_lm_score", // 1-row |V| count-distinct aggregate (vocab-sized input, map-side partials)
     "d31b_lm_score_pruned", // same 1-row |V| aggregate feeding model, backoff, and floor
     "d32_source_divergence", // 1-row corpus-total aggregate over the (source, token) count table
+    "d36_tfidf_keywords", // 1-row doc-count aggregate over the per-doc length table
     "f01_scalar_suite", "q02_kpi_totals", "q02b_kpi_approx",
     "q07b_rfm_approx", "q11_returnflag_dist", "q15_status_dist",
     "q16_priority_dist", "q17_filtered_dist", "q19_product_imputation",

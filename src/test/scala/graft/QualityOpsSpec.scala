@@ -260,4 +260,42 @@ class QualityOpsSpec extends SparkSpec {
     assert(bounded.getLong(1) < exact.getLong(1))
     assert(bounded.getLong(0) <= exact.getLong(0))
   }
+
+  test("d36: hand-computed tf-idf keywords, ranking, and tie-break on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d36").toString
+    Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+        (3L, "cherry cherry cherry dog"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = QualityOps.d36TfidfKeywords(spark, dir)
+      .select("doc_id", "rank", "tok", "tf", "df", "n_tokens", "tfidf_q")
+      .as[(Long, Int, String, Long, Long, Long, Long)].collect()
+      .sortBy(x => (x._1, x._2)).toSeq
+    // N=3; df: apple 1, banana 2, cherry 2, dog 1
+    def q(tf: Long, n: Long, df: Long): Long =
+      math.floor(tf.toDouble / n * (math.log(4.0 / (df + 1.0)) + 1.0) * 1e9 + 0.5).toLong
+    assert(r.map(x => (x._1, x._2, x._3)) === Seq(
+      (1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "banana"), (2L, 2, "cherry"), // exact tf-idf tie → tok asc
+      (3L, 1, "cherry"), (3L, 2, "dog")))
+    assert(r.find(x => x._1 == 1L && x._3 == "apple").get._7 === q(2, 3, 1))
+    assert(r.find(x => x._1 == 2L && x._3 == "banana").get._7 === q(1, 2, 2))
+    assert(r.find(x => x._1 == 2L && x._3 == "cherry").get._7 === q(1, 2, 2))
+  }
+
+  test("d36: fixture ranks are contiguous from 1 and capped at K per doc") {
+    val r = QualityOps.d36TfidfKeywords(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    // per doc: ranks are exactly 1..n_keywords (no gaps, no dups)
+    val bad = r.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        countDistinct(col("rank")).as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
 }
