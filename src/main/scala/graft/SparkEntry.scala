@@ -156,6 +156,7 @@ object SparkEntry {
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
+    "m04_audio_features" -> (graft.llm.Multimodal.m04AudioFeatures _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
     "f02_multiformat_parse" -> (graft.functions.ScalarQueries.f02MultiFormatParse _),
   )
@@ -267,6 +268,7 @@ object SparkEntry {
     "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
     "m03_image_decode" -> graft.llm.Multimodal.m03Sql,
+    "m04_audio_features" -> graft.llm.Multimodal.m04Sql,
     "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,
     "f02_multiformat_parse" -> graft.functions.ScalarQueries.f02Sql,
   )

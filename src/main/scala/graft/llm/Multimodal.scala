@@ -199,4 +199,125 @@ object Multimodal {
        |FROM documents, (SELECT unnest(range(0, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) // $FrameSize + 1, $FrameStep)) AS i) r
        |WHERE i * $FrameSize < length(text) AND strlen(text) = length(text)
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m04 — audio decode + frame-energy features, REAL codec: the JDK ships
+  // a WAV parser (`javax.sound.sampled.AudioSystem`, java.desktop — the
+  // same module as ImageIO), so the audio modality gets the image
+  // treatment: payloads are materialized as real RIFF/WAVE files (PCM
+  // s16le mono) and decoded back through the platform codec inside the
+  // partition map. Features come from DECODED samples: per-doc sample
+  // count, total energy (Σ s², exact long), peak amplitude, and
+  // silence-frame detection over fixed 64-sample frames — the VAD-style
+  // trim/segment signal an audio curation pipeline computes before
+  // transcription. (This supersedes the earlier "audio has no JDK
+  // decoder" scoping note — it does, and this op uses it; video remains
+  // the documented JNI seam, its frame-sampling shape covered by m02.)
+  //
+  // Integer-exactness contract: energy and the silence predicate are
+  // pure integer arithmetic (s ≤ 32767 → s² ≤ 2^30; a 64-sample frame
+  // sum ≤ 2^36; corpus totals fit longs) — no float crosses the oracle
+  // boundary anywhere in the op.
+  //
+  // Scale: same as m01/m03 — payloads stay opaque bytes end-to-end, the
+  // codec runs partition-wise pipelined with the scan, one output row
+  // per doc (the per-frame intermediate never leaves the partition map).
+  // ---------------------------------------------------------------------
+  private val AudioFrameSamples = 64
+  private val SilentMeanSq = 1L << 26 // frame mean square < 8192² ⇒ silent
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, n_frames: Long,
+      total_energy: Long, peak_abs: Int, n_silent: Long)
+
+  /** Wrap a payload as a real RIFF/WAVE file: 44-byte canonical header +
+    * PCM s16le mono data (payload truncated to whole samples).
+    * Deterministic: same bytes → same file. */
+  private[graft] def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    val dataSize = payload.length & ~1
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(16000)         // rate, byte rate
+      .putShort(2).putShort(16)           // block align, bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      .put(payload, 0, dataSize)
+    buf.array()
+  }
+
+  /** The real codec call: AudioSystem parses the RIFF structure and hands
+    * back the PCM stream; samples are decoded per the container's declared
+    * format (s16le), NOT assumed from the input payload. */
+  private def decodeAudio(r: MediaRow): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(encodeWav(r.content)))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"unexpected decoded format for doc ${r.doc_id}: $fmt")
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val n = pcm.length / 2
+    var i = 0
+    var energy = 0L
+    var peak = 0
+    var frameE = 0L
+    var frameN = 0
+    var silent = 0L
+    var frames = 0L
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      energy += s.toLong * s
+      frameE += s.toLong * s
+      frameN += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (frameN == AudioFrameSamples || i == n - 1) {
+        frames += 1
+        if (frameE < frameN.toLong * SilentMeanSq) silent += 1
+        frameE = 0L; frameN = 0
+      }
+      i += 1
+    }
+    AudioFeatures(r.doc_id, n.toLong, frames, energy, peak, silent)
+  }
+
+  def m04AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(_.map(decodeAudio)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle reconstructs the decode from characters (ASCII corpus ⇒ code
+  // point == byte): sample i = byte(2i) + 256·byte(2i+1) — the high byte
+  // is ≤ 0x7f on an ASCII payload, so the s16le sign bit never sets and
+  // the unsigned reconstruction equals the signed decode.
+  val m04Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, ''), x -> x <> '') AS c
+       |  FROM documents WHERE strlen(text) = length(text)),
+       |smp AS (
+       |  SELECT doc_id, i, unicode(c[2*i-1]) + 256 * unicode(c[2*i]) AS s
+       |  FROM m, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(c)), 2) FROM m) // 2 + 1)) AS i) r
+       |  WHERE 2*i <= len(c)),
+       |fr AS (
+       |  SELECT doc_id, (i-1) // $AudioFrameSamples AS f,
+       |         COUNT(*) AS nf, SUM(s*s) AS e
+       |  FROM smp GROUP BY doc_id, f),
+       |sagg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |         CAST(SUM(s*s) AS BIGINT) AS total_energy,
+       |         CAST(MAX(abs(s)) AS INTEGER) AS peak_abs
+       |  FROM smp GROUP BY doc_id),
+       |fagg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |         CAST(SUM(CASE WHEN e < nf * $SilentMeanSq THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+       |  FROM fr GROUP BY doc_id)
+       |SELECT m.doc_id, COALESCE(s.n_samples, 0) AS n_samples,
+       |       COALESCE(f.n_frames, 0) AS n_frames,
+       |       COALESCE(s.total_energy, 0) AS total_energy,
+       |       COALESCE(s.peak_abs, 0) AS peak_abs,
+       |       COALESCE(f.n_silent, 0) AS n_silent
+       |FROM m LEFT JOIN sagg s USING (doc_id) LEFT JOIN fagg f USING (doc_id)
+       |ORDER BY m.doc_id""".stripMargin
 }

@@ -67,4 +67,59 @@ class MultimodalSpec extends SparkSpec {
         s"img_height doc ${r.getLong(0)}")
     }
   }
+
+  test("encodeWav produces a real WAV that AudioSystem decodes faithfully, signs included") {
+    // planted s16le samples incl. negative values (a non-ASCII case the
+    // fixture can't reach): 1000, -1000, 32767, -32768, 0
+    val samples = Seq[Short](1000, -1000, 32767, -32768, 0)
+    val payload = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      payload(2 * i) = (s & 0xff).toByte
+      payload(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeWav(payload)))
+    assert(ais.getFormat.getSampleSizeInBits == 16 && !ais.getFormat.isBigEndian)
+    assert(ais.getFrameLength == samples.length)
+    val pcm = ais.readAllBytes()
+    val decoded = (0 until samples.length).map(i =>
+      (((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort))
+    assert(decoded == samples)
+    // empty payload → zero-frame WAV, still a decodable container
+    val empty = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeWav(Array.empty[Byte])))
+    assert(empty.getFrameLength == 0)
+  }
+
+  test("m04 decoded energy/peak match the raw payload; silence detection fires on planted silence") {
+    import spark.implicits._
+    val rows = Multimodal.m04AudioFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val n = bytes.length / 2
+      val ss = (0 until n).map(i =>
+        ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort.toInt)
+      assert(r.getLong(1) == n.toLong, s"n_samples doc ${r.getLong(0)}")
+      assert(r.getLong(3) == ss.map(s => s.toLong * s).sum, s"energy doc ${r.getLong(0)}")
+      assert(r.getInt(4) == (if (ss.isEmpty) 0 else ss.map(math.abs).max),
+        s"peak doc ${r.getLong(0)}")
+      assert(r.getLong(2) == (n + 63) / 64, s"n_frames doc ${r.getLong(0)}")
+    }
+    // planted silence: 200 near-zero samples (byte 0x01 pairs → s=257,
+    // mean square 66049 << 2^26) → all 4 frames silent
+    val dir = java.nio.file.Files.createTempDirectory("m04").toString
+    val quiet = "\u0001" * 400
+    Seq((1L, quiet, "en", "s", 400L), (2L, "loud " * 80, "en", "s", 400L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Multimodal.m04AudioFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(planted(1L).getLong(2) == 4 && planted(1L).getLong(5) == 4,
+      "all-quiet doc: every frame silent")
+    assert(planted(2L).getLong(5) == 0, "loud doc: no silent frames")
+  }
 }
