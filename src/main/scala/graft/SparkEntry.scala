@@ -143,6 +143,7 @@ object SparkEntry {
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
     "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
+    "d35b_span_dedup_incr" -> (graft.llm.TextOps.d35bSpanDedupIncremental _), // index-probe form; oracle is the global rule on batch docs (losslessness proof)
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -257,6 +258,7 @@ object SparkEntry {
     "d34_stratified_sample" -> graft.llm.LmOps.d34Sql,
     "d34b_stratified_salted" -> graft.llm.LmOps.d34Sql, // salting changes the plan, not the result
     "d35_span_dedup" -> graft.llm.TextOps.d35Sql,
+    "d35b_span_dedup_incr" -> graft.llm.TextOps.d35bSql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

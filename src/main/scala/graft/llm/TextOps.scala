@@ -553,20 +553,22 @@ object TextOps {
   // ---------------------------------------------------------------------
   private val SpanK = 5
 
-  /** Core span dedup over any (doc_id, text) frame; k = span length. */
-  def spanDedup(docs: DataFrame, k: Int): DataFrame = {
-    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
-    val sh = arr.where(size(col("arr")) >= k)
+  /** Positional k-shingle rows (doc_id, pos, shingle, fp) over a
+    * (doc_id, arr) frame — the probe/index unit of span dedup. */
+  private def spanShingleRows(arr: DataFrame, k: Int): DataFrame =
+    arr.where(size(col("arr")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(arr) - ${k - 1}), " +
           s"i -> array_join(slice(arr, i, $k), ' '))")).as(Seq("i0", "shingle")))
       .select(col("doc_id"), (col("i0") + 1).as("pos"), col("shingle"),
         xxhash64(col("shingle")).as("fp"))
-    val candFp = sh.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("fp")
-    val dup = sh.join(candFp, "fp")
-      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("shingle")
+
+  /** Coverage → clean-text tail shared by d35/d35b: `sh` are the scored
+    * docs' shingle rows (any superset containing every dup occurrence),
+    * `dup` the confirmed duplicated shingle texts, `arr` the scored docs'
+    * token arrays. */
+  private def spanTail(arr: DataFrame, sh: DataFrame, dup: DataFrame,
+      k: Int): DataFrame = {
     val cov = sh.join(dup, "shingle")
       .select(col("doc_id").as("c_doc"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cpos"))
@@ -592,8 +594,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Core span dedup over any (doc_id, text) frame; k = span length. */
+  def spanDedup(docs: DataFrame, k: Int): DataFrame = {
+    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val sh = spanShingleRows(arr, k)
+    val candFp = sh.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("fp")
+    val dup = sh.join(candFp, "fp")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("shingle")
+    spanTail(arr, sh, dup, k)
+  }
+
   def d35SpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedup(Tables.documents(spark, dir), SpanK)
+
+  // ---------------------------------------------------------------------
+  // d35b — INCREMENTAL span dedup: d35's per-ingest-batch form, the
+  // composition the d35 scale note promised. The corpus splits into the
+  // already-ingested INDEX (hash-buckets < SketchOps.IndexBuckets — in
+  // production, a persisted content-free (fp, count) table maintained
+  // exactly like d30's LSH band index) and the arriving BATCH; only
+  // batch documents are scored, and a batch span is duplicated iff its
+  // total occurrence count across index + batch is >= 2. The oracle is
+  // d35's GLOBAL rule restricted to batch docs — engine-incremental ==
+  // oracle-global is precisely the losslessness contract (d26/d30's).
+  //
+  // Scale: phase 1 probes batch fingerprint counts against the index fp
+  // table — fp-keyed 8-byte shuffles, batch-sized left side, and the
+  // index is never re-scanned beyond this vocabulary-of-spans table.
+  // Phase 2 confirms by TEXT only for candidate fps on BOTH sides: the
+  // index side is fp-semi-joined down before its shingle text is ever
+  // re-materialized (in production: a bucket-pruned fetch from the
+  // corpus store, d30's move), so a 64-bit collision cannot fabricate a
+  // duplicate and the confirm set stays bounded by actually-repeated
+  // content. Coverage/clean-text is d35's tail over batch docs only.
+  // ---------------------------------------------------------------------
+  def d35bSpanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val arrAll = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"),
+        hashBucket(col("doc_id")).as("__b"))
+    val arrIdx = arrAll.where(col("__b") < SketchOps.IndexBuckets).drop("__b")
+    val arrBat = arrAll.where(col("__b") >= SketchOps.IndexBuckets).drop("__b")
+    val shIdx = spanShingleRows(arrIdx, SpanK)
+    // pinned: feeds the batch fp counts AND the candidate text confirm
+    val shBat = spanShingleRows(arrBat, SpanK).localCheckpoint()
+    val idxFp = shIdx.groupBy(col("fp")).agg(count(lit(1)).as("idx_n"))
+    val candFp = shBat.groupBy(col("fp")).agg(count(lit(1)).as("bat_n"))
+      .join(idxFp, Seq("fp"), "left")
+      .where(col("bat_n") + coalesce(col("idx_n"), lit(0L)) >= 2)
+      .select("fp")
+    val candBat = shBat.join(candFp, "fp")
+    val batTxt = candBat.groupBy(col("shingle")).agg(count(lit(1)).as("bn"))
+    val idxTxt = shIdx.join(candFp, "fp")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("in_n"))
+    val dup = batTxt.join(idxTxt, Seq("shingle"), "left")
+      .where(col("bn") + coalesce(col("in_n"), lit(0L)) >= 2)
+      .select("shingle")
+    spanTail(arrBat, candBat, dup, SpanK)
+  }
 
   val d35Sql: String =
     s"""WITH toks AS (
@@ -620,6 +679,58 @@ object TextOps {
        |    SELECT s0.doc_id,
        |           unnest(generate_series(s0.pos, s0.pos + ${SpanK - 1})) AS pos
        |    FROM sh2 s0 JOIN dup d USING (shingle)
+       |  )
+       |),
+       |final AS (
+       |  SELECT t.doc_id,
+       |         count(*) AS n_tokens,
+       |         count(c.pos) AS dup_tokens,
+       |         (count(c.pos) * 1000000) // count(*) AS dup_ppm,
+       |         coalesce(string_agg(
+       |           CASE WHEN c.pos IS NULL THEN t.arr[t.pos] END,
+       |           ' ' ORDER BY t.pos), '') AS clean_text
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT doc_id, n_tokens, dup_tokens, dup_ppm, clean_text
+       |FROM final ORDER BY doc_id""".stripMargin
+
+  /** d35's GLOBAL duplication rule with coverage and output restricted to
+    * batch-bucket docs: equality with the engine's index-probe
+    * formulation is the incremental protocol's losslessness proof. */
+  val d35bSql: String =
+    s"""WITH bk AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(arr) - ${SpanK - 1})) AS pos, arr
+       |  FROM toks WHERE len(arr) >= $SpanK
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(arr[pos:pos + ${SpanK - 1}], ' ') AS shingle
+       |  FROM sh
+       |),
+       |dup AS (
+       |  SELECT shingle FROM sh2 GROUP BY shingle HAVING count(*) >= 2
+       |),
+       |tok AS (
+       |  SELECT t.doc_id, t.arr, unnest(generate_series(1, len(t.arr))) AS pos
+       |  FROM toks t JOIN bk USING (doc_id)
+       |  WHERE bk.bucket >= ${SketchOps.IndexBuckets}
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT s0.doc_id,
+       |           unnest(generate_series(s0.pos, s0.pos + ${SpanK - 1})) AS pos
+       |    FROM sh2 s0
+       |    JOIN bk ON bk.doc_id = s0.doc_id AND bk.bucket >= ${SketchOps.IndexBuckets}
+       |    JOIN dup d USING (shingle)
        |  )
        |),
        |final AS (

@@ -209,4 +209,22 @@ class TextOpsSpec extends SparkSpec {
     assert(any.getString(4) == orig)
     out.unpersist()
   }
+
+  test("d35b incremental == d35 global restricted to batch docs (losslessness)") {
+    import graft.llm.TextOps
+    val incr = TextOps.d35bSpanDedupIncremental(spark, sfDir)
+    val batchIds = graft.Tables.documents(spark, sfDir)
+      .where(TextOps.hashBucket(col("doc_id")) >= graft.llm.SketchOps.IndexBuckets)
+      .select("doc_id")
+    val global = TextOps.d35SpanDedup(spark, sfDir)
+      .join(batchIds, "doc_id")
+    // every batch doc scored, none extra
+    assert(incr.count() == batchIds.count())
+    // byte-identical rows: the index probe loses nothing vs the global rule
+    assert(incr.exceptAll(global).count() == 0)
+    assert(global.exceptAll(incr).count() == 0)
+    // index-only spans must mark batch twins: at least one batch doc has
+    // dup coverage that d35-restricted sees only via a cross-bucket pair
+    assert(incr.where(col("dup_tokens") > 0).count() > 0)
+  }
 }

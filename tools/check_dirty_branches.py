@@ -214,6 +214,24 @@ def main():
                f"batch-bucket near-dups of index-bucket originals rejected "
                f"(kept=false, n_index_neardup>=1)")
 
+    # --- d35b: planted batch-bucket copies of index-bucket texts are ----
+    # FULLY span-covered by the incremental probe (every 5-token span of
+    # the copy exists in the index original → dup_ppm 1e6, empty clean)
+    if man.get("d26_index_dups"):
+        dup_ids = ",".join(str(n) for n in man["d26_index_dups"])
+        n, n_full = con.execute(
+            f"""SELECT COUNT(*),
+                       CAST(SUM(CASE WHEN n_tokens >= 5 AND dup_ppm = 1000000
+                                      AND clean_text = ''
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM {load(con, vout, 'd35b_span_dedup_incr')}
+                WHERE doc_id IN ({dup_ids})""").fetchone()
+        branch("d35b_index_span_coverage",
+               n == len(man["d26_index_dups"]) and n_full == n,
+               f"{n_full}/{len(man['d26_index_dups'])} planted batch-bucket "
+               f"copies of index texts fully span-covered by the index probe "
+               f"(dup_ppm=1000000, clean_text empty)")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))
