@@ -144,6 +144,7 @@ object SparkEntry {
     "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
     "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
     "d35b_span_dedup_incr" -> (graft.llm.TextOps.d35bSpanDedupIncremental _), // index-probe form; oracle is the global rule on batch docs (losslessness proof)
+    "d38_span_decontaminate" -> (graft.llm.TextOps.d38SpanDecontaminate _),
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "d34b_stratified_salted" -> graft.llm.LmOps.d34Sql, // salting changes the plan, not the result
     "d35_span_dedup" -> graft.llm.TextOps.d35Sql,
     "d35b_span_dedup_incr" -> graft.llm.TextOps.d35bSql,
+    "d38_span_decontaminate" -> graft.llm.TextOps.d38Sql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

@@ -64,7 +64,7 @@ object QualityOps {
   // by anything but the shingle hash it already owns. Both inputs prune
   // to (doc_id, text).
   // ---------------------------------------------------------------------
-  private[llm] val EvalBucket = 95   // buckets 95..99 → ~5% eval split
+  private[graft] val EvalBucket = 95   // buckets 95..99 → ~5% eval split
   private[llm] val NGramN = 5
   private[llm] val ContamRatio = 0.5
 

@@ -640,10 +640,14 @@ object TextOps {
     // pinned: feeds the batch fp counts AND the candidate text confirm
     val shBat = spanShingleRows(arrBat, SpanK).localCheckpoint()
     val idxFp = shIdx.groupBy(col("fp")).agg(count(lit(1)).as("idx_n"))
+    // pinned: candidate fps feed the batch text-confirm AND the index
+    // text-confirm — without the pin both phase-1 aggregates re-run per
+    // consumer. Bounded by actually-repeated spans (the Zipf head).
     val candFp = shBat.groupBy(col("fp")).agg(count(lit(1)).as("bat_n"))
       .join(idxFp, Seq("fp"), "left")
       .where(col("bat_n") + coalesce(col("idx_n"), lit(0L)) >= 2)
       .select("fp")
+      .localCheckpoint()
     val candBat = shBat.join(candFp, "fp")
     val batTxt = candBat.groupBy(col("shingle")).agg(count(lit(1)).as("bn"))
     val idxTxt = shIdx.join(candFp, "fp")
@@ -653,6 +657,95 @@ object TextOps {
       .select("shingle")
     spanTail(arrBat, candBat, dup, SpanK)
   }
+
+  // ---------------------------------------------------------------------
+  // d38 — SPAN-level decontamination: remove every k-token span of a
+  // training document that appears verbatim anywhere in the held-out
+  // eval split, keeping the rest of the document. d15 SCORES docs by
+  // eval overlap and drops whole documents past a threshold; this is the
+  // surgical tier a pipeline runs below that threshold — a page quoting
+  // one benchmark question loses the quote, not the page. Same eval
+  // split as d15 (doc-id hash buckets >= EvalBucket), same per-doc
+  // output contract as d35 (n_tokens, contaminated count, ppm,
+  // reconstructed clean_text).
+  //
+  // Scale (d35's two-phase + d15's asymmetry): the eval split is ~5% of
+  // the corpus, so its distinct span-FINGERPRINT set is small and
+  // AQE-broadcasts into the training-side probe — the corpus-sized
+  // training shingle stream never shuffles on anything it doesn't
+  // already carry. Only fp-collision candidates pay the text confirm,
+  // and the eval text set is itself fp-semi-joined down before its
+  // shingle text travels. At d15b scale (eval suite too big to
+  // broadcast) the fp probe becomes the Bloom prefilter — same seam.
+  // ---------------------------------------------------------------------
+  def d38SpanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val arrAll = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"),
+        hashBucket(col("doc_id")).as("__b"))
+    val arrEval = arrAll.where(col("__b") >= QualityOps.EvalBucket).drop("__b")
+    val arrTrain = arrAll.where(col("__b") < QualityOps.EvalBucket).drop("__b")
+    val shEval = spanShingleRows(arrEval, SpanK)
+    val shTrain = spanShingleRows(arrTrain, SpanK)
+    val evalFp = shEval.select(col("fp")).distinct()
+    // fp prefilter (superset of true hits), pinned: feeds the coverage
+    // probe AND the eval-side text fetch
+    val candTrain = shTrain.join(evalFp, "fp").localCheckpoint()
+    val evalTxt = shEval
+      .join(candTrain.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("shingle")).distinct()
+    spanTail(arrTrain, candTrain, evalTxt, SpanK)
+  }
+
+  val d38Sql: String =
+    s"""WITH bk AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(arr) - ${SpanK - 1})) AS pos, arr
+       |  FROM toks WHERE len(arr) >= $SpanK
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(arr[pos:pos + ${SpanK - 1}], ' ') AS shingle
+       |  FROM sh
+       |),
+       |evalsh AS (
+       |  SELECT DISTINCT shingle
+       |  FROM sh2 JOIN bk USING (doc_id)
+       |  WHERE bk.bucket >= ${QualityOps.EvalBucket}
+       |),
+       |tok AS (
+       |  SELECT t.doc_id, t.arr, unnest(generate_series(1, len(t.arr))) AS pos
+       |  FROM toks t JOIN bk USING (doc_id)
+       |  WHERE bk.bucket < ${QualityOps.EvalBucket}
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT s0.doc_id,
+       |           unnest(generate_series(s0.pos, s0.pos + ${SpanK - 1})) AS pos
+       |    FROM sh2 s0
+       |    JOIN bk ON bk.doc_id = s0.doc_id AND bk.bucket < ${QualityOps.EvalBucket}
+       |    JOIN evalsh e USING (shingle)
+       |  )
+       |),
+       |final AS (
+       |  SELECT t.doc_id,
+       |         count(*) AS n_tokens,
+       |         count(c.pos) AS dup_tokens,
+       |         (count(c.pos) * 1000000) // count(*) AS dup_ppm,
+       |         coalesce(string_agg(
+       |           CASE WHEN c.pos IS NULL THEN t.arr[t.pos] END,
+       |           ' ' ORDER BY t.pos), '') AS clean_text
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT doc_id, n_tokens, dup_tokens, dup_ppm, clean_text
+       |FROM final ORDER BY doc_id""".stripMargin
 
   val d35Sql: String =
     s"""WITH toks AS (

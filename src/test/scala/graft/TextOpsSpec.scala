@@ -227,4 +227,34 @@ class TextOpsSpec extends SparkSpec {
     // dup coverage that d35-restricted sees only via a cross-bucket pair
     assert(incr.where(col("dup_tokens") > 0).count() > 0)
   }
+
+  test("d38 span decontamination: eval spans excised from train docs, rest intact") {
+    import graft.llm.{QualityOps, TextOps}
+    // place docs on the right side of the d15 eval split by probing the
+    // same md5 bucket contract the engine uses (independent JVM path)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val evalId = (1L to 500L).find(bucket(_) >= QualityOps.EvalBucket).get
+    val trainIds = (1L to 500L).filter(bucket(_) < QualityOps.EvalBucket).take(2)
+    val d = Seq(
+      (evalId, "a b c d e f"),                 // eval: spans "a b c d e", "b c d e f"
+      (trainIds(0), "x a b c d e y"),          // contains an eval span at pos 2
+      (trainIds(1), "p q r s t u v"))          // clean
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d38").toString
+    d.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.d38SpanDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(!out.contains(evalId), "eval docs are not scored")
+    assert(out(trainIds(0)) == ((7L, 5L, 714285L, "x y")))
+    assert(out(trainIds(1)) == ((7L, 0L, 0L, "p q r s t u v")))
+  }
 }
