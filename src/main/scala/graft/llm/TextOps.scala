@@ -551,11 +551,11 @@ object TextOps {
   //    per corpus token), and the final per-doc aggregate is the same
   //    one-shuffle group-by-doc every corpus op here pays.
   // ---------------------------------------------------------------------
-  private val SpanK = 5
+  private[graft] val SpanK = 5
 
   /** Positional k-shingle rows (doc_id, pos, shingle, fp) over a
     * (doc_id, arr) frame — the probe/index unit of span dedup. */
-  private def spanShingleRows(arr: DataFrame, k: Int): DataFrame =
+  private[graft] def spanShingleRows(arr: DataFrame, k: Int): DataFrame =
     arr.where(size(col("arr")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(arr) - ${k - 1}), " +

@@ -160,6 +160,26 @@ object CorpusStream {
       .select(col("doc_id"), col("band"), col("bh"))
   }
 
+  // the span tier's delta rows: (sfp, sn) span-fingerprint counts of
+  // accepted docs — content-free like the band index (d35b's production
+  // seam). Old deltas lack the columns and read as null under the
+  // explicit schema.
+  private val SpanSchema = StructType(Seq(
+    StructField("sfp", LongType), StructField("sn", LongType)))
+
+  /** The current span-fingerprint index: total occurrence count per
+    * k-token span fingerprint across every accepted doc ingested through
+    * the span tier. Aggregating across deltas keeps each delta
+    * append-only (counts ADD, like everything else in this index). */
+  def readSpanIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val vs = committedPaths(spark, indexDir)
+    if (vs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SpanSchema)
+    else spark.read.schema(SpanSchema).parquet(vs: _*)
+      .filter(col("sfp").isNotNull)
+      .groupBy(col("sfp")).agg(sum(col("sn")).as("sn"))
+  }
+
   /** Corpus-store bucket fan-out. Accepted bodies land under
     * `doc_bucket=<pmod(hash(doc_id), CorpusBuckets)>/` partition dirs so
     * the per-micro-batch candidate fetch is PARTITION-PRUNED: candidates
@@ -233,6 +253,44 @@ object CorpusStream {
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
+  /** Span-boilerplate gate against the persisted span index (d35b's
+    * protocol as a STREAMING rejection tier): a batch doc whose tokens
+    * are mostly covered by k-token spans already in the accepted corpus
+    * — a template page, a mirrored article with a new header — is
+    * dropped. History-only by design: within-batch and within-doc span
+    * dedup is the nightly d35/d35b pass's job (dropNearDups' division of
+    * labor), so the gate probes the index and nothing else.
+    *
+    * Fingerprint-level contract: the probe compares 64-bit xxhash64 span
+    * fps without a text confirm (the index is content-free — there are
+    * no doc ids to fetch bodies for). A collision can only OVER-count
+    * coverage, and rejection needs >= SpanRejectPpm of a doc's tokens
+    * covered — orders of magnitude above any plausible collision mass —
+    * so the gate's failure mode is theoretical over-rejection, never
+    * under-rejection. The oracle-checked exact tiers are the batch
+    * d35/d35b. */
+  private[graft] val SpanRejectPpm = 500000L // reject at >= 50% covered
+
+  private def dropSpanDups(spark: SparkSession, fresh: DataFrame,
+      indexDir: String): DataFrame = {
+    val idx = readSpanIndex(spark, indexDir)
+    val arr = fresh.select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val sh = TextOps.spanShingleRows(arr, TextOps.SpanK)
+      .select(col("doc_id"), col("pos"), col("fp"))
+    val dupFp = idx.select(col("sfp").as("fp")) // any history occurrence ⇒ dup
+    val cov = sh.join(dupFp, "fp")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(TextOps.SpanK - 1))).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__dup"))
+    val rejected = arr
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("__n"))
+      .join(cov, Seq("doc_id"))
+      .where(expr(s"(__dup * 1000000) div __n") >= SpanRejectPpm)
+      .select(col("doc_id"))
+    fresh.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   /** One micro-batch of the index-backed ingest: gate → within-batch
     * keep-first (min doc_id per fingerprint, exactly d26's in-batch
     * rule) → anti-join the persisted index → corpus rows to
@@ -252,7 +310,8 @@ object CorpusStream {
     * shared index back-to-back (e.g. pause the stream for the batch
     * window), or give each its own index. */
   def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
-      writer: String = "batch", nearDup: Boolean = false)(
+      writer: String = "batch", nearDup: Boolean = false,
+      spanGate: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),
       s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
@@ -263,13 +322,17 @@ object CorpusStream {
     val exactFresh = inBatch
       .join(readIndex(spark, indexDir), Seq("text_fp"), "left_anti")
     // pinned: written to BOTH sinks; localCheckpoint so the anti-join
-    // (and the near-dup probe) runs once and the ContextCleaner reclaims
-    // the blocks afterwards. Before the first commit there is no corpus
-    // store to fetch candidate bodies from (and no bands to collide
-    // with), so the probe is skipped wholesale.
-    val fresh = (if (nearDup && committedPaths(spark, indexDir).nonEmpty)
+    // (and the near-dup/span probes) runs once and the ContextCleaner
+    // reclaims the blocks afterwards. Before the first commit there is
+    // no corpus store to fetch candidate bodies from (and no bands or
+    // span counts to collide with), so the probes are skipped wholesale.
+    val hasHistory = committedPaths(spark, indexDir).nonEmpty
+    val nearFresh = if (nearDup && hasHistory)
       dropNearDups(spark, exactFresh, indexDir, outDir)
-    else exactFresh).localCheckpoint()
+    else exactFresh
+    val fresh = (if (spanGate && hasHistory)
+      dropSpanDups(spark, nearFresh, indexDir)
+    else nearFresh).localCheckpoint()
     // bucketed store layout: doc_bucket partition dirs (candidateFetch
     // prunes on them) with doc_id-sorted files (row-group stats bound the
     // residual read). One shuffle keyed on the bucket keeps files-per-
@@ -289,7 +352,7 @@ object CorpusStream {
     // writer id makes reclaiming it safe.
     if (fs.exists(delta) && !fs.exists(new Path(delta, "_SUCCESS")))
       fs.delete(delta, true)
-    val deltaRows =
+    val baseRows =
       if (!nearDup) fresh.select(col("text_fp"))
       else {
         // fp rows + this batch's band rows in ONE atomic delta: the
@@ -302,6 +365,23 @@ object CorpusStream {
             col("band"), col("bh"))
         fpRows.unionByName(bands)
       }
+    val deltaRows =
+      if (!spanGate) baseRows
+      else {
+        // accepted docs' span counts join the SAME atomic delta: the
+        // span gate advances in lockstep with the exact/near tiers
+        val spans = TextOps.spanShingleRows(
+            fresh.select(col("doc_id"), split(col("text"), " ").as("arr")),
+            TextOps.SpanK)
+          .groupBy(col("fp")).agg(count(lit(1)).as("sn"))
+          .select(col("fp").as("sfp"), col("sn"))
+        val spanRows = baseRows.columns.foldLeft(spans)((df, c) =>
+          df.withColumn(c, lit(null).cast(baseRows.schema(c).dataType)))
+        baseRows
+          .withColumn("sfp", lit(null).cast(LongType))
+          .withColumn("sn", lit(null).cast(LongType))
+          .unionByName(spanRows)
+      }
     deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
   }
 
@@ -312,9 +392,12 @@ object CorpusStream {
     * other's batchIds for replays). */
   def startIngest(docs: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, writer: String = "stream",
-      nearDup: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      nearDup: Boolean = false,
+      spanGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch(ingestBatch(docs.sparkSession, indexDir, outDir, writer, nearDup) _)
+      .foreachBatch(
+        ingestBatch(docs.sparkSession, indexDir, outDir, writer, nearDup,
+          spanGate) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

@@ -539,6 +539,50 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusStream.indexVersions(spark, idx).size == nVersions)
   }
 
+  test("span-gate ingest: history-covered template pages rejected, small quotes pass") {
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_spidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_spout").toString
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", spanGate = true)(
+      Seq((1L, ts(0), body), (2L, ts(1), other))
+        .toDF("doc_id", "ingest_ts", "text"), 0L)
+    // span index: six 5-token spans per 10-token doc, one count each
+    assert(CorpusStream.readSpanIndex(spark, idx).count() == 12)
+    // doc 3: 8-token prefix of accepted body + 6 new tokens → 8/14
+    // covered = 571428 ppm >= 500000 → REJECTED (new md5, so the exact
+    // tier is blind to it); doc 4: one 5-token quote + 9 new tokens →
+    // 5/14 = 357142 ppm → accepted
+    val template = "alpha beta gamma delta epsilon zeta eta theta " +
+      "novel tail tokens appended here instead"
+    val quote = "alpha beta gamma delta epsilon " +
+      "followed by nine genuinely original trailing words right here"
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", spanGate = true)(
+      Seq((3L, ts(2), template), (4L, ts(3), quote))
+        .toDF("doc_id", "ingest_ts", "text"), 1L)
+    def survivors() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors() == Seq(1L, 2L, 4L))
+    // accepted doc 4's ten spans joined the index atomically; its quoted
+    // span MERGES with doc 1's fingerprint (12 + 10 - 1 distinct), and
+    // the merged fp's count sums across deltas
+    val spanIdx = CorpusStream.readSpanIndex(spark, idx).cache()
+    assert(spanIdx.count() == 21)
+    assert(spanIdx.where(col("sn") === 2).count() == 1)
+    spanIdx.unpersist()
+    assert(CorpusStream.readIndex(spark, idx).count() == 3)
+    // replay of batch 1 is a no-op (delta already committed)
+    val nv = CorpusStream.indexVersions(spark, idx).size
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", spanGate = true)(
+      Seq((3L, ts(2), template), (4L, ts(3), quote))
+        .toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(survivors() == Seq(1L, 2L, 4L) &&
+      CorpusStream.indexVersions(spark, idx).size == nv)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
