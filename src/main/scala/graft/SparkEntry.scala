@@ -145,6 +145,7 @@ object SparkEntry {
     "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
     "d35b_span_dedup_incr" -> (graft.llm.TextOps.d35bSpanDedupIncremental _), // index-probe form; oracle is the global rule on batch docs (losslessness proof)
     "d38_span_decontaminate" -> (graft.llm.TextOps.d38SpanDecontaminate _),
+    "d39_domain_stats" -> (graft.llm.TextOps.d39DomainStats _),
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "d35_span_dedup" -> graft.llm.TextOps.d35Sql,
     "d35b_span_dedup_incr" -> graft.llm.TextOps.d35bSql,
     "d38_span_decontaminate" -> graft.llm.TextOps.d38Sql,
+    "d39_domain_stats" -> graft.llm.TextOps.d39Sql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

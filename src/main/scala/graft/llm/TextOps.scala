@@ -553,6 +553,47 @@ object TextOps {
   // ---------------------------------------------------------------------
   private[graft] val SpanK = 5
 
+  // ---------------------------------------------------------------------
+  // d39 — link/domain statistics + domain-blocklist gate: extract every
+  // URL host from each document and score it against a domain blocklist
+  // — the provenance-policy stage of a web-corpus pipeline (spam/SEO
+  // domain lists, licensing blocks) and d14's sibling: d14 scrubs PII
+  // out of kept text, d39 decides KEEP/DROP from where the text points.
+  // Pure per-row projection — codegen'd regexp + array ops, zero
+  // shuffles (d02's class); the blocklist is a query-literal here and a
+  // broadcast set at production list sizes (d37's artifact seam).
+  // Clean-fixture docs carry no URLs (all-zero rows); the dirty gate's
+  // planted URL docs prove the non-zero branch (13th branch).
+  // ---------------------------------------------------------------------
+  private val DomainRe = "https?://([^/\\s?#]+)"
+  private[graft] val BlockedDomains = Seq("example.com", "spam.invalid")
+
+  def d39DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val doms = regexp_extract_all(col("text"), lit(DomainRe), lit(1))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(doms).cast(LongType).as("n_urls"),
+        size(array_distinct(doms)).cast(LongType).as("n_domains"),
+        size(filter(doms, d => d.isInCollection(BlockedDomains)))
+          .cast(LongType).as("n_blocked"))
+      .withColumn("flagged",
+        when(col("n_blocked") > 0, 1).otherwise(0).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val d39Sql: String = {
+    val lst = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$DomainRe', 1)) AS BIGINT) AS n_urls,
+       |       CAST(len(list_distinct(regexp_extract_all(text, '$DomainRe', 1))) AS BIGINT) AS n_domains,
+       |       CAST(len(list_filter(regexp_extract_all(text, '$DomainRe', 1),
+       |                            d -> list_contains([$lst], d))) AS BIGINT) AS n_blocked,
+       |       CAST(len(list_filter(regexp_extract_all(text, '$DomainRe', 1),
+       |                            d -> list_contains([$lst], d))) > 0 AS INT) AS flagged
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Positional k-shingle rows (doc_id, pos, shingle, fp) over a
     * (doc_id, arr) frame — the probe/index unit of span dedup. */
   private[graft] def spanShingleRows(arr: DataFrame, k: Int): DataFrame =

@@ -257,4 +257,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(trainIds(0)) == ((7L, 5L, 714285L, "x y")))
     assert(out(trainIds(1)) == ((7L, 0L, 0L, "p q r s t u v")))
   }
+
+  test("d39 domain stats: extraction, distinct domains, blocklist flag") {
+    import graft.llm.TextOps
+    val d = Seq(
+      (1L, "see https://example.com/a?q=1 and http://ok.org/page plus " +
+        "https://example.com/b for details"),
+      (2L, "no links at all in this one"),
+      (3L, "only https://spam.invalid here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d39").toString
+    d.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.d39DomainStats(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 2L, 1)))  // example.com twice (distinct once) + ok.org
+    assert(out(2L) == ((0L, 0L, 0L, 0)))
+    assert(out(3L) == ((1L, 1L, 1L, 1)))
+  }
 }

@@ -232,6 +232,21 @@ def main():
                f"copies of index texts fully span-covered by the index probe "
                f"(dup_ppm=1000000, clean_text empty)")
 
+    # --- d39: planted URL docs hit the domain blocklist (example.com) ---
+    if man.get("d14_pii_docs"):
+        pii_ids = ",".join(str(n) for n in man["d14_pii_docs"])
+        n, n_flag = con.execute(
+            f"""SELECT COUNT(*),
+                       CAST(SUM(CASE WHEN n_urls >= 1 AND n_blocked >= 1
+                                      AND flagged = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM {load(con, vout, 'd39_domain_stats')}
+                WHERE doc_id IN ({pii_ids})""").fetchone()
+        branch("d39_domain_blocklist",
+               n == len(man["d14_pii_docs"]) and n_flag == n,
+               f"{n_flag}/{len(man['d14_pii_docs'])} planted URL docs "
+               f"flagged by the domain blocklist (example.com)")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))
