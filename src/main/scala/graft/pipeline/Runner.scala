@@ -216,15 +216,21 @@ object Runner {
     ))
   }
 
-  /** Corpus layer (round-3): the training-data workload as a first-class
-    * lake output next to the warehouse marts —
+  /** Corpus layer (round-3; span stage round-10): the training-data
+    * workload as a first-class lake output next to the warehouse marts —
     *   corpus/prepared   d18 full pipeline (gates → dedup tiers →
     *                     decontamination → split)
     *   corpus/stats      d19 dataset-card rollup
-    *   corpus/chunks     context-window chunks of the PREPARED split only
-    *                     — the survivor semi-join runs BEFORE chunkRows,
-    *                     so rejected/duplicate text never pays the
-    *                     tokenize+explode stage at all
+    *   corpus/span_clean d35 span-level dedup of the survivors — the
+    *                     Lee-et-al ordering: DOC-level tiers first (in
+    *                     d18), then every k-token span repeated anywhere
+    *                     in the surviving corpus is excised; per-doc dup
+    *                     stats + reconstructed clean_text
+    *   corpus/chunks     context-window chunks of the SPAN-CLEANED text
+    *                     — the survivor semi-join runs BEFORE chunkRows
+    *                     and the span excision before chunking, so
+    *                     rejected/duplicate/boilerplate text never pays
+    *                     the tokenize+explode stage at all
     */
   def runCorpus(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val prepared = graft.llm.CorpusPrep.d18CorpusPrepFull(spark, sfDir)
@@ -237,16 +243,25 @@ object Runner {
       () => Sinks.parquet(graft.llm.QualityOps.d19CorpusStats(spark, sfDir),
         s"$outDir/corpus/stats", tinyOutput = true),
     ))
-    // chunks and packed sequences both derive from the PREPARED split
-    // (cache already materialized by the prepared write above)
     val survivors = Tables.documents(spark, sfDir)
       .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // span-level dedup over the surviving corpus; cached because it is
+    // written AND feeds the chunk/pack stages below
+    val spanClean = graft.llm.TextOps
+      .spanDedup(survivors, graft.llm.TextOps.SpanK).cache()
+    Sinks.parquet(spanClean, s"$outDir/corpus/span_clean")
+    // chunks and packed sequences derive from the span-CLEANED text
+    val cleaned = spanClean
+      .filter(length(col("clean_text")) > 0)
+      .join(survivors.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
     inParallel(spark, Seq(
-      () => Sinks.parquet(graft.llm.QualityOps.chunkRows(survivors),
+      () => Sinks.parquet(graft.llm.QualityOps.chunkRows(cleaned),
         s"$outDir/corpus/chunks"),
-      () => Sinks.parquet(graft.llm.QualityOps.packRows(survivors),
+      () => Sinks.parquet(graft.llm.QualityOps.packRows(cleaned),
         s"$outDir/corpus/packed"),
     ))
+    spanClean.unpersist()
     prepared.unpersist()
   }
 

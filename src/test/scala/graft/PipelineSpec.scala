@@ -80,15 +80,23 @@ class PipelineSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$out/corpus/stats")
     assert(stats.filter(org.apache.spark.sql.functions.col("lvl") === 3)
       .count() == 1) // grand-total row present
-    // chunks cover exactly the prepared doc ids
+    // the span stage scores exactly the prepared doc ids
+    val spanClean = spark.read.parquet(s"$out/corpus/span_clean")
+    val prepDocs = prepared.select("doc_id")
+    assert(spanClean.select("doc_id").except(prepDocs).isEmpty)
+    assert(prepDocs.except(spanClean.select("doc_id")).isEmpty)
+    // chunks cover exactly the span-survivor docs (nonempty clean_text)
+    val cleanDocs = spanClean
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("clean_text")) > 0)
+      .select("doc_id")
     val chunkDocs = spark.read.parquet(s"$out/corpus/chunks")
       .select("doc_id").distinct()
-    val prepDocs = prepared.select("doc_id")
-    assert(chunkDocs.except(prepDocs).isEmpty)
-    assert(prepDocs.except(chunkDocs).isEmpty)
-    // packed sequences: one row per prepared doc, offsets within budget
+    assert(chunkDocs.except(cleanDocs).isEmpty)
+    assert(cleanDocs.except(chunkDocs).isEmpty)
+    // packed sequences: one row per span-survivor doc, offsets in budget
     val packed = spark.read.parquet(s"$out/corpus/packed")
-    assert(packed.count() == prepared.count())
+    assert(packed.count() == cleanDocs.count())
     assert(packed.filter(
       org.apache.spark.sql.functions.col("offset_in_pack") >= 512L
         || org.apache.spark.sql.functions.col("offset_in_pack") < 0L)
