@@ -151,6 +151,7 @@ object SparkEntry {
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
+    "a08_ann_ivf_pq" -> (graft.llm.VectorOps.a08AnnIvfPq _), // rows-only: iterative coarse+PQ training (a04b/a07 precedent); PqSpec recall contract
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
     "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),

@@ -609,4 +609,101 @@ object VectorOps {
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---------------------------------------------------------------------
+  // a08 — IVF-PQ: the composed billion-scale ANN layout (FAISS IVFPQ).
+  // a04b's coarse k-means lists bound WHICH vectors a query touches
+  // (nprobe lists, not the corpus); a07's product quantization bounds
+  // WHAT is read per touched vector (PqM one-byte codes, not floats).
+  // PQ here encodes RESIDUALS x − c(list) — the standard refinement:
+  // residual magnitudes are much smaller than raw vectors, so the same
+  // codebook budget spends its precision where vectors differ from
+  // their list centroid. score(q, x) ≈ q·c(list) + Σ_m table(q, list,
+  // m, code_m(x)): the first term is one dot per (query, probed list);
+  // the tables are per-(query, list) because the query residual depends
+  // on the list. Top PqRerank ADC candidates re-rank exactly.
+  //
+  // Scale: coarse model k×dim, PQ model PqM×PqK, per-query tables
+  // nprobe×PqM×PqK — all broadcast-sized; the scan is one equi-join of
+  // the code table against (list, m, code) keys restricted to probed
+  // lists, partial-summed per (query, vector). Nothing corpus-sized
+  // shuffles except the one-time encode. Rows-only (iterative training,
+  // a04b/a07 precedent); PqSpec pins recall and shape.
+  // ---------------------------------------------------------------------
+  def a08AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("__n", norm(col("embedding")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
+          .as("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+      .localCheckpoint() // coarse training, residual encode, queries, re-rank
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
+    val sub = dim / PqM
+
+    val coarse = trainKmeans(e, NCentroids, KmIters) // (centroid_id, ce)
+    val resid = assignTo(e, coarse)
+      .join(broadcast(coarse), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("zip_with(embedding, ce, (a, b) -> CAST(CAST(a AS DOUBLE) - b AS FLOAT))")
+          .as("remb"))
+      .localCheckpoint() // feeds PQ training AND the encode
+    val subs = resid.select(col("vec_id"), expr(
+        s"explode(transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(remb, m * $sub + 1, $sub) AS sv)))").as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val books = trainSubs(subs)
+    val codes = assignL2(subs, books)
+      .join(resid.select(col("vec_id"), col("centroid_id").as("nc")), Seq("vec_id"))
+      .select(col("vec_id"), col("nc"), col("m"), col("code"))
+
+    // per-(query, probed list): centroid dot + residual sub-vectors
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(withCn(coarse)))
+      .withColumn("__cs",
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= NProbeDefault)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("pc"),
+        dot(col("embedding"), col("ce")).as("qc_dot"),
+        expr("zip_with(embedding, ce, (a, b) -> CAST(CAST(a AS DOUBLE) - b AS FLOAT))")
+          .as("qres"))
+    val tables = probes.select(col("query_id"), col("pc"), col("qc_dot"),
+        expr(s"explode(transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(qres, m * $sub + 1, $sub) AS qsv)))").as("s"))
+      .select(col("query_id"), col("pc"), col("qc_dot"),
+        col("s.m").as("m"), col("s.qsv").as("qsv"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("pc"), col("qc_dot"),
+        col("m").as("pm"), col("code").as("pcode"),
+        dot(col("qsv"), col("ce")).as("part"))
+
+    // ADC within probed lists only: equi-join on (list, m, code)
+    val adc = codes.join(broadcast(tables),
+        col("nc") === col("pc") && col("m") === col("pm") &&
+          col("code") === col("pcode"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((max(col("qc_dot")) + sum(col("part"))).as("adc_sim"))
+    val cand = adc.withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_sim").desc, col("vec_id"))))
+      .filter(col("__r") <= PqRerank)
+
+    val exact = cand
+      .join(e.select(col("vec_id"), col("embedding").as("nemb")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qne")),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qne"), col("nemb")).as("cos_sim"))
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
