@@ -57,4 +57,17 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(bk == Seq(1L, 3L))
   }
+
+  test("corpus ops are SQL-expressible over the documents view (d01 shape)") {
+    Tables.registerViews(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT md5(text) AS text_fp, MIN(doc_id) AS rep_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_fp""".stripMargin)
+    val viaDf = graft.llm.TextOps.d01DedupExact(spark, dir)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // and the scan under the SQL text is column-pruned to what it needs
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
 }

@@ -247,6 +247,25 @@ def main():
                f"{n_flag}/{len(man['d14_pii_docs'])} planted URL docs "
                f"flagged by the domain blocklist (example.com)")
 
+    # --- d38: planted eval-overlap span excised from the train doc ------
+    if man.get("d38_train_doc") is not None:
+        t_id, e_id = man["d38_train_doc"], man["d38_eval_doc"]
+        row = con.execute(
+            f"""SELECT n_tokens, dup_tokens, dup_ppm
+                FROM {load(con, vout, 'd38_span_decontaminate')}
+                WHERE doc_id = {t_id}""").fetchone()
+        n_eval = con.execute(
+            f"""SELECT COUNT(*)
+                FROM {load(con, vout, 'd38_span_decontaminate')}
+                WHERE doc_id = {e_id}""").fetchone()[0]
+        ok = (row is not None and row[1] >= 5 and 0 < row[2] < 1000000
+              and n_eval == 0)
+        branch("d38_eval_span_excised", ok,
+               f"train doc {t_id}: {row[1] if row else '?'}/"
+               f"{row[0] if row else '?'} tokens excised by the planted "
+               f"eval span ({row[2] if row else '?'} ppm, partial "
+               f"coverage); eval doc {e_id} not scored")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

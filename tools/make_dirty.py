@@ -198,6 +198,24 @@ def dirty_documents(src, dst, manifest):
     manifest["d29b_boilerplate_shingle"] = boiler
     manifest["d29b_boilerplate_docs"] = boiler_ids
 
+    # (h) d38 span-decontamination branch: an eval-bucket (>=95) doc and
+    # a train-bucket (<95) doc sharing one 7-token span (existing vocab —
+    # d21 capacity unchanged) inside otherwise-distinct text. The
+    # surgical tier must excise the shared span from the TRAIN doc
+    # (dup_tokens >= 5, partially covered) and must not score the eval
+    # doc at all.
+    shared_span = " ".join(vocab[3:10])
+    eids, next_id = ids_with_bucket(next_id, lambda b: b >= 95, 1)
+    etext = fresh_text() + " " + shared_span
+    texts.add(etext)
+    rows.append(doc(eids[0], etext, sources[0]))
+    tids, next_id = ids_with_bucket(next_id, lambda b: b < 95, 1)
+    ttext = fresh_text() + " " + shared_span + " " + fresh_text()
+    texts.add(ttext)
+    rows.append(doc(tids[0], ttext, sources[1]))
+    manifest["d38_eval_doc"] = eids[0]
+    manifest["d38_train_doc"] = tids[0]
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:
