@@ -161,6 +161,7 @@ object SparkEntry {
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
     "m04_audio_features" -> (graft.llm.Multimodal.m04AudioFeatures _),
+    "m05_video_frames" -> (graft.llm.Multimodal.m05VideoFrames _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
     "f02_multiformat_parse" -> (graft.functions.ScalarQueries.f02MultiFormatParse _),
   )
@@ -276,6 +277,7 @@ object SparkEntry {
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
     "m03_image_decode" -> graft.llm.Multimodal.m03Sql,
     "m04_audio_features" -> graft.llm.Multimodal.m04Sql,
+    "m05_video_frames" -> graft.llm.Multimodal.m05Sql,
     "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,
     "f02_multiformat_parse" -> graft.functions.ScalarQueries.f02Sql,
   )

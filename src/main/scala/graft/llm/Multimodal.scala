@@ -320,4 +320,123 @@ object Multimodal {
        |       COALESCE(f.n_silent, 0) AS n_silent
        |FROM m LEFT JOIN sagg s USING (doc_id) LEFT JOIN fagg f USING (doc_id)
        |ORDER BY m.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m05 — video frame decode + sampling, REAL container codec: the JDK's
+  // GIF reader is a genuine multi-frame (animated) container decoder, so
+  // the video modality gets the m01/m04 treatment — payloads are
+  // materialized as real GIF89a animations (hand-built container, like
+  // encodeBmp/encodeWav: 256-gray global palette + minimal LZW with a
+  // clear code before every literal so codes stay 9-bit) and decoded
+  // back through `javax.imageio`'s GIF plugin frame by frame. Every
+  // FrameStep-th frame is sampled (m02's cadence) and scored from
+  // DECODED pixels: per-frame pixel sum + the top-left pixel (position
+  // witness, m03's trick — a frame-order or row-order bug cannot pass).
+  //
+  // GIF's palette indirection is lossless here by construction: the
+  // global color table is the gray identity (index i → RGB(i,i,i)), so
+  // decoded red channel == payload byte exactly — integer-exact oracle.
+  // ---------------------------------------------------------------------
+  private val VideoFrameW = 4
+  private val VideoFrameH = 4
+  private val VideoFrameBytes = VideoFrameW * VideoFrameH
+
+  case class VideoFrame(doc_id: Long, frame_idx: Int, n_frames: Long,
+      px_sum: Long, corner_px: Int)
+
+  /** Wrap a payload as a real multi-frame GIF89a: 16 bytes per 4×4 gray
+    * frame (tail zero-padded), global 256-gray palette, one image block
+    * per frame. LZW stream emits CLEAR before every literal — codes stay
+    * 9 bits wide, no dictionary state, deterministic bytes. */
+  private[graft] def encodeGif(payload: Array[Byte]): Array[Byte] = {
+    val nFrames = math.max(1,
+      (payload.length + VideoFrameBytes - 1) / VideoFrameBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(VideoFrameW); le16(VideoFrameH)
+    out.write(0xF7)          // global table, 256 entries, 8-bit resolution
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    for (f <- 0 until nFrames) {
+      out.write(0x2C)        // image descriptor
+      le16(0); le16(0); le16(VideoFrameW); le16(VideoFrameH)
+      out.write(0)           // no local table, no interlace
+      out.write(8)           // LZW min code size
+      // 9-bit codes, LSB-first: CLEAR(256) before each literal, EOI(257)
+      val codes = new scala.collection.mutable.ArrayBuffer[Int]
+      for (i <- 0 until VideoFrameBytes) {
+        val idx = f * VideoFrameBytes + i
+        codes += 256
+        codes += (if (idx < payload.length) payload(idx) & 0xff else 0)
+      }
+      codes += 257
+      var acc = 0L; var nbits = 0
+      val data = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc |= c.toLong << nbits; nbits += 9
+        while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      if (nbits > 0) data.write((acc & 0xff).toInt)
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(255, bytes.length - off)
+        out.write(n); out.write(bytes, off, n); off += n
+      }
+      out.write(0)           // block terminator
+    }
+    out.write(0x3B)          // trailer
+    out.toByteArray
+  }
+
+  /** The real codec call: the JDK GIF plugin parses the container and
+    * decodes every frame; features come from decoded pixels. */
+  private def decodeGif(r: MediaRow): Seq[VideoFrame] = {
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(encodeGif(r.content))))
+    val n = rd.getNumImages(true)
+    val frames = (0 until n by FrameStep).map { i =>
+      val img = rd.read(i)
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s += (img.getRGB(x, y) >> 16) & 0xff
+      VideoFrame(r.doc_id, i, n.toLong, s, (img.getRGB(0, 0) >> 16) & 0xff)
+    }
+    rd.dispose()
+    frames
+  }
+
+  def m05VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap(decodeGif _).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // Oracle reconstructs frame pixel sums from characters (ASCII ⇒ code
+  // point == byte == decoded gray value under the identity palette).
+  val m05Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, ''), x -> x <> '') AS c
+       |  FROM documents WHERE strlen(text) = length(text)),
+       |nf AS (
+       |  SELECT doc_id, c,
+       |         GREATEST(1, (len(c) + ${VideoFrameBytes - 1}) // $VideoFrameBytes) AS n_frames
+       |  FROM m),
+       |fr AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         CAST(n_frames AS BIGINT) AS n_frames,
+       |         CAST(COALESCE((
+       |           SELECT SUM(unicode(c[j]))
+       |           FROM (SELECT unnest(range(i * $VideoFrameBytes + 1,
+       |                                     i * $VideoFrameBytes + ${VideoFrameBytes + 1})) AS j)
+       |           WHERE j <= len(c)), 0) AS BIGINT) AS px_sum,
+       |         CAST(CASE WHEN i * $VideoFrameBytes + 1 <= len(c)
+       |                   THEN unicode(c[i * $VideoFrameBytes + 1]) ELSE 0 END AS INTEGER) AS corner_px
+       |  FROM nf, (SELECT unnest(range(0, (SELECT MAX(n_frames) FROM nf), $FrameStep)) AS i) r
+       |  WHERE i < n_frames)
+       |SELECT doc_id, frame_idx, n_frames, px_sum, corner_px
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -122,4 +122,50 @@ class MultimodalSpec extends SparkSpec {
       "all-quiet doc: every frame silent")
     assert(planted(2L).getLong(5) == 0, "loud doc: no silent frames")
   }
+
+  test("encodeGif produces a real multi-frame GIF the JDK codec decodes losslessly, high bytes included") {
+    // 40 bytes incl. values > 0x7f (beyond the ASCII fixture's reach)
+    val payload = (0 until 40).map(i => ((i * 7 + 200) % 256).toByte).toArray
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeGif(payload))))
+    assert(rd.getNumImages(true) == 3) // ceil(40/16)
+    for (f <- 0 until 3) {
+      val img = rd.read(f)
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val idx = f * 16 + y * 4 + x
+        val want = if (idx < payload.length) payload(idx) & 0xff else 0
+        assert(((img.getRGB(x, y) >> 16) & 0xff) == want,
+          s"frame $f pixel ($x,$y)")
+      }
+    }
+    rd.dispose()
+    // empty payload → one all-zero frame, still a decodable container
+    val rd2 = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd2.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeGif(Array.empty[Byte]))))
+    assert(rd2.getNumImages(true) == 1)
+    rd2.dispose()
+  }
+
+  test("m05 sampled frames match raw payload slices on the fixture") {
+    val rows = Multimodal.m05VideoFrames(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(40).foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val f = r.getInt(1)
+      assert(f % 3 == 0, "sampled cadence")
+      assert(r.getLong(2) == math.max(1, (bytes.length + 15) / 16),
+        s"n_frames doc ${r.getLong(0)}")
+      val slice = (f * 16 until f * 16 + 16)
+        .map(i => if (i < bytes.length) bytes(i) & 0xff else 0)
+      assert(r.getLong(3) == slice.map(_.toLong).sum,
+        s"px_sum doc ${r.getLong(0)} frame $f")
+      assert(r.getInt(4) == slice.head, s"corner doc ${r.getLong(0)} frame $f")
+    }
+  }
 }
