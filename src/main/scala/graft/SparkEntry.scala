@@ -146,6 +146,8 @@ object SparkEntry {
     "d35b_span_dedup_incr" -> (graft.llm.TextOps.d35bSpanDedupIncremental _), // index-probe form; oracle is the global rule on batch docs (losslessness proof)
     "d38_span_decontaminate" -> (graft.llm.TextOps.d38SpanDecontaminate _),
     "d39_domain_stats" -> (graft.llm.TextOps.d39DomainStats _),
+    "d40_shingle_containment" -> (graft.llm.TextOps.d40ShingleContainment _),
+    "d40b_containment_kmv" -> (graft.llm.SketchOps.d40bContainmentKmv _),
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -265,6 +267,8 @@ object SparkEntry {
     "d35b_span_dedup_incr" -> graft.llm.TextOps.d35bSql,
     "d38_span_decontaminate" -> graft.llm.TextOps.d38Sql,
     "d39_domain_stats" -> graft.llm.TextOps.d39Sql,
+    "d40_shingle_containment" -> graft.llm.TextOps.d40Sql,
+    "d40b_containment_kmv" -> graft.llm.SketchOps.d40bSql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

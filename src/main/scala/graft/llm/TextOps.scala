@@ -430,6 +430,80 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d40 — shingle CONTAINMENT pairs (Broder's containment, the asymmetric
+  // sibling of d06's resemblance): c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+  // "what fraction of A is inside B". The quote/doc-in-doc detector:
+  // a short doc fully embedded in a long one has LOW Jaccard (the union
+  // is dominated by the long doc) but containment ≈ 1, so d06's
+  // threshold never fires on exactly the pairs a curation pipeline most
+  // wants to collapse (syndicated articles inside aggregator pages,
+  // quoted posts inside threads). Emits both directions per unordered
+  // pair; a pair surfaces when EITHER direction clears the threshold.
+  //
+  // Scale: same frame as d06 — the intersection join moves 8-byte
+  // 60-bit md5 shingle keys, blocked by `source` here; at 100 TB the
+  // block key must come from candidate generation, and — unlike
+  // resemblance — MinHash LSH banding does NOT bound containment (a
+  // contained doc's min-hashes are dominated by the superset's extra
+  // shingles, so band collisions fade exactly when |B| ≫ |A|). The
+  // production candidate stage for containment is prefix filtering on
+  // rarest-first shingle orderings or the d40b bottom-k sketch tier
+  // below; this operator is the exact-verification stage both feed.
+  // ---------------------------------------------------------------------
+  private[llm] val ContainmentThreshold = 0.5
+
+  def d40ShingleContainment(spark: SparkSession, dir: String): DataFrame =
+    shingleContainment(Tables.documents(spark, dir))
+
+  /** Frame-level core of d40 — see the header above. `docs` needs
+    * (doc_id, source, text) columns. */
+  def shingleContainment(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs, 3)
+      .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
+      .cache() // sizes + both join sides
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))
+    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"),
+      col("shh").as("shh2"))
+    a.join(b, a("source") === b("source2") && a("shh") === b("shh2")
+        && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("c12", col("n_inter").cast(DoubleType) / col("sz1").cast(DoubleType))
+      .withColumn("c21", col("n_inter").cast(DoubleType) / col("sz2").cast(DoubleType))
+      .filter(greatest(col("c12"), col("c21")) >= ContainmentThreshold)
+      .select(col("d1"), col("d2"), col("sz1"), col("sz2"), col("n_inter"),
+        col("c12"), col("c21"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val d40Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+2], ' ') AS sh
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, s1.sz AS sz1, s2.sz AS sz2, n_inter,
+       |       CAST(n_inter AS DOUBLE) / s1.sz AS c12,
+       |       CAST(n_inter AS DOUBLE) / s2.sz AS c21
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE GREATEST(CAST(n_inter AS DOUBLE) / s1.sz,
+       |               CAST(n_inter AS DOUBLE) / s2.sz) >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d26 — INCREMENTAL dedup: the production shape of exact dedup. A
   // corpus is never deduplicated from scratch — each ingest batch is
   // checked against the fingerprint index of everything already

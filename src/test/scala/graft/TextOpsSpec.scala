@@ -278,4 +278,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L, 0)))
     assert(out(3L) == ((1L, 1L, 1L, 1)))
   }
+
+  // A short doc fully embedded in a much longer one: the pair d06's
+  // resemblance threshold can never surface (the union is dominated by
+  // the long doc) but containment flags at exactly 1.0 — the semantics
+  // d40 exists for.
+  private val containedDocs = {
+    val a = (1 to 6).map(i => s"a$i").mkString(" ")              // 4 shingles
+    val b = a + " " + (1 to 20).map(i => s"b$i").mkString(" ")   // 24 shingles
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")              // unrelated
+    Seq((1L, "s", a), (2L, "s", b), (3L, "s", c))
+  }
+
+  test("d40: doc-in-doc pair has containment 1.0 where jaccard is sub-threshold") {
+    val d = containedDocs.toDF("doc_id", "source", "text")
+    val out = TextOps.shingleContainment(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "exactly the planted contained pair surfaces")
+    val r = out.head
+    val (sz1, sz2, nInter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert((sz1, sz2, nInter) == ((4L, 24L, 4L)))
+    assert(r.getDouble(5) == 1.0)           // c12: A fully inside B
+    assert(math.abs(r.getDouble(6) - 4.0 / 24.0) < 1e-12) // c21
+    // the same pair is invisible to d06's resemblance threshold (0.2)
+    val jaccard = nInter.toDouble / (sz1 + sz2 - nInter)
+    assert(jaccard < 0.2, s"planted pair must be sub-Jaccard-threshold, got $jaccard")
+  }
+
+  test("d40b: bottom-k sketch tier estimates the containment direction correctly") {
+    val d = containedDocs.toDF("doc_id", "source", "text")
+    val out = SketchOps.containmentKmv(d).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"only the planted pair estimates above threshold, got $pairs")
+    val r = out.head
+    assert(r.getDouble(4) < 0.4, "resemblance estimate stays low for the asymmetric pair")
+    assert(r.getDouble(5) >= 0.4, "containment of the short doc in the long one flags")
+    assert(r.getDouble(5) > r.getDouble(6), "direction: c(A in B) > c(B in A)")
+  }
 }
