@@ -164,6 +164,7 @@ object SparkEntry {
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
     "m04_audio_features" -> (graft.llm.Multimodal.m04AudioFeatures _),
     "m05_video_frames" -> (graft.llm.Multimodal.m05VideoFrames _),
+    "m06_image_resize" -> (graft.llm.Multimodal.m06ImageResize _),
     "f01_scalar_suite" -> (graft.functions.ScalarQueries.f01ScalarSuite _),
     "f02_multiformat_parse" -> (graft.functions.ScalarQueries.f02MultiFormatParse _),
   )
@@ -282,6 +283,7 @@ object SparkEntry {
     "m03_image_decode" -> graft.llm.Multimodal.m03Sql,
     "m04_audio_features" -> graft.llm.Multimodal.m04Sql,
     "m05_video_frames" -> graft.llm.Multimodal.m05Sql,
+    "m06_image_resize" -> graft.llm.Multimodal.m06Sql,
     "f01_scalar_suite" -> graft.functions.ScalarQueries.f01Sql,
     "f02_multiformat_parse" -> graft.functions.ScalarQueries.f02Sql,
   )

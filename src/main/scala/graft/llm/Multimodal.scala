@@ -439,4 +439,97 @@ object Multimodal {
        |  WHERE i < n_frames)
        |SELECT doc_id, frame_idx, n_frames, px_sum, corner_px
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m06 — image RESIZE over the real decoded raster: the remaining verb
+  // of the driver's multimodal mandate (decode / feature-extract /
+  // frame-sample / RESIZE). Payloads decode through ImageIO (same BMP
+  // codec as m01/m03), then a nearest-neighbor 2× downsample kernel
+  // builds an actual resized BufferedImage — features come from the
+  // RESIZED image's raster, and the bottom-left corner of the OUTPUT
+  // image is the position witness (m03's trick: a kernel that samples
+  // the wrong stride, flips rows, or mixes channels cannot pass). The
+  // NN kernel is hand-rolled (dst(x,y) = src(2x,2y)) rather than
+  // AffineTransformOp so pixel selection is bit-specified — the m05
+  // precedent: the platform codec does the decoding, the deterministic
+  // part stays deterministic. Swap the kernel for the GPU/library
+  // resize in a real deployment; the Spark-side plumbing (schema,
+  // partition-wise batch shape, opaque-bytes-in → small-features-out)
+  // is the contract being proven.
+  //
+  // Scale: m01's — payloads never leave the partition map, the codec +
+  // kernel pipeline with the scan, output is one narrow row per image.
+  // A real resize-for-training pipeline would write the resized BYTES
+  // back as a binary column the same way; summing features instead
+  // keeps the op oracle-checkable to the last bit.
+  // ---------------------------------------------------------------------
+  case class ResizedImage(doc_id: Long, out_width: Int, out_height: Int,
+      out_pixel_sum: Long, corner_r: Int, corner_g: Int, corner_b: Int)
+
+  private def resize(r: MediaRow): ResizedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodeBmp(r.content)))
+    require(img != null, s"ImageIO failed to decode doc ${r.doc_id}")
+    val outW = img.getWidth / 2
+    val outH = (img.getHeight + 1) / 2
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) { out.setRGB(x, y, img.getRGB(2 * x, 2 * y)); x += 1 }
+      y += 1
+    }
+    val samples = out.getRaster.getPixels(0, 0, outW, outH, null: Array[Int])
+    var s = 0L
+    var i = 0
+    while (i < samples.length) { s += samples(i); i += 1 }
+    val c = out.getRGB(0, outH - 1)
+    ResizedImage(r.doc_id, outW, outH, s,
+      (c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+  }
+
+  def m06ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(_.map(resize)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle reconstructs the sampled geometry from the payload: source
+  // height h = ceil(bytes/rowBytes), output is 2×ceil(h/2); dst(x,y) =
+  // src(2x,2y) and BMP rows are bottom-up, so dst row y reads payload
+  // row (h-1-2y), byte offsets {0,1,2} (src x=0, BGR) and {6,7,8}
+  // (src x=2). The resized bottom-left corner lands on payload row 1
+  // when h is even, row 0 when odd — the parity the position witness
+  // pins. Bytes past the payload are BMP zero-padding.
+  val m06Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, ''), x -> x <> '') AS c
+       |  FROM documents WHERE strlen(text) = length(text)),
+       |g AS (
+       |  SELECT doc_id, c,
+       |         GREATEST(1, (len(c) + ${RowBytes - 1}) // $RowBytes) AS h
+       |  FROM m),
+       |smp AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN (h-1-2*y) * $RowBytes + o + 1 <= len(c)
+       |             THEN unicode(c[(h-1-2*y) * $RowBytes + o + 1]) ELSE 0 END) AS s
+       |  FROM g,
+       |       (SELECT unnest(range(0, ((SELECT MAX(h) FROM g) + 1) // 2)) AS y) ys,
+       |       (SELECT unnest([0, 1, 2, 6, 7, 8]) AS o) os
+       |  WHERE y < (h + 1) // 2
+       |  GROUP BY doc_id)
+       |SELECT g.doc_id,
+       |       CAST(2 AS INTEGER) AS out_width,
+       |       CAST((h + 1) // 2 AS INTEGER) AS out_height,
+       |       CAST(COALESCE(s.s, 0) AS BIGINT) AS out_pixel_sum,
+       |       CAST(CASE WHEN (1 - h % 2) * $RowBytes + 3 <= len(c)
+       |            THEN unicode(c[(1 - h % 2) * $RowBytes + 3]) ELSE 0 END AS INTEGER) AS corner_r,
+       |       CAST(CASE WHEN (1 - h % 2) * $RowBytes + 2 <= len(c)
+       |            THEN unicode(c[(1 - h % 2) * $RowBytes + 2]) ELSE 0 END AS INTEGER) AS corner_g,
+       |       CAST(CASE WHEN (1 - h % 2) * $RowBytes + 1 <= len(c)
+       |            THEN unicode(c[(1 - h % 2) * $RowBytes + 1]) ELSE 0 END AS INTEGER) AS corner_b
+       |FROM g LEFT JOIN smp s USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
 }

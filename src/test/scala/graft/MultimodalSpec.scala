@@ -168,4 +168,32 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(4) == slice.head, s"corner doc ${r.getLong(0)} frame $f")
     }
   }
+
+  test("m06 resize: dims halve, sampled sum and corner match the strided payload bytes") {
+    val rows = Multimodal.m06ImageResize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(40).foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 11) / 12)
+      val outH = (h + 1) / 2
+      assert(r.getInt(1) == 2 && r.getInt(2) == outH,
+        s"dims doc ${r.getLong(0)}")
+      def byteAt(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+      // dst(x,y) = src(2x,2y); bottom-up rows ⇒ dst row y reads payload
+      // row (h-1-2y); src x∈{0,2} ⇒ byte offsets {0,1,2, 6,7,8}
+      val want = (0 until outH).map { y =>
+        Seq(0, 1, 2, 6, 7, 8).map(o => byteAt((h - 1 - 2 * y) * 12 + o).toLong).sum
+      }.sum
+      assert(r.getLong(3) == want, s"out_pixel_sum doc ${r.getLong(0)}")
+      // resized bottom-left corner = payload row (1 if h even else 0),
+      // bytes B,G,R
+      val crow = if (h % 2 == 0) 1 else 0
+      assert(r.getInt(4) == byteAt(crow * 12 + 2), s"corner_r doc ${r.getLong(0)}")
+      assert(r.getInt(5) == byteAt(crow * 12 + 1), s"corner_g doc ${r.getLong(0)}")
+      assert(r.getInt(6) == byteAt(crow * 12), s"corner_b doc ${r.getLong(0)}")
+    }
+  }
 }
