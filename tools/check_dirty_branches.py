@@ -266,6 +266,21 @@ def main():
                f"eval span ({row[2] if row else '?'} ppm, partial "
                f"coverage); eval doc {e_id} not scored")
 
+    # --- d40: planted doc-in-doc pair flags on containment, not jaccard --
+    if man.get("d40_contained_pair") is not None:
+        a_id, b_id = man["d40_contained_pair"]
+        row = con.execute(
+            f"""SELECT sz1, sz2, n_inter, c12, c21
+                FROM {load(con, vout, 'd40_shingle_containment')}
+                WHERE d1 = {a_id} AND d2 = {b_id}""").fetchone()
+        jac = (row[2] / (row[0] + row[1] - row[2])) if row else None
+        ok = row is not None and row[3] == 1.0 and jac < 0.2
+        branch("d40_containment_not_jaccard", ok,
+               f"pair ({a_id}, {b_id}): c12={row[3] if row else '?'} "
+               f"(prefix containment exact), jaccard={jac if row else '?'} "
+               "— below every resemblance threshold, surfaced by "
+               "containment only")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

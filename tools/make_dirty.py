@@ -216,6 +216,19 @@ def dirty_documents(src, dst, manifest):
     manifest["d38_eval_doc"] = eids[0]
     manifest["d38_train_doc"] = tids[0]
 
+    # (i) d40 containment branch: a doc-in-doc pair INVISIBLE to every
+    # resemblance tier — short doc A is a strict prefix of long doc B
+    # (same source), so sh(A) ⊆ sh(B): containment c(A→B) = 1.0 exactly
+    # while jaccard = |sh(A)|/|sh(B)| stays far below d06's 0.2
+    # threshold. Existing vocab only (d21 capacity unchanged).
+    a_text = fresh_text(8)                          # 6 shingles
+    b_text = a_text + " " + fresh_text(40)          # ≈46 shingles
+    texts.add(b_text)
+    rows.append(doc(next_id, a_text, sources[2]))
+    rows.append(doc(next_id + 1, b_text, sources[2]))
+    manifest["d40_contained_pair"] = [next_id, next_id + 1]
+    next_id += 2
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:
