@@ -504,6 +504,64 @@ object TextOps {
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d41 — containment APPLY: the terminal stage of the containment
+  // pipeline (d40b candidates → d40 exact verify → drop), mirroring what
+  // d12 is to d11. Policy: drop the CONTAINED doc — its content already
+  // lives inside the survivor, so keeping the superset preserves strictly
+  // more training signal than resemblance dedup's keep-one-of-equals.
+  // Direction decides the victim (c12 ≥ T ⇒ d1 is inside d2 ⇒ drop d1);
+  // mutual containment (≈ equal sets) falls back to d12's deterministic
+  // keep-lower-id. Same greedy single-anti-join shape as d12 —
+  // conservative, never drops a doc without a surviving superset — and
+  // the same 100 TB form: the drop set is pair-bounded and broadcasts.
+  // ---------------------------------------------------------------------
+  def d41ContainmentApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val drop = shingleContainment(docs)
+      .select(
+        when(col("c12") >= ContainmentThreshold
+          && col("c21") >= ContainmentThreshold, col("d2")) // mutual: keep lower id
+          .when(col("c12") >= ContainmentThreshold, col("d1")) // d1 inside d2
+          .otherwise(col("d2")).as("__drop"))                  // d2 inside d1
+      .distinct()
+    docs.join(broadcast(drop), col("doc_id") === col("__drop"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d41Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+2], ' ') AS sh
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT d1, d2,
+       |         CAST(n_inter AS DOUBLE) / s1.sz AS c12,
+       |         CAST(n_inter AS DOUBLE) / s2.sz AS c21
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE GREATEST(CAST(n_inter AS DOUBLE) / s1.sz,
+       |                 CAST(n_inter AS DOUBLE) / s2.sz) >= $ContainmentThreshold),
+       |dropped AS (
+       |  SELECT CASE WHEN c12 >= $ContainmentThreshold AND c21 >= $ContainmentThreshold THEN d2
+       |              WHEN c12 >= $ContainmentThreshold THEN d1
+       |              ELSE d2 END AS doc_id
+       |  FROM flagged)
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d26 — INCREMENTAL dedup: the production shape of exact dedup. A
   // corpus is never deduplicated from scratch — each ingest batch is
   // checked against the fingerprint index of everything already

@@ -315,4 +315,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(5) >= 0.4, "containment of the short doc in the long one flags")
     assert(r.getDouble(5) > r.getDouble(6), "direction: c(A in B) > c(B in A)")
   }
+
+  test("d41 apply: the CONTAINED doc drops, the superset survives") {
+    val d = containedDocs.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d41").toString
+    d.select("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.d41ContainmentApply(spark, dir).collect().map(_.getLong(0))
+    // doc 1 (contained in 2) drops; 2 (the superset) and 3 survive —
+    // resemblance dedup (d12's keep-lower) would have kept the SHORTER
+    // doc had its threshold even fired; containment apply keeps content
+    assert(out.toSeq == Seq(2L, 3L))
+  }
 }
