@@ -517,17 +517,24 @@ object TextOps {
   // ---------------------------------------------------------------------
   def d41ContainmentApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val drop = shingleContainment(docs)
+    docs.join(broadcast(containmentDropSet(docs)), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The containment drop POLICY as a reusable frame: doc ids to drop
+    * under d41's rule (drop the contained doc; mutual containment keeps
+    * the lower id). Shared by d41 and the Runner's corpus stage so lake
+    * and query surface apply identical curation. Pair-bounded — always
+    * broadcastable. */
+  def containmentDropSet(docs: DataFrame): DataFrame =
+    shingleContainment(docs)
       .select(
         when(col("c12") >= ContainmentThreshold
           && col("c21") >= ContainmentThreshold, col("d2")) // mutual: keep lower id
           .when(col("c12") >= ContainmentThreshold, col("d1")) // d1 inside d2
-          .otherwise(col("d2")).as("__drop"))                  // d2 inside d1
+          .otherwise(col("d2")).as("doc_id"))                  // d2 inside d1
       .distinct()
-    docs.join(broadcast(drop), col("doc_id") === col("__drop"), "left_anti")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   val d41Sql: String =
     s"""WITH toks AS (

@@ -221,11 +221,22 @@ object Runner {
     *   corpus/prepared   d18 full pipeline (gates → dedup tiers →
     *                     decontamination → split)
     *   corpus/stats      d19 dataset-card rollup
-    *   corpus/span_clean d35 span-level dedup of the survivors — the
-    *                     Lee-et-al ordering: DOC-level tiers first (in
-    *                     d18), then every k-token span repeated anywhere
-    *                     in the surviving corpus is excised; per-doc dup
-    *                     stats + reconstructed clean_text
+    *   corpus/containment_dropped
+    *                     d41 containment collapse (round-10 sixth wave):
+    *                     docs CONTAINED in a surviving superset drop
+    *                     before the span stage — the doc-in-doc class
+    *                     (quotes, syndication) that resemblance tiers in
+    *                     d18 structurally miss. Exact tier here (gate
+    *                     scale); at 100 TB the candidate stage is d40b's
+    *                     sketch-element join. Pair-bounded drop set.
+    *   corpus/span_clean d35 span-level dedup of the containment
+    *                     survivors — the Lee-et-al ordering: DOC-level
+    *                     tiers first (d18), whole-doc containment
+    *                     collapse next (d41 — spans it removes wholesale
+    *                     never reach span accounting), then every
+    *                     k-token span repeated anywhere in the surviving
+    *                     corpus is excised; per-doc dup stats +
+    *                     reconstructed clean_text
     *   corpus/chunks     context-window chunks of the SPAN-CLEANED text
     *                     — the survivor semi-join runs BEFORE chunkRows
     *                     and the span excision before chunking, so
@@ -245,10 +256,19 @@ object Runner {
     ))
     val survivors = Tables.documents(spark, sfDir)
       .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // containment collapse: contained docs drop before span accounting
+    // (their every span would otherwise count as duplicated — excising
+    // the whole doc is both cheaper and the curation-correct call)
+    val dropped = graft.llm.TextOps.containmentDropSet(survivors)
+    Sinks.parquet(dropped, s"$outDir/corpus/containment_dropped",
+      tinyOutput = true)
+    val kept = survivors.join(
+      broadcast(spark.read.parquet(s"$outDir/corpus/containment_dropped")),
+      Seq("doc_id"), "left_anti")
     // span-level dedup over the surviving corpus; cached because it is
     // written AND feeds the chunk/pack stages below
     val spanClean = graft.llm.TextOps
-      .spanDedup(survivors, graft.llm.TextOps.SpanK).cache()
+      .spanDedup(kept, graft.llm.TextOps.SpanK).cache()
     Sinks.parquet(spanClean, s"$outDir/corpus/span_clean")
     // chunks and packed sequences derive from the span-CLEANED text
     val cleaned = spanClean

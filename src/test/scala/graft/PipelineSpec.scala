@@ -80,9 +80,14 @@ class PipelineSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$out/corpus/stats")
     assert(stats.filter(org.apache.spark.sql.functions.col("lvl") === 3)
       .count() == 1) // grand-total row present
-    // the span stage scores exactly the prepared doc ids
+    // containment drops are a subset of the prepared survivors
+    val dropped = spark.read.parquet(s"$out/corpus/containment_dropped")
+      .select("doc_id")
+    assert(dropped.except(prepared.select("doc_id")).isEmpty)
+    // the span stage scores exactly the prepared ids MINUS the
+    // containment-collapsed docs
     val spanClean = spark.read.parquet(s"$out/corpus/span_clean")
-    val prepDocs = prepared.select("doc_id")
+    val prepDocs = prepared.select("doc_id").except(dropped)
     assert(spanClean.select("doc_id").except(prepDocs).isEmpty)
     assert(prepDocs.except(spanClean.select("doc_id")).isEmpty)
     // chunks cover exactly the span-survivor docs (nonempty clean_text)
