@@ -450,7 +450,7 @@ object TextOps {
   // rarest-first shingle orderings or the d40b bottom-k sketch tier
   // below; this operator is the exact-verification stage both feed.
   // ---------------------------------------------------------------------
-  private[llm] val ContainmentThreshold = 0.5
+  private[graft] val ContainmentThreshold = 0.5
 
   def d40ShingleContainment(spark: SparkSession, dir: String): DataFrame =
     shingleContainment(Tables.documents(spark, dir))

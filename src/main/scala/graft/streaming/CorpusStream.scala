@@ -167,6 +167,23 @@ object CorpusStream {
   private val SpanSchema = StructType(Seq(
     StructField("sfp", LongType), StructField("sn", LongType)))
 
+  // the containment tier's delta rows: (doc_id, ck) — one row per
+  // bottom-k sketch element of each accepted doc (d40b's per-doc state
+  // in row form). Content-free; doubles as the candidate probe key.
+  private val CkSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("ck", LongType)))
+
+  /** The current containment-sketch index: exploded bottom-k sketch
+    * elements (doc_id, ck) of every accepted doc ingested through the
+    * containment tier. */
+  def readContainIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val vs = committedPaths(spark, indexDir)
+    if (vs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CkSchema)
+    else spark.read.schema(CkSchema).parquet(vs: _*)
+      .filter(col("ck").isNotNull)
+  }
+
   /** The current span-fingerprint index: total occurrence count per
     * k-token span fingerprint across every accepted doc ingested through
     * the span tier. Aggregating across deltas keeps each delta
@@ -291,6 +308,44 @@ object CorpusStream {
     fresh.join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** Containment gate against the persisted sketch index (d40b→d40→d41
+    * as a STREAMING rejection tier): a batch doc whose content is
+    * already CONTAINED in an accepted doc — a quote, a syndicated copy
+    * inside a longer page — is dropped. Candidates come from the
+    * sketch-element equi-join (d40b's form: a pair whose containment
+    * estimate could clear any threshold shares a bottom-k element), then
+    * the gate verifies EXACTLY against fetched candidate bodies
+    * (bucket-pruned, dropNearDups' fetch) — containment = n_inter/sz of
+    * the BATCH doc.
+    *
+    * Direction contract: only new-doc-inside-history drops — history is
+    * append-only, so an accepted doc later found contained in a LARGER
+    * new doc is the nightly batch d40/d41 pass's job (dropNearDups'
+    * division of labor). Candidate recall fades when the new doc is tiny
+    * relative to its container (shared-sketch-element probability ≈
+    * k·|A|/|B| — the same ratio that defeats LSH banding here); the
+    * nightly exact pass is the backstop for that tail, and k bounds it.
+    */
+  private def dropContained(spark: SparkSession, fresh: DataFrame,
+      indexDir: String, outDir: String): DataFrame = {
+    val srced = fresh.withColumn("source", lit("batch"))
+    val batchEl = SketchOps.bottomKSketch(srced)
+      .select(col("doc_id").as("db"), explode(col("bk")).as("ck"))
+    val idxEl = readContainIndex(spark, indexDir)
+      .select(col("doc_id").as("di"), col("ck"))
+    val cand = batchEl.join(idxEl, Seq("ck"))
+      .select(col("db"), col("di")).distinct().cache()
+    val candDocs = candidateFetch(spark, outDir,
+        cand.select(col("di").as("doc_id")).distinct())
+      .withColumn("source", lit("index"))
+    val shB = TextOps.shingleRows(srced, 3)
+      .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
+    val shI = TextOps.shingleRows(candDocs, 3)
+      .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    val rejected = SketchOps.crossContainedBatch(cand, shB, shI)
+    fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
+  }
+
   /** One micro-batch of the index-backed ingest: gate → within-batch
     * keep-first (min doc_id per fingerprint, exactly d26's in-batch
     * rule) → anti-join the persisted index → corpus rows to
@@ -311,7 +366,7 @@ object CorpusStream {
     * window), or give each its own index. */
   def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
       writer: String = "batch", nearDup: Boolean = false,
-      spanGate: Boolean = false)(
+      spanGate: Boolean = false, containGate: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),
       s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
@@ -330,9 +385,12 @@ object CorpusStream {
     val nearFresh = if (nearDup && hasHistory)
       dropNearDups(spark, exactFresh, indexDir, outDir)
     else exactFresh
-    val fresh = (if (spanGate && hasHistory)
+    val spanFresh = if (spanGate && hasHistory)
       dropSpanDups(spark, nearFresh, indexDir)
-    else nearFresh).localCheckpoint()
+    else nearFresh
+    val fresh = (if (containGate && hasHistory)
+      dropContained(spark, spanFresh, indexDir, outDir)
+    else spanFresh).localCheckpoint()
     // bucketed store layout: doc_bucket partition dirs (candidateFetch
     // prunes on them) with doc_id-sorted files (row-group stats bound the
     // residual read). One shuffle keyed on the bucket keeps files-per-
@@ -365,7 +423,7 @@ object CorpusStream {
             col("band"), col("bh"))
         fpRows.unionByName(bands)
       }
-    val deltaRows =
+    val spanDeltaRows =
       if (!spanGate) baseRows
       else {
         // accepted docs' span counts join the SAME atomic delta: the
@@ -382,6 +440,22 @@ object CorpusStream {
           .withColumn("sn", lit(null).cast(LongType))
           .unionByName(spanRows)
       }
+    val deltaRows =
+      if (!containGate) spanDeltaRows
+      else {
+        // accepted docs' sketch elements join the SAME atomic delta: the
+        // containment probe advances in lockstep with every other tier
+        val cks = SketchOps.bottomKSketch(
+            fresh.withColumn("source", lit("batch")))
+          .select(col("doc_id"), explode(col("bk")).as("ck"))
+        val prior =
+          if (spanDeltaRows.columns.contains("doc_id")) spanDeltaRows
+          else spanDeltaRows.withColumn("doc_id", lit(null).cast(LongType))
+        val ckRows = prior.columns.filterNot(_ == "doc_id")
+          .foldLeft(cks)((df, c) =>
+            df.withColumn(c, lit(null).cast(prior.schema(c).dataType)))
+        prior.withColumn("ck", lit(null).cast(LongType)).unionByName(ckRows)
+      }
     deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
   }
 
@@ -393,11 +467,12 @@ object CorpusStream {
   def startIngest(docs: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, writer: String = "stream",
       nearDup: Boolean = false,
-      spanGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      spanGate: Boolean = false,
+      containGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch(
         ingestBatch(docs.sparkSession, indexDir, outDir, writer, nearDup,
-          spanGate) _)
+          spanGate, containGate) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

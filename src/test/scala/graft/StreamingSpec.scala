@@ -583,6 +583,42 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.indexVersions(spark, idx).size == nv)
   }
 
+  test("containment-gate ingest: doc-in-doc batch docs rejected, fresh docs pass") {
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_ckidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckout").toString
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L)
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")   // 18 shingles
+    val other = (1 to 10).map(i => s"oth$i").mkString(" ")  // 8 shingles
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", containGate = true)(
+      Seq((1L, ts(0), body), (2L, ts(1), other))
+        .toDF("doc_id", "ingest_ts", "text"), 0L)
+    // sketch index: min(k=16, shingles) elements per accepted doc
+    assert(CorpusStream.readContainIndex(spark, idx).count() == 16 + 8)
+    // doc 3 is a 10-token SUBSTRING of accepted doc 1 — new md5 (exact
+    // tier blind), low jaccard vs doc 1 (8/18), containment 8/8 = 1.0 →
+    // REJECTED; doc 4 is fresh → accepted
+    val contained = (5 to 14).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 10).map(i => s"new$i").mkString(" ")
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", containGate = true)(
+      Seq((3L, ts(2), contained), (4L, ts(3), fresh))
+        .toDF("doc_id", "ingest_ts", "text"), 1L)
+    def survivors() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors() == Seq(1L, 2L, 4L))
+    // doc 4's 8 sketch elements joined the index atomically
+    assert(CorpusStream.readContainIndex(spark, idx).count() == 16 + 8 + 8)
+    assert(CorpusStream.readIndex(spark, idx).count() == 3)
+    // replay of batch 1 is a no-op (delta already committed)
+    val nv = CorpusStream.indexVersions(spark, idx).size
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", containGate = true)(
+      Seq((3L, ts(2), contained), (4L, ts(3), fresh))
+        .toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(survivors() == Seq(1L, 2L, 4L) &&
+      CorpusStream.indexVersions(spark, idx).size == nv)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
