@@ -331,4 +331,33 @@ class TextOpsSpec extends SparkSpec {
     // doc had its threshold even fired; containment apply keeps content
     assert(out.toSeq == Seq(2L, 3L))
   }
+
+  test("d42: batch doc contained in an index doc flags, fresh batch doc keeps") {
+    // pick doc ids landing in the index (<80) / batch (>=80) buckets
+    val ids = spark.range(1, 500)
+      .select(col("id"), TextOps.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val idxId = ids.find(_._2 < graft.llm.SketchOps.IndexBuckets).get._1
+    val batchIds = ids.filter(_._2 >= graft.llm.SketchOps.IndexBuckets).map(_._1)
+    val (containedId, freshId) = (batchIds(0), batchIds(1))
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (idxId, body),                                   // index superset
+      (containedId, (5 to 14).map(i => s"tok$i").mkString(" ")), // inside it
+      (freshId, (1 to 10).map(i => s"new$i").mkString(" ")))     // fresh
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d42").toString
+    d.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.SketchOps.d42IncrementalContainment(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!out.contains(idxId), "index docs are not scored")
+    val (nCand, maxC, kept) = out(containedId)
+    assert(nCand >= 1 && maxC == 1.0 && !kept,
+      s"contained batch doc flags: $nCand candidates, max_containment $maxC")
+    assert(out(freshId) == ((0L, 0.0, true)), "fresh batch doc keeps")
+  }
 }
