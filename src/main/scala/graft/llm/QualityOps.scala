@@ -835,6 +835,50 @@ object QualityOps {
       |ORDER BY source_a, source_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d43 — source-level CONTAINMENT matrix: d40's asymmetric measure at
+  // the DATASET grain, completing the square (d06:d40 :: d29:d43). The
+  // mixture-curation question d29's symmetric Jaccard cannot answer:
+  // "is dump N+1 a superset of dump N" — a pair of crawls with jaccard
+  // 0.5 could be half-overlapping siblings (keep both) or one 95%-inside
+  // the other (drop the subset) — containment per direction separates
+  // the two. Pure projection over d29's overlap frame: both directions
+  // derive from (n_common, n_a, n_b) already computed there, so the
+  // matrix costs nothing beyond d29's shingle-key join, and every scale
+  // property (distinct (source, shingle-hash) collapse, per-shingle pair
+  // fan-out bound) is inherited unchanged.
+  // ---------------------------------------------------------------------
+  def d43SourceContainment(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir))
+      .withColumn("c_ab", col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("c_ba", col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("c_ab"), col("c_ba"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  val d43Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS sh
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+      |  WHERE i <= len(tk) - 2),
+      |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       p.n_common,
+      |       CAST(p.n_common AS DOUBLE) / sa.n_sh AS c_ab,
+      |       CAST(p.n_common AS DOUBLE) / sb.n_sh AS c_ba
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d36 — per-document tf-idf keyword extraction: the top-K terms of
   // every document by tf·idf, the metadata field a curation pipeline
   // attaches for topic routing, domain mixing, and search over the
