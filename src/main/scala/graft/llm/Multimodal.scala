@@ -496,12 +496,22 @@ object Multimodal {
   }
 
   // Oracle reconstructs the sampled geometry from the payload: source
-  // height h = ceil(bytes/rowBytes), output is 2×ceil(h/2); dst(x,y) =
-  // src(2x,2y) and BMP rows are bottom-up, so dst row y reads payload
-  // row (h-1-2y), byte offsets {0,1,2} (src x=0, BGR) and {6,7,8}
-  // (src x=2). The resized bottom-left corner lands on payload row 1
-  // when h is even, row 0 when odd — the parity the position witness
-  // pins. Bytes past the payload are BMP zero-padding.
+  // height h = ceil(bytes/rowBytes), output height is ceil(h/2) but
+  // output WIDTH is floor(ImgWidth/2) — the floor/ceil asymmetry is the
+  // Scala kernel's deliberate contract (width floors because the loop
+  // bound is getWidth/2 over a fixed-width raster; height ceils because
+  // the last partial payload row still decodes as a BMP row). dst(x,y)
+  // = src(2x,2y) and BMP rows are bottom-up, so dst row y reads payload
+  // row (h-1-2y) at byte offsets 6x+{0,1,2} for each sampled column x
+  // (BGR triplets of src columns 0,2,4,…) — both the width and the
+  // offset list below are DERIVED from ImgWidth so a fixture-geometry
+  // change cannot silently diverge the two engines. The resized
+  // bottom-left corner lands on payload row 1 when h is even, row 0
+  // when odd — the parity the position witness pins. Bytes past the
+  // payload are BMP zero-padding.
+  private val OutWidth = ImgWidth / 2 // floor — matches getWidth / 2
+  private val SampledOffsets: Seq[Int] =
+    (0 until OutWidth).flatMap(x => Seq(6 * x, 6 * x + 1, 6 * x + 2))
   val m06Sql: String =
     s"""WITH m AS (
        |  SELECT doc_id,
@@ -517,11 +527,11 @@ object Multimodal {
        |             THEN unicode(c[(h-1-2*y) * $RowBytes + o + 1]) ELSE 0 END) AS s
        |  FROM g,
        |       (SELECT unnest(range(0, ((SELECT MAX(h) FROM g) + 1) // 2)) AS y) ys,
-       |       (SELECT unnest([0, 1, 2, 6, 7, 8]) AS o) os
+       |       (SELECT unnest([${SampledOffsets.mkString(", ")}]) AS o) os
        |  WHERE y < (h + 1) // 2
        |  GROUP BY doc_id)
        |SELECT g.doc_id,
-       |       CAST(2 AS INTEGER) AS out_width,
+       |       CAST($OutWidth AS INTEGER) AS out_width,
        |       CAST((h + 1) // 2 AS INTEGER) AS out_height,
        |       CAST(COALESCE(s.s, 0) AS BIGINT) AS out_pixel_sum,
        |       CAST(CASE WHEN (1 - h % 2) * $RowBytes + 3 <= len(c)

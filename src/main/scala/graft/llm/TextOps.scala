@@ -439,9 +439,11 @@ object TextOps {
   // wants to collapse (syndicated articles inside aggregator pages,
   // quoted posts inside threads). Emits both directions per unordered
   // pair; a pair surfaces when EITHER direction clears the threshold.
+  // No source blocking (unlike d06): syndication is cross-source by
+  // nature, so the pair join runs corpus-wide on the shingle key alone.
   //
   // Scale: same frame as d06 — the intersection join moves 8-byte
-  // 60-bit md5 shingle keys, blocked by `source` here; at 100 TB the
+  // 60-bit md5 shingle keys; at 100 TB the
   // block key must come from candidate generation, and — unlike
   // resemblance — MinHash LSH banding does NOT bound containment (a
   // contained doc's min-hashes are dominated by the superset's extra
@@ -459,14 +461,18 @@ object TextOps {
     * (doc_id, source, text) columns. */
   def shingleContainment(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs, 3)
-      .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
+      .select(col("doc_id"), shingleHash(col("sh")).as("shh"))
       .cache() // sizes + both join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))
-    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"),
-      col("shh").as("shh2"))
-    a.join(b, a("source") === b("source2") && a("shh") === b("shh2")
-        && a("d1") < b("d2"))
+    // UNLIKE d06's resemblance join, no source blocking: cross-source
+    // doc-in-doc (syndicated articles republished under another source)
+    // is exactly the pair this operator exists to surface. The scale
+    // bound does not come from a source block anyway — the join is still
+    // keyed on the shingle hash, and the production candidate stage is
+    // d40b's sketch tier (see header).
+    val a = sh.select(col("doc_id").as("d1"), col("shh"))
+    val b = sh.select(col("doc_id").as("d2"), col("shh").as("shh2"))
+    a.join(b, a("shh") === b("shh2") && a("d1") < b("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
@@ -491,7 +497,7 @@ object TextOps {
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, s1.sz AS sz1, s2.sz AS sz2, n_inter,
        |       CAST(n_inter AS DOUBLE) / s1.sz AS c12,
@@ -511,9 +517,14 @@ object TextOps {
   // more training signal than resemblance dedup's keep-one-of-equals.
   // Direction decides the victim (c12 ≥ T ⇒ d1 is inside d2 ⇒ drop d1);
   // mutual containment (≈ equal sets) falls back to d12's deterministic
-  // keep-lower-id. Same greedy single-anti-join shape as d12 —
-  // conservative, never drops a doc without a surviving superset — and
-  // the same 100 TB form: the drop set is pair-bounded and broadcasts.
+  // keep-lower-id. Same greedy single-anti-join shape as d12, and the
+  // same 100 TB form: the drop set is pair-bounded and broadcasts.
+  // Invariant note: "every dropped doc has a SURVIVING superset" holds
+  // for exact-subset chains (c = 1.0 — A ⊂ B ⊂ C drops A and B, keeps
+  // C, which contains both); at partial thresholds a chain A→B→C with
+  // c ≈ 0.6 each can drop A and B while C holds only part of A. That is
+  // the standard greedy trade-off (iterating to a fixpoint would make
+  // the drop decision order-dependent); the threshold bounds the loss.
   // ---------------------------------------------------------------------
   def d41ContainmentApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -548,7 +559,7 @@ object TextOps {
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |flagged AS (
        |  SELECT d1, d2,

@@ -332,6 +332,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("d40/d41: CROSS-source containment surfaces (syndication is cross-source)") {
+    // the syndication case the operator family advertises: an article
+    // from source s1 republished inside a longer aggregator page under
+    // source s2 — a source-blocked pair join could never surface it
+    val article = (1 to 6).map(i => s"a$i").mkString(" ")
+    val page = article + " " + (1 to 20).map(i => s"b$i").mkString(" ")
+    val d = Seq((1L, "wire", article), (2L, "aggregator", page))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.shingleContainment(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out.head.getDouble(5) == 1.0, "article fully contained cross-source")
+    // sketch tier sees the same pair
+    val kmv = SketchOps.containmentKmv(d).collect()
+    assert(kmv.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // apply drops the contained article, keeps the aggregator page
+    val drops = TextOps.containmentDropSet(d).collect().map(_.getLong(0))
+    assert(drops.toSeq == Seq(1L))
+  }
+
   test("d42: batch doc contained in an index doc flags, fresh batch doc keeps") {
     // pick doc ids landing in the index (<80) / batch (>=80) buckets
     val ids = spark.range(1, 500)
