@@ -139,7 +139,7 @@ object SparkEntry {
 
     "d32_source_divergence" -> (graft.llm.LmOps.d32SourceDivergence _),
     "d33_bpe_train" -> (graft.llm.LmOps.d33BpeTrain _), // rows-only: K data-dependent merge rounds are not one SQL query
-    "d33b_bpe_encode" -> (graft.llm.LmOps.d33bBpeEncode _), // rows-only: the K-fold encode is not one SQL query
+    "d33b_bpe_encode" -> (graft.llm.LmOps.d33bBpeEncode _), // encode oracled against the frozen merge-table artifact (Models)
     "d34_stratified_sample" -> (graft.llm.LmOps.d34StratifiedSample _),
     "d34b_stratified_salted" -> (graft.llm.LmOps.d34bStratifiedSampleSalted _), // identical contract, salted skew path (q18b's move)
     "d35_span_dedup" -> (graft.llm.TextOps.d35SpanDedup _),
@@ -156,12 +156,12 @@ object SparkEntry {
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
     "a06_quantize_embeddings" -> (graft.llm.VectorOps.a06QuantizeEmbeddings _),
     "a01_ann_brute_force" -> (graft.llm.VectorOps.a01AnnBruteForce _),
-    "a08_ann_ivf_pq" -> (graft.llm.VectorOps.a08AnnIvfPq _), // rows-only: iterative coarse+PQ training (a04b/a07 precedent); PqSpec recall contract
+    "a08_ann_ivf_pq" -> (graft.llm.VectorOps.a08AnnIvfPq _), // inference oracled against the frozen coarse+codebook artifacts; PqSpec recall contract for training
     "a02_ann_lsh_bucketed" -> (graft.llm.VectorOps.a02AnnLshBucketed _),
     "a03_embedding_neardup" -> (graft.llm.VectorOps.a03EmbeddingNearDup _),
     "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),
-    "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // rows-only: iterative k-means has no single-SQL oracle
-    "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // rows-only: iterative codebook training; PqSpec recall contract
+    "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // inference oracled against the frozen centroid artifact; IvfSpec recall contract for training
+    "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // inference oracled against the frozen codebook artifact; PqSpec recall contract for training
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
@@ -284,6 +284,13 @@ object SparkEntry {
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,
     "a04_ann_ivf" -> graft.llm.VectorOps.a04Sql,
+    // frozen-model inference oracles (defs — the SQL bakes in the
+    // artifact path the query persisted for THIS run's data dir; Verify
+    // runs queries first, dumps oracle SQL after)
+    "a04b_ann_ivf_kmeans" -> graft.llm.VectorOps.a04bSql,
+    "a07_ann_pq" -> graft.llm.VectorOps.a07Sql,
+    "a08_ann_ivf_pq" -> graft.llm.VectorOps.a08Sql,
+    "d33b_bpe_encode" -> graft.llm.LmOps.d33bSql,
     "m01_decode_features" -> graft.llm.Multimodal.m01Sql,
     "m02_frame_sample" -> graft.llm.Multimodal.m02Sql,
     "m03_image_decode" -> graft.llm.Multimodal.m03Sql,

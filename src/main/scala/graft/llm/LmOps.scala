@@ -536,14 +536,27 @@ object LmOps {
   // table). The merge list itself is the K-row driver-side artifact the
   // trainer produced; no per-round jobs here, one plan applies all K.
   //
-  // Rows-only like d33 (the fold is not one SQL query); LmOpsSpec pins
-  // the hand-computed encoding of the planted corpus and the token-count
-  // bounds on the fixture.
+  // Fully oracled against the frozen artifact (round-11): the greedy
+  // left-to-right fold of ONE merge over a symbol array is exactly one
+  // non-overlapping left-to-right string replace over the symbols
+  // rendered as " s1  s2  s3 " (each symbol flanked by single spaces,
+  // two between neighbors — symbols are whitespace-free by construction,
+  // so every space-flanked substring is a complete symbol and no false
+  // cross-boundary match exists; the shared-separator pitfall of
+  // single-space rendering is what the double separator removes). K
+  // merges in rank order become a K-step recursive CTE joining on the
+  // artifact's rank column — the oracle drives entirely off the file.
+  // LmOpsSpec additionally pins the hand-computed encoding of the
+  // planted corpus and the token-count bounds on the fixture.
   // ---------------------------------------------------------------------
   def d33bBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val merges = bpeTrain(spark, docs, BpeMerges)
+    // freeze the trained merge table (the tokenizer artifact a real
+    // pipeline ships); the encode consumes the PERSISTED rows in rank
+    // order, and d33bSql replays the same encode in DuckDB from the file
+    val frozen = Models.save(bpeTrain(spark, docs, BpeMerges), dir, "d33b_merges")
+    val merges = frozen.orderBy(col("rank"))
       .select(col("left"), col("right")).as[(String, String)].collect().toSeq
     bpeEncode(docs, merges)
   }
@@ -564,6 +577,37 @@ object LmOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Encode oracle for d33b over the frozen merge-table artifact — see
+    * the d33b header for why one merge-fold ≡ one string replace. A
+    * `def`: generated at Verify-dump time, after the query froze its
+    * merge table for this run's data dir. */
+  def d33bSql: String =
+    s"""WITH RECURSIVE merges AS (
+       |  SELECT rank, "left", "right", merged FROM ${Models.sqlRef("d33b_merges")}),
+       |toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT word FROM toks),
+       |enc AS (
+       |  SELECT word,
+       |         ' ' || array_to_string(list_append(string_split_regex(word, ''), '</w>'), '  ') || ' ' AS s,
+       |         0 AS rk
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.word,
+       |         replace(e.s, ' ' || m."left" || '  ' || m."right" || ' ',
+       |                 ' ' || m.merged || ' '),
+       |         e.rk + 1
+       |  FROM enc e JOIN merges m ON m.rank = e.rk + 1),
+       |fin AS (
+       |  SELECT word, len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_sym
+       |  FROM enc WHERE rk = (SELECT COALESCE(MAX(rank), 0) FROM merges))
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(f.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM toks t JOIN fin f USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d37 — frozen hashed-linear quality classifier: inference for the

@@ -207,13 +207,21 @@ object VectorOps {
   // within the candidate union only. A neighbor belongs to exactly one
   // list and probes are distinct, so no dedup step is needed.
   //
-  // No DuckDB oracle — iterative training is not one SQL query — so the
-  // driver records rows-only; the recall property test against a01
-  // (IvfSpec) is the correctness contract. Measured on the fixture corpus
-  // (structureless random vectors — IVF's worst case; within-label cosine
-  // equals cross-label): recall@5 = 0.86 at nprobe=4, 0.93 at nprobe=5,
-  // 1.0 at nprobe=k=8. Clustered production corpora sit far above this
-  // curve; here the default probes 5/8 lists for the ≥0.9 target.
+  // TRAINING has no DuckDB oracle (iterative — not one SQL query); the
+  // recall property test against a01 (IvfSpec) is its contract. Measured
+  // on the fixture corpus (structureless random vectors — IVF's worst
+  // case; within-label cosine equals cross-label): recall@5 = 0.86 at
+  // nprobe=4, 0.93 at nprobe=5, 1.0 at nprobe=k=8. Clustered production
+  // corpora sit far above this curve; here the default probes 5/8 lists
+  // for the ≥0.9 target.
+  //
+  // INFERENCE is fully oracled (round-11): the trained centroids persist
+  // as a frozen [[Models]] artifact, and a04bSql replays the whole
+  // serving path — assignment, multi-probe, candidate join, exact
+  // top-K — in DuckDB against that artifact (the d37 frozen-model
+  // pattern). The registered query is train → freeze → infer-from-the-
+  // frozen-bits, so the hash gate covers everything but the Lloyd's
+  // loop itself.
   // ---------------------------------------------------------------------
   private val KmIters = 4
   val NProbeDefault = 5
@@ -258,16 +266,19 @@ object VectorOps {
   }
 
   def a04bAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    ivfKmeans(spark, dir, NCentroids, KmIters, NProbeDefault)
+    ivfKmeans(spark, dir, NCentroids, KmIters, NProbeDefault,
+      saveTag = Some("a04b_centroids"))
 
   def ivfKmeans(spark: SparkSession, dir: String, k: Int, iters: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, saveTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("__norm", norm(col("embedding")))
       .cache()
-    val cents = trainKmeans(e, k, iters)
+    val trained = trainKmeans(e, k, iters)
+    // freeze the model: inference below consumes the persisted bits
+    val cents = saveTag.fold(trained)(Models.save(trained, dir, _))
     val assigned = assignTo(e, cents)
     // multi-probe: each query's NProbe nearest centroids
     val probes = e.filter(col("vec_id") < NQueries)
@@ -293,6 +304,40 @@ object VectorOps {
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Inference oracle for a04b over the frozen centroid artifact: with
+    * the model a table, the serving path — nearest-centroid assignment,
+    * multi-probe, candidate list join, exact top-K — is plain SQL. A
+    * `def`: generated at Verify-dump time, after the query ran and froze
+    * its model for this run's data dir. */
+  def a04bSql: String =
+    s"""WITH cents AS (
+       |  SELECT centroid_id, ce FROM ${Models.sqlRef("a04b_centroids")}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS pc FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS pr
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries)
+       |  WHERE pr <= $NProbeDefault),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, centroid_id AS nc
+       |      FROM assigned),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos_sim
+       |  FROM probes JOIN n ON pc = nc AND query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // a03 — embedding-cosine near-duplicate pairs (driver mandate: the
@@ -504,13 +549,31 @@ object VectorOps {
   // (query, vector); the exact pass touches PqRerank vectors per query.
   // Composes with a04's IVF the standard way (probe lists first, ADC
   // within them) — registered standalone so the gate measures the PQ
-  // machinery itself. Rows-only (iterative training, a04b precedent);
-  // PqSpec pins recall against a01 and the code-size invariants.
+  // machinery itself. Codebook TRAINING is iterative (no SQL oracle;
+  // PqSpec pins recall against a01 and the code-size invariants), but
+  // the codebooks freeze as a [[Models]] artifact and a07Sql replays the
+  // whole inference half — normalize, slice, encode, ADC tables, scan,
+  // exact re-rank — in DuckDB against the frozen file (fixed-point ADC
+  // partials make the scan's sums bit-reproducible; see [[adcFx]]).
   // ---------------------------------------------------------------------
   private val PqM = 8
   private val PqK = 16
   private val PqIters = 3
   private val PqRerank = 50
+
+  /** ADC partial scores quantize to fixed-point longs (2^-40 grain)
+    * BEFORE the per-(query, vector) sum: long addition is exact and
+    * order-free, where a double sum's value depends on partition order —
+    * both non-reproducible run-to-run AND unmatchable by an oracle
+    * (d31's bit-reproducible-sum lesson applied to ANN). The multiplier
+    * is a power of two, so the scaling itself is exact (exponent shift);
+    * the one rounding step (+0.5, floor) is the same IEEE op in both
+    * engines. At 2^-40 grain the quantization error per partial is
+    * ~1e-12 — four orders below the float32 inputs' own noise floor. */
+  private val AdcFxGrain = (1L << 40).toDouble
+
+  private def adcFx(c: Column): Column =
+    floor(c * lit(AdcFxGrain) + lit(0.5)).cast(LongType)
 
   /** L2 assignment of sub-vectors to sub-codebooks for ALL subspaces at
     * once: the subspace index `m` is a JOIN/GROUP KEY, not a driver-side
@@ -572,7 +635,9 @@ object VectorOps {
           s"m -> struct(m AS m, slice(nemb, m * $sub + 1, $sub) AS sv)))")
         .as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val books = trainSubs(subs) // PqM×PqK rows
+    // freeze the codebook model: the encode + scan consume the persisted
+    // bits, and a07Sql replays them in DuckDB against the same file
+    val books = Models.save(trainSubs(subs), dir, "a07_books") // PqM×PqK rows
     val codes = assignL2(subs, books)
       .select(col("vec_id"), col("m"), col("code")) // N×PqM rows — the index
 
@@ -584,16 +649,17 @@ object VectorOps {
     }.reduce(_ unionByName _)
     val tables = qsubs.join(broadcast(books), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
-        dot(col("qsv"), col("ce")).as("part"))
+        adcFx(dot(col("qsv"), col("ce"))).as("part_fx"))
 
-    // ADC scan: one hash join on (m, code), partial-summed per pair
+    // ADC scan: one hash join on (m, code), partial-summed per pair —
+    // fixed-point partials, so the sum is exact and order-free
     val adc = codes.join(broadcast(tables), Seq("m", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("part")).as("adc_sim"))
+      .agg(sum(col("part_fx")).as("adc_fx"))
     val cand = adc.withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_sim").desc, col("vec_id"))))
+          .orderBy(col("adc_fx").desc, col("vec_id"))))
       .filter(col("__r") <= PqRerank)
 
     // exact re-rank of the candidates only (normalized → dot == cosine)
@@ -608,6 +674,62 @@ object VectorOps {
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Inference oracle for a07 over the frozen codebook artifact: the
+    * geometric constants (subspace width, subspace count) derive from
+    * the artifact itself, so the SQL cannot drift from the model. A
+    * `def` — generated at Verify-dump time, after the query froze its
+    * model for this run's data dir. */
+  def a07Sql: String = {
+    val fx = (1L << 40).toString
+    s"""WITH books AS (SELECT m, code, ce FROM ${Models.sqlRef("a07_books")}),
+       |meta AS (SELECT MAX(len(ce)) AS sub, MAX(m) + 1 AS pm FROM books),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+       |           sqrt(${dotSql.format("embedding", "embedding")}) AS REAL)) AS nemb
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, ms.m,
+       |         list_slice(nemb, ms.m * meta.sub + 1, ms.m * meta.sub + meta.sub) AS sv
+       |  FROM e, meta, (SELECT unnest(range(0, (SELECT pm FROM meta))) AS m) ms),
+       |asg AS (
+       |  SELECT vec_id, m, code,
+       |         ROW_NUMBER() OVER (PARTITION BY m, vec_id ORDER BY sc DESC, code) AS rn
+       |  FROM (
+       |    SELECT s.vec_id, s.m, b.code,
+       |           ${dotSql.format("s.sv", "b.ce")}
+       |             - ${dotSql.format("b.ce", "b.ce")} / 2.0 AS sc
+       |    FROM subs s JOIN books b USING (m))),
+       |codes AS (SELECT vec_id, m, code FROM asg WHERE rn = 1),
+       |tabs AS (
+       |  SELECT s.vec_id AS query_id, s.m, b.code,
+       |         CAST(floor(${dotSql.format("s.sv", "b.ce")} * $fx + 0.5) AS BIGINT) AS part_fx
+       |  FROM subs s JOIN books b USING (m) WHERE s.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id, CAST(SUM(t.part_fx) AS BIGINT) AS adc_fx
+       |  FROM codes c JOIN tabs t ON c.m = t.m AND c.code = t.code
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc_fx DESC, vec_id) AS r
+       |    FROM adc) WHERE r <= $PqRerank),
+       |exact AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql.format("q.nemb", "n.nemb")} AS cos_sim
+       |  FROM cand c
+       |  JOIN e n ON n.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = c.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -627,8 +749,11 @@ object VectorOps {
   // nprobe×PqM×PqK — all broadcast-sized; the scan is one equi-join of
   // the code table against (list, m, code) keys restricted to probed
   // lists, partial-summed per (query, vector). Nothing corpus-sized
-  // shuffles except the one-time encode. Rows-only (iterative training,
-  // a04b/a07 precedent); PqSpec pins recall and shape.
+  // shuffles except the one-time encode. Both models (coarse centroids,
+  // residual codebooks) freeze as [[Models]] artifacts; a08Sql replays
+  // the full inference half — assign, residual encode, probe, ADC over
+  // probed lists, exact re-rank — in DuckDB against the frozen files
+  // (training itself stays oracle-less; PqSpec pins recall and shape).
   // ---------------------------------------------------------------------
   def a08AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -643,7 +768,10 @@ object VectorOps {
     require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
     val sub = dim / PqM
 
-    val coarse = trainKmeans(e, NCentroids, KmIters) // (centroid_id, ce)
+    // freeze the coarse model (the PQ books freeze below): inference
+    // consumes the persisted bits, a08Sql replays them in DuckDB
+    val coarse = Models.save(
+      trainKmeans(e, NCentroids, KmIters), dir, "a08_coarse") // (centroid_id, ce)
     val resid = assignTo(e, coarse)
       .join(broadcast(coarse), Seq("centroid_id"))
       .select(col("vec_id"), col("centroid_id"),
@@ -654,7 +782,7 @@ object VectorOps {
         s"explode(transform(sequence(0, ${PqM - 1}), " +
           s"m -> struct(m AS m, slice(remb, m * $sub + 1, $sub) AS sv)))").as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val books = trainSubs(subs)
+    val books = Models.save(trainSubs(subs), dir, "a08_books")
     val codes = assignL2(subs, books)
       .join(resid.select(col("vec_id"), col("centroid_id").as("nc")), Seq("vec_id"))
       .select(col("vec_id"), col("nc"), col("m"), col("code"))
@@ -669,29 +797,30 @@ object VectorOps {
           .orderBy(col("__cs").desc, col("centroid_id"))))
       .filter(col("__pr") <= NProbeDefault)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("pc"),
-        dot(col("embedding"), col("ce")).as("qc_dot"),
+        adcFx(dot(col("embedding"), col("ce"))).as("qc_fx"),
         expr("zip_with(embedding, ce, (a, b) -> CAST(CAST(a AS DOUBLE) - b AS FLOAT))")
           .as("qres"))
-    val tables = probes.select(col("query_id"), col("pc"), col("qc_dot"),
+    val tables = probes.select(col("query_id"), col("pc"), col("qc_fx"),
         expr(s"explode(transform(sequence(0, ${PqM - 1}), " +
           s"m -> struct(m AS m, slice(qres, m * $sub + 1, $sub) AS qsv)))").as("s"))
-      .select(col("query_id"), col("pc"), col("qc_dot"),
+      .select(col("query_id"), col("pc"), col("qc_fx"),
         col("s.m").as("m"), col("s.qsv").as("qsv"))
       .join(broadcast(books), Seq("m"))
-      .select(col("query_id"), col("pc"), col("qc_dot"),
+      .select(col("query_id"), col("pc"), col("qc_fx"),
         col("m").as("pm"), col("code").as("pcode"),
-        dot(col("qsv"), col("ce")).as("part"))
+        adcFx(dot(col("qsv"), col("ce"))).as("part_fx"))
 
-    // ADC within probed lists only: equi-join on (list, m, code)
+    // ADC within probed lists only: equi-join on (list, m, code) —
+    // fixed-point partials (adcFx), so the sum is exact and order-free
     val adc = codes.join(broadcast(tables),
         col("nc") === col("pc") && col("m") === col("pm") &&
           col("code") === col("pcode"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((max(col("qc_dot")) + sum(col("part"))).as("adc_sim"))
+      .agg((max(col("qc_fx")) + sum(col("part_fx"))).as("adc_fx"))
     val cand = adc.withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("adc_sim").desc, col("vec_id"))))
+          .orderBy(col("adc_fx").desc, col("vec_id"))))
       .filter(col("__r") <= PqRerank)
 
     val exact = cand
@@ -705,5 +834,86 @@ object VectorOps {
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Inference oracle for a08 over BOTH frozen artifacts (coarse
+    * centroids + residual codebooks): assignment, residual encode,
+    * multi-probe, per-(query, list) ADC tables, the probed-list scan,
+    * and the exact re-rank — all plain SQL once the models are tables.
+    * A `def` — generated at Verify-dump time, after the query froze its
+    * models for this run's data dir. */
+  def a08Sql: String = {
+    val fx = (1L << 40).toString
+    s"""WITH coarse AS (SELECT centroid_id, ce FROM ${Models.sqlRef("a08_coarse")}),
+       |books AS (SELECT m, code, ce FROM ${Models.sqlRef("a08_books")}),
+       |meta AS (SELECT MAX(len(ce)) AS sub, MAX(m) + 1 AS pm FROM books),
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+       |           sqrt(${dotSql.format("embedding", "embedding")}) AS REAL)) AS nemb
+       |  FROM embeddings),
+       |casg AS (
+       |  SELECT vec_id, nemb, centroid_id, ce,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY ${cosSql("nemb", "ce")} DESC, centroid_id) AS rn
+       |  FROM e CROSS JOIN coarse),
+       |resid AS (
+       |  SELECT vec_id, centroid_id,
+       |         list_transform(range(1, len(nemb) + 1),
+       |           i -> CAST(CAST(nemb[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE) AS REAL)) AS remb
+       |  FROM casg WHERE rn = 1),
+       |subs AS (
+       |  SELECT vec_id, centroid_id, ms.m,
+       |         list_slice(remb, ms.m * meta.sub + 1, ms.m * meta.sub + meta.sub) AS sv
+       |  FROM resid, meta, (SELECT unnest(range(0, (SELECT pm FROM meta))) AS m) ms),
+       |asg AS (
+       |  SELECT vec_id, centroid_id AS nc, m, code,
+       |         ROW_NUMBER() OVER (PARTITION BY m, vec_id ORDER BY sc DESC, code) AS rn
+       |  FROM (
+       |    SELECT s.vec_id, s.centroid_id, s.m, b.code,
+       |           ${dotSql.format("s.sv", "b.ce")}
+       |             - ${dotSql.format("b.ce", "b.ce")} / 2.0 AS sc
+       |    FROM subs s JOIN books b USING (m))),
+       |codes AS (SELECT vec_id, nc, m, code FROM asg WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id AS pc,
+       |         CAST(floor(${dotSql.format("nemb", "ce")} * $fx + 0.5) AS BIGINT) AS qc_fx,
+       |         list_transform(range(1, len(nemb) + 1),
+       |           i -> CAST(CAST(nemb[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE) AS REAL)) AS qres
+       |  FROM casg WHERE vec_id < $NQueries AND rn <= $NProbeDefault),
+       |tabs AS (
+       |  SELECT p.query_id, p.pc, p.qc_fx, ms.m, b.code,
+       |         CAST(floor(${dotSql.format(
+                   "list_slice(p.qres, ms.m * meta.sub + 1, ms.m * meta.sub + meta.sub)",
+                   "b.ce")} * $fx + 0.5) AS BIGINT) AS part_fx
+       |  FROM probes p
+       |  CROSS JOIN meta
+       |  CROSS JOIN (SELECT unnest(range(0, (SELECT pm FROM meta))) AS m) ms
+       |  JOIN books b ON b.m = ms.m),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id,
+       |         MAX(t.qc_fx) + CAST(SUM(t.part_fx) AS BIGINT) AS adc_fx
+       |  FROM codes c JOIN tabs t
+       |    ON c.nc = t.pc AND c.m = t.m AND c.code = t.code
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc_fx DESC, vec_id) AS r
+       |    FROM adc) WHERE r <= $PqRerank),
+       |exact AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql.format("q.nemb", "n.nemb")} AS cos_sim
+       |  FROM cand c
+       |  JOIN e n ON n.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = c.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 }
