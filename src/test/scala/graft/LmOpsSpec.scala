@@ -139,6 +139,40 @@ class LmOpsSpec extends SparkSpec {
       (4, "aa", "ab</w>", "aaab</w>", 2L)))
   }
 
+  test("d33: batched trainer reproduces the sequential merge sequence") {
+    // adversarial planted corpus (chained conflicts force 1-merge
+    // rounds) AND the fixture corpus: batched == sequential exactly
+    val dir = writeDocs((1L, "aaab aaab", "s"), (2L, "aab", "s"))
+    for (docs <- Seq(Tables.documents(spark, dir),
+        Tables.documents(spark, sfDir))) {
+      val batched = LmOps.bpeTrain(spark, docs, LmOps.BpeMerges)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      val seq = LmOps.bpeTrainSequential(spark, docs, LmOps.BpeMerges)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      assert(batched === seq)
+    }
+  }
+
+  test("d33: disjoint merges batch into one round — measured round reduction") {
+    // three letter-disjoint repeated words with separated counts: round 1
+    // can safely take (a,a) and (b,b) together — the (a,</w>) conflict at
+    // count 16 sets the cutoff below both
+    val dir = writeDocs((1L, Seq.fill(16)("aaaa").mkString(" "), "s"),
+      (2L, Seq.fill(8)("bbbb").mkString(" "), "s"),
+      (3L, Seq.fill(4)("cccc").mkString(" "), "s"))
+    val docs = Tables.documents(spark, dir)
+    val batched = LmOps.bpeTrain(spark, docs, 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val rounds = LmOps.lastBpeRounds
+    assert(batched.size >= 4, s"expected several merges, got $batched")
+    assert(rounds < batched.size,
+      s"batching should need fewer rounds than merges: $rounds rounds for ${batched.size} merges")
+    // and the batched sequence is still the sequential one
+    val seq = LmOps.bpeTrainSequential(spark, docs, 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batched === seq)
+  }
+
   test("d34b: salted path returns byte-identical rows to d34") {
     val a = LmOps.d34StratifiedSample(spark, sfDir)
       .collect().map(_.toSeq).toSeq
