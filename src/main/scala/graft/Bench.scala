@@ -52,7 +52,17 @@ object Bench {
     /** One timed execution; None on failure. Clears intra-query caches
       * (sketch signatures etc.) so they can't leak memory pressure into
       * the next measurement. */
+    // Cold mode (SPARK_GRAFT_COLD=1): drop the shared-stage memo before
+    // every timed pass, so tiered queries (q01/q02, q07/q08, d07..d23,
+    // d13/d18, m01/m03 families) bill their shared-stage build instead
+    // of reading the session's materialized silver stage. The default
+    // (warm) mode models the persisted-silver-table deployment; cold is
+    // the from-scratch cost. Both numbers ship with the round
+    // (BENCH_LOCAL.json / BENCH_COLD.json).
+    val cold = sys.env.get("SPARK_GRAFT_COLD").exists(_.trim.nonEmpty)
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      if (cold) StageCache.clear(spark)
       val t0 = System.nanoTime()
       val r =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Some((System.nanoTime() - t0) / 1e9) }

@@ -29,6 +29,17 @@ object StageCache {
   private def sessionKey(spark: SparkSession): String =
     s"id${System.identityHashCode(spark)}"
 
+  /** Drop every stage owned by `spark` — the cold-path bench hook
+    * (SPARK_GRAFT_COLD): clearing before each timed pass makes a tiered
+    * query pay its shared-stage build cost, so the bench board carries
+    * both the deployed (persisted-silver) number and the from-scratch
+    * one. The checkpoint blocks release via the ContextCleaner once the
+    * dropped frames are GC'd. */
+  def clear(spark: SparkSession): Unit = {
+    val prefix = s"${sessionKey(spark)}:"
+    stages.forEach((k, v) => if (k.startsWith(prefix)) stages.remove(k, v))
+  }
+
   /** Build-once per (session, dir, tag): returns the eagerly
     * materialized (localCheckpoint'd) frame on every call. */
   def cached(spark: SparkSession, dir: String, tag: String)
