@@ -197,17 +197,92 @@ object CorpusStream {
       .groupBy(col("sfp")).agg(sum(col("sn")).as("sn"))
   }
 
-  /** Corpus-store bucket fan-out. Accepted bodies land under
-    * `doc_bucket=<pmod(hash(doc_id), CorpusBuckets)>/` partition dirs so
-    * the per-micro-batch candidate fetch is PARTITION-PRUNED: candidates
+  /** Corpus-store bucket fan-out DEFAULT. Accepted bodies land under
+    * `doc_bucket=<pmod(hash(doc_id), buckets)>/` partition dirs so the
+    * per-micro-batch candidate fetch is PARTITION-PRUNED: candidates
     * name their buckets, and the store scan reads only those directories
     * — never the whole accepted corpus (the r9 verdict's one open scale
     * question). 64 buckets bounds the fetch at 1/64th of the store per
-    * named bucket; a 100 TB deployment raises it with a store rewrite. */
+    * named bucket. The LIVE fan-out is a property of the STORE, not of
+    * this constant: it is stamped in the store's `_graft_buckets` marker
+    * ([[storeBuckets]]) and raised with a one-time verified rewrite
+    * ([[compactStore]]) — the migration path a 100 TB deployment needs
+    * when 1/64th of the store is still terabytes per probed bucket. */
   private[graft] val CorpusBuckets = 64
 
-  private[graft] def docBucket(id: org.apache.spark.sql.Column) =
-    pmod(hash(id), lit(CorpusBuckets))
+  private val BucketMarker = "_graft_buckets"
+
+  private[graft] def docBucket(id: org.apache.spark.sql.Column,
+      buckets: Int = CorpusBuckets) =
+    pmod(hash(id), lit(buckets))
+
+  /** The store's live bucket fan-out: the `_graft_buckets` marker, or
+    * [[CorpusBuckets]] for stores that predate the marker (every store
+    * written before round 11 used the constant). */
+  private[graft] def storeBuckets(spark: SparkSession, outDir: String): Int = {
+    val p = new Path(outDir, BucketMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) CorpusBuckets
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8").trim.toInt
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeBucketMarker(spark: SparkSession, outDir: String,
+      buckets: Int): Unit = {
+    val p = new Path(outDir, BucketMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Migrate the corpus store to a new bucket fan-out IN PLACE — the
+    * one-time rewrite a deployment runs when the current fan-out leaves
+    * each probed bucket too large. Protocol (the lake compaction's
+    * verified-swap move, at store-root granularity): rewrite every
+    * accepted row re-bucketed into a sibling temp dir under
+    * `writer=compacted/batch=0` (the replay ledger lives in indexDir and
+    * is untouched, so committed (writer, batchId) pairs still replay as
+    * no-ops), verify the row count survived, then atomically swap the
+    * directories and stamp the new fan-out in the bucket marker that
+    * [[candidateFetch]] and every future [[ingestBatch]] read. Run with
+    * writers quiesced — the same single-writer serialization contract
+    * ingest itself already requires ("compacted" is reserved as a writer
+    * id for this reason). */
+  def compactStore(spark: SparkSession, outDir: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = spark.read.parquet(outDir)
+    val dataCols = src.columns
+      .filterNot(Set("writer", "batch", "doc_bucket").contains)
+    val nRows = src.count()
+    val tmp = new Path(outDir + ".__compact__")
+    fs.delete(tmp, true) // crashed prior pass
+    src.select(dataCols.map(col): _*)
+      .withColumn("doc_bucket", docBucket(col("doc_id"), newBuckets))
+      .repartition(newBuckets, col("doc_bucket"))
+      .sortWithinPartitions(col("doc_bucket"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("doc_bucket")
+      .parquet(s"$tmp/writer=compacted/batch=0")
+    require(spark.read.parquet(tmp.toString).count() == nRows,
+      s"store migration of $outDir would change its row count; aborting swap")
+    writeBucketMarker(spark, tmp.toString, newBuckets)
+    val old = new Path(outDir + ".__old__")
+    fs.delete(old, true) // crashed prior pass
+    require(fs.rename(root, old) && fs.rename(tmp, root),
+      s"store migration swap failed for $outDir")
+    fs.delete(old, true)
+  }
 
   /** Bodies of exactly the candidate docs, fetched from the store with
     * static partition pruning: the ≤[[CorpusBuckets]] distinct candidate
@@ -226,7 +301,8 @@ object CorpusStream {
     val store = spark.read.parquet(outDir)
     val pruned =
       if (store.columns.contains("doc_bucket")) {
-        val buckets = candIds.select(docBucket(col("doc_id")).as("b"))
+        val nb = storeBuckets(spark, outDir)
+        val buckets = candIds.select(docBucket(col("doc_id"), nb).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         store.filter(col("doc_bucket").isin(buckets: _*))
       } else {
@@ -394,12 +470,16 @@ object CorpusStream {
     // bucketed store layout: doc_bucket partition dirs (candidateFetch
     // prunes on them) with doc_id-sorted files (row-group stats bound the
     // residual read). One shuffle keyed on the bucket keeps files-per-
-    // batch at ~CorpusBuckets instead of buckets × input partitions.
-    fresh.withColumn("doc_bucket", docBucket(col("doc_id")))
-      .repartition(CorpusBuckets, col("doc_bucket"))
+    // batch at ~buckets instead of buckets × input partitions. The
+    // fan-out is the STORE's (marker-stamped; compactStore migrates it),
+    // so batches written after a migration keep the layout consistent.
+    val nb = storeBuckets(spark, outDir)
+    fresh.withColumn("doc_bucket", docBucket(col("doc_id"), nb))
+      .repartition(nb, col("doc_bucket"))
       .sortWithinPartitions(col("doc_bucket"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("doc_bucket")
       .parquet(s"$outDir/writer=$writer/batch=$batchId")
+    writeBucketMarker(spark, outDir, nb) // idempotent stamp of the live fan-out
     val next = indexVersions(spark, indexDir).map(_._1).maxOption.getOrElse(-1) + 1
     val delta = new Path(s"$indexDir/v${next}_${writer}_b$batchId")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -479,6 +479,67 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("compactStore migrates the bucket fan-out: fetch stays pruned, replays stay no-ops") {
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_mgidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_mgout").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(i: Int) = new java.sql.Timestamp(t0 + i * 1000L)
+    def doc(i: Long) =
+      (i, ts(i.toInt), s"migration document $i body with enough distinct tokens to pass the quality gate")
+    // a store born at 4 buckets (the marker, not the constant, rules)
+    CorpusStream.writeBucketMarker(spark, out, 4)
+    CorpusStream.ingestBatch(spark, idx, out)(
+      (1L to 6L).map(doc).toDF("doc_id", "ingest_ts", "text"), 0L)
+    CorpusStream.ingestBatch(spark, idx, out)(
+      (7L to 12L).map(doc).toDF("doc_id", "ingest_ts", "text"), 1L)
+    assert(CorpusStream.storeBuckets(spark, out) == 4)
+    val before = spark.read.parquet(out)
+    assert(before.agg(max(col("doc_bucket"))).collect()(0).getInt(0) < 4)
+    val idsBefore = before.select("doc_id").as[Long].collect().sorted.toSeq
+
+    // migrate 4 -> 16: verified swap, marker updated, every row survives
+    CorpusStream.compactStore(spark, out, 16)
+    assert(CorpusStream.storeBuckets(spark, out) == 16)
+    val store = spark.read.parquet(out)
+    assert(store.select("doc_id").as[Long].collect().sorted.toSeq == idsBefore)
+    val totalLeaves = store
+      .select("writer", "batch", "doc_bucket").distinct().count()
+
+    // the candidate fetch prunes on the MIGRATED fan-out (plan-verified)
+    val candIds = Seq(1L).toDF("doc_id")
+    val targetBucket = Seq(1L).toDF("id")
+      .select(CorpusStream.docBucket(col("id"), 16)).collect()(0).getInt(0)
+    val bucketLeaves = store.filter(col("doc_bucket") === targetBucket)
+      .select("writer", "batch", "doc_bucket").distinct().count()
+    assert(bucketLeaves < totalLeaves, "fixture must span several buckets")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fetch = CorpusStream.candidateFetch(spark, out, candIds)
+      val scan = fetch.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.partitionFilters.exists(_.toString.contains("doc_bucket")))
+      assert(fetch.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(scan.metrics("numPartitions").value == bucketLeaves,
+        s"expected $bucketLeaves of $totalLeaves leaves read after migration")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // replaying a pre-migration batchId is still a committed no-op (the
+    // ledger in indexDir was untouched by the swap)
+    val rowsAfterMigrate = spark.read.parquet(out).count()
+    CorpusStream.ingestBatch(spark, idx, out)(
+      (1L to 6L).map(doc).toDF("doc_id", "ingest_ts", "text"), 0L)
+    assert(spark.read.parquet(out).count() == rowsAfterMigrate)
+
+    // and a NEW batch lands in the migrated fan-out
+    CorpusStream.ingestBatch(spark, idx, out)(
+      (13L to 18L).map(doc).toDF("doc_id", "ingest_ts", "text"), 2L)
+    val after = spark.read.parquet(out)
+    assert(after.select("doc_id").distinct().count() == 18)
+    assert(CorpusStream.storeBuckets(spark, out) == 16)
+  }
+
   test("near-dup streaming ingest: band index rejects near-dups across batches, restarts, writers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.CorpusStream
