@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Skew census (round-11 gate): run the window/salted twin pairs on a
+  * HOT-KEY fixture (tools/make_skewed.py plants one key holding ~20% of
+  * lineitem and one stratum holding ~20% of documents) and report each
+  * query's task-time distribution — wall seconds, and for the stage
+  * holding the single longest task: max task ms, median task ms, and
+  * the max/median ratio. On skewed data the unsalted forms (q18, d34)
+  * show one straggler task carrying the hot key (ratio ≫ 1) while the
+  * salted twins (q18b, d34b) spread it across their 16/8 salt shards —
+  * the measured evidence, not just the hash-equality proof, that the
+  * salt paths absorb skew. Writes SKEW_CENSUS.json and prints it.
+  */
+object SkewBench {
+
+  private val Names = Seq("q18_dedup_map", "q18b_dedup_map_salted",
+    "d34_stratified_sample", "d34b_stratified_salted")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1_skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tasks = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        tasks.synchronized { tasks += ((te.stageId, te.taskInfo.duration)) }
+    })
+
+    def runCensus(name: String): String = {
+      val fn = SparkEntry.queries(name)
+      tasks.synchronized(tasks.clear())
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // listener bus drains asynchronously
+      val byStage = tasks.synchronized(tasks.toVector).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      spark.catalog.clearCache()
+      System.gc()
+      // every stage's distribution, stage order: the hot key's straggler
+      // shows up as max ≫ median in the stage that reduces it
+      val stages = byStage.toSeq.sortBy(_._1).map { case (stage, ds) =>
+        val med = ds(ds.size / 2).max(1L)
+        f"""{"stage":$stage,"n":${ds.size},"max_ms":${ds.max},""" +
+          f""""med_ms":$med,"max_over_med":${ds.max.toDouble / med}%.1f}"""
+      }.mkString("[", ",", "]")
+      f""""$name":{"wall_sec":$wall%.2f,"stages":$stages}"""
+    }
+
+    // untimed warmup (JIT + parquet footers)
+    SparkEntry.queries("q03_daily_sales")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    // Pass 1 — engine defaults. Spark 4 plans rank<=k dedup windows with
+    // WindowGroupLimit(Partial) BEFORE the shuffle, so the hot key
+    // crosses the exchange as <= one row per map task: the plain window
+    // forms are already skew-absorbed here (the census proves it).
+    val defaults = Names.map(runCensus).mkString("{", ",", "}")
+    // Pass 2 — WindowGroupLimit disabled: models engines/shapes without
+    // the partial-limit rewrite (rank <= k above the threshold, older
+    // engines, windowed aggs that keep every row). THIS is where the
+    // planted hot key straggles the plain window and the salted twins'
+    // map-side-combined two-phase reduction stays flat.
+    val wglConf = "spark.sql.optimizer.windowGroupLimitThreshold"
+    spark.conf.set(wglConf, "-1")
+    val noWgl = Names.map(runCensus).mkString("{", ",", "}")
+    spark.conf.set(wglConf, "1000")
+    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl}"""
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_CENSUS.json")).getAbsoluteFile
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
+    spark.stop()
+  }
+}

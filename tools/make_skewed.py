@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Derive a SKEWED copy of a testdata scale dir (round-11 verdict item #2).
+
+The synthetic fixtures are uniformly keyed, so the salted skew paths
+(q18b keepFirstSalted, d34b salted stratified sampling) are equality-
+tested but never DEMONSTRATED against actual skew. This script copies a
+scale dir and plants two hot keys:
+
+  lineitem:   ~HOT_FRACTION of all rows get one (l_partkey, l_suppkey)
+              pair — q18's window concentrates all of them on ONE task,
+              q18b's 16 salt shards split them
+  documents:  ~HOT_FRACTION of all docs get one (lang, source) stratum
+              ("xx", "hotsrc") — d34's per-cell rank window concentrates
+              the cell, d34b's salted two-phase spreads it
+
+Row order, row counts, and every parquet schema are preserved exactly;
+only the named key columns of every HOT_MODth row change, so the
+existing oracle gate (graft.Verify + tools/check.py) stays the
+correctness check on the skewed copy — same data, both engines. The
+task-time census comes from graft.SkewBench.
+
+Dev harness (driver-side python stack), not part of the shipped library.
+Usage: python3 tools/make_skewed.py [src_sf_dir] [dst_dir]
+"""
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+HOT_MOD = 5  # every 5th row -> the hot key: ~20% of the table
+
+HOT_PARTKEY = 42
+HOT_SUPPKEY = 7
+HOT_LANG = "xx"
+HOT_SOURCE = "hotsrc"
+
+
+def hot_mask(n):
+    return pa.array([i % HOT_MOD == 0 for i in range(n)])
+
+
+def skew_lineitem(src, dst):
+    t = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    t = t.replace_schema_metadata(None)
+    mask = hot_mask(t.num_rows)
+    cols = []
+    for field in t.schema:
+        c = t.column(field.name)
+        if field.name == "l_partkey":
+            c = pc.if_else(mask, pa.scalar(HOT_PARTKEY).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        elif field.name == "l_suppkey":
+            c = pc.if_else(mask, pa.scalar(HOT_SUPPKEY).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        cols.append(c)
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    pq.write_table(out, os.path.join(dst, "lineitem.parquet"))
+    return t.num_rows
+
+
+def skew_documents(src, dst):
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    t = t.replace_schema_metadata(None)
+    mask = hot_mask(t.num_rows)
+    cols = []
+    for field in t.schema:
+        c = t.column(field.name)
+        if field.name == "lang":
+            c = pc.if_else(mask, pa.scalar(HOT_LANG).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        elif field.name == "source":
+            c = pc.if_else(mask, pa.scalar(HOT_SOURCE).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        cols.append(c)
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    pq.write_table(out, os.path.join(dst, "documents.parquet"))
+    return t.num_rows
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_skew"
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        p = os.path.join(src, f"{name}.parquet")
+        if not os.path.exists(p):
+            continue
+        if name in ("lineitem", "documents"):
+            continue  # rewritten below
+        shutil.copyfile(p, os.path.join(dst, f"{name}.parquet"))
+    nl = skew_lineitem(src, dst)
+    nd = skew_documents(src, dst)
+    print(f"skewed copy at {dst}: hot ({HOT_PARTKEY},{HOT_SUPPKEY}) holds "
+          f"~{100 // HOT_MOD}% of {nl} lineitem rows; hot stratum "
+          f"({HOT_LANG},{HOT_SOURCE}) holds ~{100 // HOT_MOD}% of {nd} docs")
+
+
+if __name__ == "__main__":
+    main()
