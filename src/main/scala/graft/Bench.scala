@@ -30,13 +30,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Engine.configure(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      Engine.configure(s)
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     // optional comma-separated filter for targeted iteration
     // (SPARK_GRAFT_ONLY=d18_corpus_prep_full,d13_corpus_prep)
@@ -68,6 +72,15 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // an executor OOM can take the whole local SparkContext down —
+          // without a rebuild, every query sorted after the culprit
+          // "fails" on the stopped context and the board reads as a mass
+          // failure instead of one bad query (observed: the first sf3 run,
+          // d40's OOM zeroed 6 innocent entries). Rebuild and move on.
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
+            spark = newSession()
+          }
           None
         }
       spark.catalog.clearCache()

@@ -151,6 +151,7 @@ object SparkEntry {
     "d41_containment_apply" -> (graft.llm.TextOps.d41ContainmentApply _),
     "d42_incremental_containment" -> (graft.llm.SketchOps.d42IncrementalContainment _),
     "d43_source_containment" -> (graft.llm.QualityOps.d43SourceContainment _),
+    "d44_cross_source_containment" -> (graft.llm.SketchOps.d44CrossSourceContainment _),
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -276,6 +277,7 @@ object SparkEntry {
     "d41_containment_apply" -> graft.llm.TextOps.d41Sql,
     "d42_incremental_containment" -> graft.llm.SketchOps.d42Sql,
     "d43_source_containment" -> graft.llm.QualityOps.d43Sql,
+    "d44_cross_source_containment" -> graft.llm.SketchOps.d44Sql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

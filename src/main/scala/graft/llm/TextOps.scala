@@ -439,11 +439,11 @@ object TextOps {
   // wants to collapse (syndicated articles inside aggregator pages,
   // quoted posts inside threads). Emits both directions per unordered
   // pair; a pair surfaces when EITHER direction clears the threshold.
-  // No source blocking (unlike d06): syndication is cross-source by
-  // nature, so the pair join runs corpus-wide on the shingle key alone.
+  // Source-blocked like d06 — the measured exact-tier scale trade-off
+  // (see shingleContainment); cross-source syndication is d44's job.
   //
   // Scale: same frame as d06 — the intersection join moves 8-byte
-  // 60-bit md5 shingle keys; at 100 TB the
+  // 60-bit md5 shingle keys, blocked by `source` here; at 100 TB the
   // block key must come from candidate generation, and — unlike
   // resemblance — MinHash LSH banding does NOT bound containment (a
   // contained doc's min-hashes are dominated by the superset's extra
@@ -461,18 +461,23 @@ object TextOps {
     * (doc_id, source, text) columns. */
   def shingleContainment(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs, 3)
-      .select(col("doc_id"), shingleHash(col("sh")).as("shh"))
+      .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
       .cache() // sizes + both join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // UNLIKE d06's resemblance join, no source blocking: cross-source
-    // doc-in-doc (syndicated articles republished under another source)
-    // is exactly the pair this operator exists to surface. The scale
-    // bound does not come from a source block anyway — the join is still
-    // keyed on the shingle hash, and the production candidate stage is
-    // d40b's sketch tier (see header).
-    val a = sh.select(col("doc_id").as("d1"), col("shh"))
-    val b = sh.select(col("doc_id").as("d2"), col("shh").as("shh2"))
-    a.join(b, a("shh") === b("shh2") && a("d1") < b("d2"))
+    // SOURCE-BLOCKED BY DESIGN (the d06 precedent, measured in round 11):
+    // the corpus-wide exact intersection join is Σ_shh df² — on a
+    // replica-dense corpus the unblocked form is 138M pair rows at sf1
+    // (8× the blocked form) and 1.25B at sf3, past a single node's heap.
+    // Blocking on source is the exact tier's scale trade-off, and it
+    // means CROSS-source doc-in-doc (syndication) cannot surface here —
+    // that use case is [[graft.llm.SketchOps.crossSourceContainment]]
+    // (d44): sketch-candidate pairs, estimate-gated, exact-verified per
+    // candidate — the architecture this header prescribes at 100 TB.
+    val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))
+    val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"),
+      col("shh").as("shh2"))
+    a.join(b, a("source") === b("source2") && a("shh") === b("shh2")
+        && a("d1") < b("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
@@ -497,7 +502,7 @@ object TextOps {
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, s1.sz AS sz1, s2.sz AS sz2, n_inter,
        |       CAST(n_inter AS DOUBLE) / s1.sz AS c12,
@@ -559,7 +564,7 @@ object TextOps {
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |flagged AS (
        |  SELECT d1, d2,

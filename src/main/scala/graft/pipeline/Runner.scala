@@ -222,13 +222,16 @@ object Runner {
     *                     decontamination → split)
     *   corpus/stats      d19 dataset-card rollup
     *   corpus/containment_dropped
-    *                     d41 containment collapse (round-10 sixth wave):
-    *                     docs CONTAINED in a surviving superset drop
-    *                     before the span stage — the doc-in-doc class
-    *                     (quotes, syndication) that resemblance tiers in
-    *                     d18 structurally miss. Exact tier here (gate
-    *                     scale); at 100 TB the candidate stage is d40b's
-    *                     sketch-element join. Pair-bounded drop set.
+    *                     containment collapse (round-10 sixth wave;
+    *                     round-11 cross-source tier): docs CONTAINED in
+    *                     a surviving superset drop before the span
+    *                     stage — the doc-in-doc class that resemblance
+    *                     tiers in d18 structurally miss. Same-source
+    *                     quotes/reposts via d41's exact tier
+    *                     (source-blocked by measured necessity);
+    *                     cross-source SYNDICATION via d44's
+    *                     sketch-candidate protocol. One drop policy,
+    *                     pair-bounded, broadcast.
     *   corpus/span_clean d35 span-level dedup of the containment
     *                     survivors — the Lee-et-al ordering: DOC-level
     *                     tiers first (d18), whole-doc containment
@@ -258,8 +261,14 @@ object Runner {
       .join(prepared.select(col("doc_id")), Seq("doc_id"), "left_semi")
     // containment collapse: contained docs drop before span accounting
     // (their every span would otherwise count as duplicated — excising
-    // the whole doc is both cheaper and the curation-correct call)
+    // the whole doc is both cheaper and the curation-correct call).
+    // Two tiers, one drop policy: the same-source EXACT tier (d41's
+    // source-blocked intersection join — the measured scale trade-off)
+    // unioned with the cross-source SKETCH-candidate tier (d44 — how
+    // syndicated republications across sources actually get caught).
     val dropped = graft.llm.TextOps.containmentDropSet(survivors)
+      .unionByName(graft.llm.SketchOps.syndicationDropSet(survivors))
+      .distinct()
     Sinks.parquet(dropped, s"$outDir/corpus/containment_dropped",
       tinyOutput = true)
     val kept = survivors.join(

@@ -332,22 +332,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
-  test("d40/d41: CROSS-source containment surfaces (syndication is cross-source)") {
-    // the syndication case the operator family advertises: an article
-    // from source s1 republished inside a longer aggregator page under
-    // source s2 — a source-blocked pair join could never surface it
+  test("d44: CROSS-source syndication surfaces via the sketch-candidate tier") {
+    // the syndication case: an article from source "wire" republished
+    // inside a longer aggregator page under source "aggregator". The
+    // exact tier is source-blocked BY DESIGN (measured Σ df² trade-off),
+    // so it must NOT surface the pair — d44's three-stage protocol
+    // (cross-source sketch candidates → estimate gate → exact verify)
+    // is the path that does, and Runner unions both drop sets.
     val article = (1 to 6).map(i => s"a$i").mkString(" ")
     val page = article + " " + (1 to 20).map(i => s"b$i").mkString(" ")
     val d = Seq((1L, "wire", article), (2L, "aggregator", page))
       .toDF("doc_id", "source", "text")
-    val out = TextOps.shingleContainment(d).collect()
+    assert(TextOps.shingleContainment(d).collect().isEmpty,
+      "exact tier is source-blocked: cross-source pair must not surface here")
+    val out = SketchOps.crossSourceContainment(d).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
-    assert(out.head.getDouble(5) == 1.0, "article fully contained cross-source")
-    // sketch tier sees the same pair
-    val kmv = SketchOps.containmentKmv(d).collect()
-    assert(kmv.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
-    // apply drops the contained article, keeps the aggregator page
-    val drops = TextOps.containmentDropSet(d).collect().map(_.getLong(0))
+    val r = out.head
+    assert((r.getString(2), r.getString(3)) == (("wire", "aggregator")))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((4L, 24L, 4L)))
+    assert(r.getDouble(7) == 1.0, "exact c12: article fully inside the page")
+    // the syndication drop set names the contained article
+    val drops = SketchOps.syndicationDropSet(d).collect().map(_.getLong(0))
     assert(drops.toSeq == Seq(1L))
   }
 
