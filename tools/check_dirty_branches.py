@@ -281,6 +281,25 @@ def main():
                "— below every resemblance threshold, surfaced by "
                "containment only")
 
+    # --- d44: planted CROSS-source syndication pair surfaces in the ----
+    #     sketch-candidate tier and NOT in the source-blocked exact tier
+    if man.get("d44_syndication_pair") is not None:
+        a_id, b_id = man["d44_syndication_pair"]
+        row = con.execute(
+            f"""SELECT c12, source1, source2
+                FROM {load(con, vout, 'd44_cross_source_containment')}
+                WHERE d1 = {a_id} AND d2 = {b_id}""").fetchone()
+        n_exact = con.execute(
+            f"""SELECT COUNT(*)
+                FROM {load(con, vout, 'd40_shingle_containment')}
+                WHERE d1 = {a_id} AND d2 = {b_id}""").fetchone()[0]
+        ok = row is not None and row[0] == 1.0 and row[1] != row[2] \
+            and n_exact == 0
+        branch("d44_cross_source_syndication", ok,
+               f"pair ({a_id}, {b_id}): c12={row[0] if row else '?'} via the "
+               "cross-source sketch tier; absent from the source-blocked "
+               f"exact tier ({n_exact} rows) — syndication is d44's job")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

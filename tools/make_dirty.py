@@ -229,6 +229,21 @@ def dirty_documents(src, dst, manifest):
     manifest["d40_contained_pair"] = [next_id, next_id + 1]
     next_id += 2
 
+    # (j) d44 cross-source SYNDICATION branch: the same doc-in-doc shape
+    # but across sources — invisible to the source-blocked exact tier BY
+    # DESIGN; only d44's sketch-candidate protocol (cross-source element
+    # join -> estimate gate -> exact verify) may surface it. md5 sketches
+    # are deterministic, so whether the planted pair's hashes collide in
+    # the bottom-k sketch is a fixed property of these texts (verified by
+    # the branch check below on every regeneration).
+    a_text = fresh_text(8)                          # 6 shingles
+    b_text = a_text + " " + fresh_text(40)          # ≈46 shingles
+    texts.add(b_text)
+    rows.append(doc(next_id, a_text, sources[0]))
+    rows.append(doc(next_id + 1, b_text, sources[1]))  # DIFFERENT source
+    manifest["d44_syndication_pair"] = [next_id, next_id + 1]
+    next_id += 2
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:
