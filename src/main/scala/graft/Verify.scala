@@ -7,14 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Engine.configure(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      Engine.configure(s)
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     new java.io.File(outDir).mkdirs()
     // dev-iteration filter, same contract as Bench's (the driver sets
     // neither, so a gate run always dumps the full registry)
@@ -32,6 +36,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // an executor OOM can kill the local SparkContext — rebuild so
+        // one bad query doesn't fail every later entry (Bench's move)
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[verify] SparkContext died during $name — rebuilding session")
+          spark = newSession()
+        }
       }
       // intra-query caches (sketch signatures etc.) must not accumulate
       // across the ~50 queries of a gate run
