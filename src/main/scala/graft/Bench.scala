@@ -65,6 +65,12 @@ object Bench {
     // (BENCH_LOCAL.json / BENCH_COLD.json).
     val cold = sys.env.get("SPARK_GRAFT_COLD").exists(_.trim.nonEmpty)
 
+    // queries during which the session had to be rebuilt after a fatal
+    // executor error (ADVICE r11): published in the JSON so post-rebuild
+    // warm timings — which silently re-pay their shared-stage builds on
+    // the fresh session — can be discounted when reading the board
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       if (cold) StageCache.clear(spark)
       val t0 = System.nanoTime()
@@ -79,6 +85,12 @@ object Bench {
           // d40's OOM zeroed 6 innocent entries). Rebuild and move on.
           if (spark.sparkContext.isStopped) {
             System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
+            // drop the dead session's StageCache entries eagerly (their
+            // checkpoint blocks died with the executor) instead of
+            // leaking them until the next lazy eviction, and record the
+            // rebuild so the board can discount post-rebuild timings
+            StageCache.clear(spark)
+            rebuilds += name
             spark = newSession()
           }
           None
@@ -126,7 +138,7 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},"sf":"$sfDir"}"""
     // The round driver stores only a bounded TAIL of this process's
     // output before parsing, and the full line (~3.4 KB at 100 queries)
     // overflows it — BENCH_r07/r08 both landed as parsed:null with the
@@ -147,7 +159,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     println(full)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir","queries_file":"$outFile"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,11 @@ object SkewBench {
 
     def runCensus(name: String): String = {
       val fn = SparkEntry.queries(name)
+      // the listener bus drains asynchronously: late TaskEnd events from
+      // the warmup or the PREVIOUS query can land after a bare clear and
+      // contaminate this query's stats (ADVICE r11) — drain before
+      // clearing too, not only before reading
+      Thread.sleep(1500)
       tasks.synchronized(tasks.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -527,27 +527,42 @@ object LmOps {
   /** The batch-selection rule, chosen so batched == sequential EXACTLY.
     *
     * From the stale sorted pair list, accept a NO-SKIP PREFIX of
-    * pairwise symbol-disjoint pairs (stop at the first pair sharing a
-    * symbol with an accepted one, or at the budget), then truncate the
-    * accepted list to counts STRICTLY ABOVE `cutoff` = max count of any
-    * conflicting or unscanned pair. Why this reproduces the sequential
-    * sequence (induction over accepted p_i):
+    * pairwise symbol-disjoint pairs whose merged symbol concat(l,r) is
+    * FRESH — not in `known`, a superset of every symbol the current
+    * vocab can contain (stop at the first pair sharing a symbol with an
+    * accepted one, creating a non-fresh symbol, or at the budget), then
+    * truncate the accepted list to counts STRICTLY ABOVE `cutoff` = max
+    * count of any conflicting or unscanned pair. Why this reproduces
+    * the sequential sequence (induction over accepted p_i):
     *  - every pair ranked above p_i in the stale order is an earlier
     *    accepted merge (no skips) — already applied, its count now 0;
     *  - applying a merge (a,b) changes the count of pair q only if q
     *    shares a symbol with it (destroyed neighbors (x,a)/(b,y)) or q
     *    is newly created ((x,ab)/(ab,y), count ≤ the destroyed
-    *    neighbor's stale count) — every such q has stale count ≤ cutoff
-    *    < count(p_i), so no changed or created pair can reach p_i's
-    *    rank, even on count ties (the strict inequality is what rules
-    *    the tie-then-lexicographic upset out);
+    *    neighbor's stale count). The freshness check is what makes
+    *    "newly created" airtight (ADVICE r11): without it, a merged
+    *    symbol 'ab' could string-equal a PRE-EXISTING symbol from a
+    *    different derivation, and the created adjacencies would then
+    *    ADD to a stale, symbol-disjoint pair's count — post-batch up to
+    *    stale + created > cutoff. With concat(l,b) fresh, created pairs
+    *    are genuinely new (stale count 0) and every changed-or-created
+    *    q has post-merge count ≤ cutoff < count(p_i), so none can reach
+    *    p_i's rank, even on count ties (the strict inequality rules the
+    *    tie-then-lexicographic upset out);
     *  - disjoint pairs keep their counts, and every unaccepted one
     *    ranked below p_i stays below (same count, same name).
-    *  Hence the sequential argmax at step i is exactly p_i. If the
-    *  truncation empties the batch (cutoff ties the top pair), fall
-    *  back to the plain single sequential merge — always exact. */
+    *  Hence the sequential argmax at step i is exactly p_i. Accepted
+    *  merged symbols join `known` batch-locally, so a later pair in the
+    *  same batch cannot re-create one either; and because accepted
+    *  concats are fresh w.r.t. known ⊇ vocab symbols, no stale scanned
+    *  pair can contain them — the other direction of the collision. If
+    *  the truncation empties the batch, or the TOP pair itself would
+    *  create a colliding symbol, fall back to the plain single
+    *  sequential merge — always exact, whatever the collision does to
+    *  the counts, because the next round recounts from scratch. */
   private[graft] def selectBpeBatch(top: Array[(String, String, Long)],
-      scan: Int, budget: Int): Seq[(String, String, Long)] = {
+      scan: Int, budget: Int,
+      known: String => Boolean = _ => false): Seq[(String, String, Long)] = {
     val usable = top.take(scan)
     if (usable.isEmpty || usable.head._3 < 2) return Nil
     // pairs beyond the scanned head (if any) are bounded by the last
@@ -555,6 +570,7 @@ object LmOps {
     // the cutoff exactly like a scanned conflict
     val hiddenCut = if (top.length > scan) top(scan)._3 else 0L
     val used = scala.collection.mutable.Set.empty[String]
+    val created = scala.collection.mutable.Set.empty[String]
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     var stopped = false
@@ -562,7 +578,8 @@ object LmOps {
       val p @ (l, r, pc) = usable(i)
       if (pc < 2 || acc.size >= budget) stopped = true
       else if (used(l) || used(r)) stopped = true
-      else { acc += p; used += l; used += r; i += 1 }
+      else if (known(l + r) || created(l + r)) stopped = true
+      else { acc += p; used += l; used += r; created += (l + r); i += 1 }
     }
     // highest-ranked pair (scanned or not) that CONFLICTS with the
     // accepted set — the sorted order makes the first such the max
@@ -572,23 +589,34 @@ object LmOps {
     val cutoff = math.max(conflictCut, hiddenCut)
     val trimmed = acc.takeWhile(_._3 > cutoff) // counts are non-increasing
     if (trimmed.nonEmpty) trimmed.toSeq
-    else acc.take(1).toSeq // single sequential step — always exact
+    else usable.take(1).toSeq // single sequential step — always exact
   }
 
   def bpeTrain(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     var vocab = bpeVocab(docs)
+    // conservative superset of every symbol the vocab can ever contain:
+    // the initial distinct symbols (alphabet-sized — one tiny job) plus
+    // each accepted merge's concat. selectBpeBatch refuses a batched
+    // merge whose merged symbol is already here, closing the
+    // string-collision gap in the exactness proof (ADVICE r11); a
+    // refused pair still merges via the single-step fallback, which is
+    // sequential by definition.
+    val known = scala.collection.mutable.Set.empty[String]
+    known ++= vocab.select(explode(col("syms")).as("s"))
+      .distinct().as[String].collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
     var done = false
     while (!done && merges.size < k) {
       val top = pairHead(vocab, BpeScan + 1)
       rounds += 1
-      val batch = selectBpeBatch(top, BpeScan, k - merges.size)
+      val batch = selectBpeBatch(top, BpeScan, k - merges.size, known)
       if (batch.isEmpty) done = true // nothing left worth merging
       else {
         batch.foreach { case (l, r, pc) =>
           merges += ((merges.size + 1, l, r, pc))
+          known += (l + r)
         }
         // ONE rewrite plan applies the whole batch in rank order, then
         // one checkpoint truncates the round's lineage

@@ -38,8 +38,14 @@ object Models {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def path(dir: String, tag: String): String = {
-    val suffix = java.lang.Integer.toHexString(
-      new java.io.File(dir).getAbsolutePath.hashCode)
+    // collision-resistant dir key (ADVICE r11): a 32-bit String.hashCode
+    // collision between two gate dirs would silently share one artifact
+    // path and the oracle would compare against the wrong model — md5 of
+    // the absolute path makes that practically impossible
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+    val suffix = md5.map("%02x".format(_)).mkString
     s"$root/${tag}_$suffix"
   }
 

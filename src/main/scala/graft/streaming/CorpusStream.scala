@@ -251,17 +251,36 @@ object CorpusStream {
     * accepted row re-bucketed into a sibling temp dir under
     * `writer=compacted/batch=0` (the replay ledger lives in indexDir and
     * is untouched, so committed (writer, batchId) pairs still replay as
-    * no-ops), verify the row count survived, then atomically swap the
-    * directories and stamp the new fan-out in the bucket marker that
+    * no-ops), verify the row count survived, then swap the directories
+    * and stamp the new fan-out in the bucket marker that
     * [[candidateFetch]] and every future [[ingestBatch]] read. Run with
     * writers quiesced — the same single-writer serialization contract
     * ingest itself already requires ("compacted" is reserved as a writer
-    * id for this reason). */
+    * id for this reason).
+    *
+    * The swap is TWO sequential renames, not one atomic op (ADVICE r11):
+    * a crash between rename(root, old) and rename(tmp, root) leaves no
+    * store at outDir with the data stranded at `.__old__`. The entry
+    * check below detects exactly that state on the next run and restores
+    * the old store before proceeding, so the rewrite is re-runnable
+    * through the window; no committed data is ever deleted before the
+    * new store is in place. */
   def compactStore(spark: SparkSession, outDir: String,
       newBuckets: Int): Unit = {
     require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a prior pass that died inside its two-rename window
+    // left the store at .__old__ and nothing at the root — restore it
+    // (the stranded tmp dir, if any, is rebuilt below anyway)
+    val crashed = new Path(outDir + ".__old__")
+    if (!fs.exists(root) && fs.exists(crashed)) {
+      System.err.println(s"[graft] corpus store $outDir missing with " +
+        s"$crashed present — restoring the pre-migration store before " +
+        "re-running the rewrite")
+      require(fs.rename(crashed, root),
+        s"could not restore $crashed to $outDir")
+    }
     val src = spark.read.parquet(outDir)
     val dataCols = src.columns
       .filterNot(Set("writer", "batch", "doc_bucket").contains)
@@ -278,7 +297,7 @@ object CorpusStream {
       s"store migration of $outDir would change its row count; aborting swap")
     writeBucketMarker(spark, tmp.toString, newBuckets)
     val old = new Path(outDir + ".__old__")
-    fs.delete(old, true) // crashed prior pass
+    fs.delete(old, true) // leftovers of a COMPLETED prior pass
     require(fs.rename(root, old) && fs.rename(tmp, root),
       s"store migration swap failed for $outDir")
     fs.delete(old, true)

@@ -173,6 +173,57 @@ class LmOpsSpec extends SparkSpec {
     assert(batched === seq)
   }
 
+  test("d33: a colliding merged symbol is never batched with other merges") {
+    // ADVICE r11: the disjointness proof needs accepted concats to be
+    // FRESH symbols — a merge whose concat string-equals a pre-existing
+    // symbol must fall out of the multi-merge batch (its created
+    // adjacencies could otherwise ADD to a stale disjoint pair's count).
+    val known = Set("abc")
+    // collision at the head → single sequential step, never a batch
+    val atHead = LmOps.selectBpeBatch(
+      Array(("a", "bc", 30L), ("x", "y", 28L), ("q", "r", 26L)), 64, 10, known)
+    assert(atHead === Seq(("a", "bc", 30L)))
+    // collision mid-prefix → the prefix stops BEFORE the colliding pair
+    val mid = LmOps.selectBpeBatch(
+      Array(("x", "y", 30L), ("a", "bc", 28L), ("q", "r", 26L)), 64, 10, known)
+    assert(mid === Seq(("x", "y", 30L)))
+    // within-batch re-creation: two disjoint pairs with EQUAL concats
+    // cannot both be accepted (the second would re-create the first's
+    // fresh symbol)
+    val twin = LmOps.selectBpeBatch(
+      Array(("a", "bc", 30L), ("ab", "c", 28L), ("q", "r", 26L)), 64, 10,
+      _ => false)
+    assert(twin === Seq(("a", "bc", 30L)))
+    // and without any collision the multi-merge batch is unchanged
+    val clean = LmOps.selectBpeBatch(
+      Array(("a", "bc", 30L), ("x", "y", 28L), ("q", "r", 26L)), 64, 10,
+      _ => false)
+    assert(clean === Seq(("a", "bc", 30L), ("x", "y", 28L), ("q", "r", 26L)))
+  }
+
+  test("d33: batched == sequential on a corpus that recreates '</w>'") {
+    // the end-of-word marker is the one multi-char symbol present from
+    // round 0, so words containing the LITERAL text "</w>" drive merges
+    // whose concats collide with it ('</'+'w', '</w'+'>' → the marker
+    // string) — the reachable instance of the ADVICE r11 collision.
+    // Batched training must still reproduce the sequential sequence.
+    val dir = writeDocs(
+      (1L, Seq.fill(12)("</w>").mkString(" "), "s"),
+      (2L, Seq.fill(9)("a</w>b").mkString(" "), "s"),
+      (3L, Seq.fill(7)("qa qa </w>x").mkString(" "), "s"),
+      (4L, Seq.fill(5)("zb zb").mkString(" "), "s"))
+    val docs = Tables.documents(spark, dir)
+    val batched = LmOps.bpeTrain(spark, docs, 25)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val seq = LmOps.bpeTrainSequential(spark, docs, 25)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batched === seq)
+    // the fixture really does re-derive the marker string at some rank —
+    // without that, this test would not exercise the collision rule
+    assert(batched.exists(_._4 == "</w>"),
+      s"fixture no longer recreates the marker symbol: $batched")
+  }
+
   test("d34b: salted path returns byte-identical rows to d34") {
     val a = LmOps.d34StratifiedSample(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -538,6 +538,20 @@ class StreamingSpec extends SparkSpec {
     val after = spark.read.parquet(out)
     assert(after.select("doc_id").distinct().count() == 18)
     assert(CorpusStream.storeBuckets(spark, out) == 16)
+
+    // crash recovery (ADVICE r11): simulate dying between the two swap
+    // renames — store gone, data stranded at .__old__ — and show the
+    // rerun restores it and completes the migration
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idsNow = after.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + ".__old__")))
+    CorpusStream.compactStore(spark, out, 8) // must restore, then migrate
+    assert(CorpusStream.storeBuckets(spark, out) == 8)
+    assert(spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq == idsNow)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + ".__old__")))
   }
 
   test("near-dup streaming ingest: band index rejects near-dups across batches, restarts, writers") {
