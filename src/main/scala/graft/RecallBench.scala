@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.llm.{SketchOps, TextOps}
+
+/** Measured recall census for every sketch-gated tier (r11 verdict #2):
+  * at small SF the UNBLOCKED exact forms are affordable, so each tier's
+  * recall claim becomes an engineering number instead of an assertion.
+  *
+  * Ground truths (computed here, never shipped — they are exactly the
+  * quadratic forms the tiers exist to avoid at 100 TB):
+  *  - near-dup: all-pairs exact shingle Jaccard ≥ 0.2 (no banding);
+  *  - SimHash: all-pairs Hamming ≤ 3 over the 48-bit sketches (no
+  *    source block, no banding);
+  *  - same-source containment: d40's exact tier (it IS exact — d40b's
+  *    sketch gate is what gets measured against it);
+  *  - cross-source containment: the unblocked exact intersection join
+  *    restricted to source-unequal pairs (the form the sf3 probe showed
+  *    OOMs at scale — affordable at sf0.01/0.1, which is the point).
+  *
+  * Each tier reports truth/tier/hit counts and recall, plus one
+  * sensitivity row per knob (bands for LSH, k and estimate threshold
+  * for the containment sketches). Precision against the thresholded
+  * truth is 1.0 by construction for d11/d08b/d44 (their last stage is
+  * an exact verify at the truth's own threshold) — the census asserts
+  * that instead of measuring it. Writes RECALL_CENSUS.json.
+  */
+object RecallBench {
+
+  /** (doc_id, source, shh) 60-bit shingle hashes + per-doc sizes. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shingleRows(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), col("source"),
+        TextOps.shingleHash(col("sh")).as("shh"))
+
+  /** All-pairs exact (n_inter, sz1, sz2) via the unblocked shingle-hash
+    * self-join — Σ df² pair rows, the quadratic truth engine. */
+  private def exactPairStats(sh: DataFrame, crossSourceOnly: Boolean): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("d1"), col("source").as("s1"), col("shh"))
+    val b = sh.select(col("doc_id").as("d2"), col("source").as("s2"),
+      col("shh").as("shh2"))
+    val blocked =
+      if (crossSourceOnly) a("s1") =!= b("s2") else lit(true)
+    a.join(b, a("shh") === b("shh2") && a("d1") < b("d2") && blocked)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("d1").cast("long"), col("d2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallRow(label: String, truth: Set[(Long, Long)],
+      tier: Set[(Long, Long)]): String = {
+    val hits = (truth & tier).size
+    val recall = if (truth.isEmpty) 1.0 else hits.toDouble / truth.size
+    f"""{"knob":"$label","truth":${truth.size},"tier":${tier.size},"hits":$hits,"recall":$recall%.4f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+    val sh = shingles(spark, sfDir).cache()
+
+    // ---- near-dup: MinHash-LSH banding (d07/d11) vs exact Jaccard ----
+    val jaccTruth = pairSet(exactPairStats(sh, crossSourceOnly = false)
+      .filter(col("n_inter").cast(DoubleType)
+        / (col("sz1") + col("sz2") - col("n_inter")) >= SketchOps.NearDupThreshold))
+    val sig = SketchOps.minhashSignatures(docs).cache()
+    val lshRows = Seq(2, 4, 8).map { b =>
+      val tier = pairSet(SketchOps.lshVerifiedPairs(sig, sh, b))
+      require((tier -- jaccTruth).isEmpty,
+        s"d11 precision must be 1.0 (exact verify): bands=$b")
+      recallRow(s"bands=$b,rows=${16 / b}", jaccTruth, tier)
+    }
+
+    // ---- SimHash banding (d08b) vs all-pairs Hamming ≤ 3 ----
+    val sk = SketchOps.simhashes(docs).cache()
+    val a = sk.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b2 = sk.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val simTruth = pairSet(a.join(b2, col("d1") < col("d2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= SketchOps.BandedHamming))
+    val simTier = pairSet(SketchOps.bandedPairs(sk))
+    require((simTier -- simTruth).isEmpty, "d08b precision must be 1.0")
+    val simRows = Seq(recallRow("bands=4,bits=12,hamming<=3", simTruth, simTier))
+
+    // ---- same-source containment: d40b's estimate gate vs d40 exact ----
+    val d40Truth = pairSet(TextOps.shingleContainment(docs))
+    val kmvRows =
+      (Seq(8, 16, 32).map(k => (k, SketchOps.ContainEstThreshold)) ++
+        Seq((16, 0.3), (16, 0.5))).distinct.map { case (k, t) =>
+        val tier = pairSet(SketchOps.containmentKmv(docs, k, t))
+        recallRow(f"k=$k,est_t=$t%.1f", d40Truth, tier)
+      }
+
+    // ---- cross-source containment: d44's gate vs unblocked exact ----
+    val thr = TextOps.ContainmentThreshold
+    val d44Truth = pairSet(exactPairStats(sh, crossSourceOnly = true)
+      .filter(greatest(
+        col("n_inter").cast(DoubleType) / col("sz1").cast(DoubleType),
+        col("n_inter").cast(DoubleType) / col("sz2").cast(DoubleType)) >= thr))
+    val d44Rows =
+      (Seq(8, 16, 32).map(k => (k, SketchOps.ContainEstThreshold)) ++
+        Seq((16, 0.3), (16, 0.5))).distinct.map { case (k, t) =>
+        val tier = pairSet(SketchOps.crossSourceContainment(docs, k, t))
+        require((tier -- d44Truth).isEmpty,
+          s"d44 precision must be 1.0 (exact verify): k=$k,t=$t")
+        recallRow(f"k=$k,est_t=$t%.1f", d44Truth, tier)
+      }
+
+    def sect(rows: Seq[String]) = rows.mkString("[", ",", "]")
+    val line = s"""{"metric":"recall_census","sf":"$sfDir",""" +
+      s""""d11_lsh_neardup":${sect(lshRows)},""" +
+      s""""d08b_simhash_banded":${sect(simRows)},""" +
+      s""""d40b_containment_kmv":${sect(kmvRows)},""" +
+      s""""d44_cross_source_gate":${sect(d44Rows)}}"""
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_CENSUS.json")).getAbsoluteFile
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
+    spark.stop()
+  }
+}

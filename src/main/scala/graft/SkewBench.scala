@@ -19,6 +19,15 @@ object SkewBench {
   private val Names = Seq("q18_dedup_map", "q18b_dedup_map_salted",
     "d34_stratified_sample", "d34b_stratified_salted")
 
+  /** r12 extension (r11 verdict #4): the heavy hash-join family runs the
+    * census too — these have no salted twin because Spark's own machinery
+    * (AQE skew-join splitting, partial aggregation, broadcast dims) is
+    * the skew absorber, and the census documents whether it was needed.
+    * Defaults pass only: the WindowGroupLimit toggle is about rank
+    * windows, which none of these plan. */
+  private val JoinNames = Seq("q01_sales_overview", "q09_supplier_scorecard",
+    "d07_minhash_lsh", "d11_lsh_neardup", "d23_dedup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1_skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +79,7 @@ object SkewBench {
     // WindowGroupLimit(Partial) BEFORE the shuffle, so the hot key
     // crosses the exchange as <= one row per map task: the plain window
     // forms are already skew-absorbed here (the census proves it).
-    val defaults = Names.map(runCensus).mkString("{", ",", "}")
+    val defaults = (Names ++ JoinNames).map(runCensus).mkString("{", ",", "}")
     // Pass 2 — WindowGroupLimit disabled: models engines/shapes without
     // the partial-limit rewrite (rank <= k above the threshold, older
     // engines, windowed aggs that keep every row). THIS is where the

@@ -170,8 +170,15 @@ object CorpusStream {
   // the containment tier's delta rows: (doc_id, ck) — one row per
   // bottom-k sketch element of each accepted doc (d40b's per-doc state
   // in row form). Content-free; doubles as the candidate probe key.
+  // csz (the doc's distinct-shingle count) and csource (its origin
+  // source) extend the rows for the SYNDICATION gate's estimate stage
+  // (r11 verdict #6) — deltas written before round 12 lack both and
+  // read as null under the explicit schema: such docs skip the estimate
+  // gate (verified exactly anyway) and compare as cross-source
+  // (conservative — the gate still only drops after exact verification).
   private val CkSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("ck", LongType)))
+    StructField("doc_id", LongType), StructField("ck", LongType),
+    StructField("csz", LongType), StructField("csource", StringType)))
 
   /** The current containment-sketch index: exploded bottom-k sketch
     * elements (doc_id, ck) of every accepted doc ingested through the
@@ -441,6 +448,80 @@ object CorpusStream {
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
+  /** CROSS-SOURCE syndication gate — d44's batch protocol as a streaming
+    * rejection tier (r11 verdict #6): an article accepted from one
+    * source and re-arriving contained in (or as) a doc from ANOTHER
+    * source is dropped, even when the two copies land in different
+    * micro-batches. Requires the ingest frame to carry a real `source`
+    * column (the plain containment gate stays source-agnostic and needs
+    * none).
+    *
+    * Protocol, matched stage-for-stage to
+    * [[graft.llm.SketchOps.crossSourceContainment]]:
+    *   1. candidates: batch sketch elements equi-join the persisted ck
+    *      index, with the SOURCE-INEQUALITY filter applied as the join
+    *      streams (d44's census-verified property — only cross-source
+    *      collisions reach the distinct);
+    *   2. estimate gate: the d40b closed-form containment estimate over
+    *      (bk, sz) pairs — index-side sketches are reconstructed from
+    *      the ck rows of CANDIDATE docs only, sizes come from the csz
+    *      delta column (docs indexed before the column existed can't be
+    *      estimated and flow straight to exact verify — conservative);
+    *   3. exact verify: fetched candidate bodies (bucket-pruned), exact
+    *      shingle containment of the BATCH doc ≥ the d41 threshold →
+    *      reject. Direction contract matches [[dropContained]]: only
+    *      new-doc-contained-in-history drops here; a HISTORY doc
+    *      contained in a larger new arrival is the nightly d44 pass's
+    *      job (append-only history).
+    */
+  private def dropSyndicated(spark: SparkSession, fresh: DataFrame,
+      indexDir: String, outDir: String): DataFrame = {
+    val bsk = SketchOps.bottomKSketch(fresh).cache() // (doc_id, source, bk, sz)
+    val batchEl = bsk.select(col("doc_id").as("db"),
+      col("source").as("bsource"), explode(col("bk")).as("ck"))
+    val idx = readContainIndex(spark, indexDir)
+    // stage 1: element equi-join; the source-inequality predicate sits
+    // ON the join so cross-source pairs are filtered as the join streams
+    val candEl = batchEl.join(
+        idx.select(col("doc_id").as("di"), col("ck"), col("csz"),
+          col("csource")), Seq("ck"))
+      .filter(col("csource").isNull || col("csource") =!= col("bsource"))
+    val cand = candEl.select(col("db"), col("di")).distinct().cache()
+    // stage 2: closed-form estimate over reconstructed index sketches
+    // (candidate docs only — the candidates-only discipline of the batch
+    // d44 verify stage)
+    val idxBk = idx
+      .join(cand.select(col("di").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("ck"))).as("bk2"), max(col("csz")).as("sz2"))
+      .select(col("doc_id").as("di"), col("bk2"), col("sz2"))
+    val u = slice(array_sort(array_union(col("bk1"), col("bk2"))), 1,
+      SketchOps.ContainK)
+    val jEst = size(array_intersect(array_intersect(u, col("bk1")), col("bk2")))
+      .cast(DoubleType) / size(u).cast(DoubleType)
+    val gated = cand
+      .join(bsk.select(col("doc_id").as("db"), col("bk").as("bk1"),
+        col("sz").as("sz1")), "db")
+      .join(idxBk, "di")
+      .withColumn("__i", jEst * (col("sz1") + col("sz2")).cast(DoubleType)
+        / (jEst + lit(1.0)))
+      .filter(col("sz2").isNull || // pre-r12 delta rows: no estimate possible
+        greatest(col("__i") / col("sz1").cast(DoubleType),
+          col("__i") / col("sz2").cast(DoubleType))
+          >= SketchOps.ContainEstThreshold)
+      .select(col("db"), col("di"))
+    // stage 3: exact verify against fetched bodies, batch direction
+    val candDocs = candidateFetch(spark, outDir,
+        gated.select(col("di").as("doc_id")).distinct())
+      .withColumn("source", lit("index"))
+    val shB = TextOps.shingleRows(fresh, 3)
+      .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
+    val shI = TextOps.shingleRows(candDocs, 3)
+      .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    val rejected = SketchOps.crossContainedBatch(gated, shB, shI)
+    fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
+  }
+
   /** One micro-batch of the index-backed ingest: gate → within-batch
     * keep-first (min doc_id per fingerprint, exactly d26's in-batch
     * rule) → anti-join the persisted index → corpus rows to
@@ -461,10 +542,14 @@ object CorpusStream {
     * window), or give each its own index. */
   def ingestBatch(spark: SparkSession, indexDir: String, outDir: String,
       writer: String = "batch", nearDup: Boolean = false,
-      spanGate: Boolean = false, containGate: Boolean = false)(
+      spanGate: Boolean = false, containGate: Boolean = false,
+      syndGate: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),
       s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
+    require(!syndGate || batch.columns.contains("source"),
+      "the syndication gate compares origin sources: the ingest frame " +
+        "must carry a `source` column when syndGate is on")
     if (indexVersions(spark, indexDir).exists(v => v._2 == writer && v._3 == batchId))
       return // replayed, fully committed
     val inBatch = graft.operators.Dedup.keepFirst(
@@ -483,9 +568,12 @@ object CorpusStream {
     val spanFresh = if (spanGate && hasHistory)
       dropSpanDups(spark, nearFresh, indexDir)
     else nearFresh
-    val fresh = (if (containGate && hasHistory)
+    val containFresh = if (containGate && hasHistory)
       dropContained(spark, spanFresh, indexDir, outDir)
-    else spanFresh).localCheckpoint()
+    else spanFresh
+    val fresh = (if (syndGate && hasHistory)
+      dropSyndicated(spark, containFresh, indexDir, outDir)
+    else containFresh).localCheckpoint()
     // bucketed store layout: doc_bucket partition dirs (candidateFetch
     // prunes on them) with doc_id-sorted files (row-group stats bound the
     // residual read). One shuffle keyed on the bucket keeps files-per-
@@ -540,20 +628,29 @@ object CorpusStream {
           .unionByName(spanRows)
       }
     val deltaRows =
-      if (!containGate) spanDeltaRows
+      if (!containGate && !syndGate) spanDeltaRows
       else {
         // accepted docs' sketch elements join the SAME atomic delta: the
-        // containment probe advances in lockstep with every other tier
+        // containment probe advances in lockstep with every other tier.
+        // csz/csource ride along for the syndication gate's estimate and
+        // source-inequality stages (null source when the frame has none —
+        // such history compares as cross-source, conservatively).
+        val srcCol = if (fresh.columns.contains("source")) col("source")
+          else lit(null).cast(StringType)
         val cks = SketchOps.bottomKSketch(
-            fresh.withColumn("source", lit("batch")))
-          .select(col("doc_id"), explode(col("bk")).as("ck"))
+            fresh.withColumn("source", srcCol))
+          .select(col("doc_id"), explode(col("bk")).as("ck"),
+            col("sz").as("csz"), col("source").as("csource"))
         val prior =
           if (spanDeltaRows.columns.contains("doc_id")) spanDeltaRows
           else spanDeltaRows.withColumn("doc_id", lit(null).cast(LongType))
         val ckRows = prior.columns.filterNot(_ == "doc_id")
           .foldLeft(cks)((df, c) =>
             df.withColumn(c, lit(null).cast(prior.schema(c).dataType)))
-        prior.withColumn("ck", lit(null).cast(LongType)).unionByName(ckRows)
+        prior.withColumn("ck", lit(null).cast(LongType))
+          .withColumn("csz", lit(null).cast(LongType))
+          .withColumn("csource", lit(null).cast(StringType))
+          .unionByName(ckRows)
       }
     deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
   }
@@ -567,11 +664,12 @@ object CorpusStream {
       checkpoint: String, writer: String = "stream",
       nearDup: Boolean = false,
       spanGate: Boolean = false,
-      containGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      containGate: Boolean = false,
+      syndGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch(
         ingestBatch(docs.sparkSession, indexDir, outDir, writer, nearDup,
-          spanGate, containGate) _)
+          spanGate, containGate, syndGate) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

@@ -224,6 +224,25 @@ class LmOpsSpec extends SparkSpec {
       s"fixture no longer recreates the marker symbol: $batched")
   }
 
+  test("d33: natural-vocabulary corpus — batched == sequential, rounds < merges") {
+    // r11 verdict #3: the 31-word fixture is near the batch rule's worst
+    // case; a conflict-sparse natural vocabulary is where batching pays.
+    // BpeBench (K=200, 5442 distinct words) publishes the full census —
+    // this pins the exactness contract on the same generator in-suite.
+    val docs = BpeBench.naturalCorpus(spark, nDocs = 250, wordsPerDoc = 30,
+      nStems = 150).cache()
+    val k = 30
+    val batched = LmOps.bpeTrain(spark, docs, k)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val rounds = LmOps.lastBpeRounds
+    val seq = LmOps.bpeTrainSequential(spark, docs, k)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batched === seq)
+    assert(batched.size === k)
+    assert(rounds < batched.size,
+      s"natural vocab should batch several merges per round: $rounds rounds for ${batched.size} merges")
+  }
+
   test("d34b: salted path returns byte-identical rows to d34") {
     val a = LmOps.d34StratifiedSample(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -694,6 +694,61 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.indexVersions(spark, idx).size == nv)
   }
 
+  test("syndication-gate ingest: cross-source contained doc rejected across micro-batches") {
+    // r11 verdict #6 — d44's cross-source protocol as a streaming gate:
+    // an article accepted inside a long page from source "agg" must be
+    // rejected when it re-arrives standalone from source "wire" in a
+    // LATER micro-batch; the same containment within ONE source is NOT
+    // this gate's business (source-inequality is stage 1 of the
+    // protocol), so a same-source contained doc passes with only
+    // syndGate on.
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_synidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_synout").toString
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L)
+    val page = (1 to 30).map(i => s"tok$i").mkString(" ")   // 28 shingles
+    val wireDoc = (1 to 20).map(i => s"wrd$i").mkString(" ") // 18 shingles
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", syndGate = true)(
+      Seq((1L, ts(0), page, "agg"), (2L, ts(1), wireDoc, "wire"))
+        .toDF("doc_id", "ingest_ts", "text", "source"), 0L)
+    // ck rows carry sizes and sources for the estimate/source stages
+    val ck = CorpusStream.readContainIndex(spark, idx)
+    assert(ck.count() == 16 + 16)
+    assert(ck.select("csource").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("agg", "wire"))
+    // batch 1: doc 3 = 10-token substring of the agg page, arriving from
+    // "wire" → cross-source syndication, REJECTED; doc 4 = substring of
+    // doc 2 from the SAME source → not this gate's job, accepted; doc 5
+    // fresh → accepted
+    val article = (5 to 14).map(i => s"tok$i").mkString(" ")
+    val sameSrc = (6 to 15).map(i => s"wrd$i").mkString(" ")
+    val freshDoc = (1 to 10).map(i => s"new$i").mkString(" ")
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", syndGate = true)(
+      Seq((3L, ts(2), article, "wire"), (4L, ts(3), sameSrc, "wire"),
+        (5L, ts(4), freshDoc, "misc"))
+        .toDF("doc_id", "ingest_ts", "text", "source"), 1L)
+    def survivors() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors() == Seq(1L, 2L, 4L, 5L))
+    // replay of batch 1 is a no-op (delta already committed)
+    val nv = CorpusStream.indexVersions(spark, idx).size
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w", syndGate = true)(
+      Seq((3L, ts(2), article, "wire"), (4L, ts(3), sameSrc, "wire"),
+        (5L, ts(4), freshDoc, "misc"))
+        .toDF("doc_id", "ingest_ts", "text", "source"), 1L)
+    assert(survivors() == Seq(1L, 2L, 4L, 5L) &&
+      CorpusStream.indexVersions(spark, idx).size == nv)
+    // protocol parity with the batch query: d44 on the union of all five
+    // docs surfaces exactly the (1,3) cross-source pair the gate acted on
+    val all = Seq((1L, page, "agg"), (2L, wireDoc, "wire"),
+      (3L, article, "wire"), (4L, sameSrc, "wire"), (5L, freshDoc, "misc"))
+      .toDF("doc_id", "text", "source")
+    val pairs = graft.llm.SketchOps.crossSourceContainment(all)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 3L)))
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
