@@ -123,6 +123,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._3).sum == events.size * 5L)
   }
 
+  test("event-time semantics (ST7): out-of-order within watermark counted, beyond watermark dropped") {
+    // The reference buckets by ARRIVAL wall-clock minute (consumer.py:200)
+    // and so has no late-data story at all; our upgrade aggregates by
+    // EVENT time under a 24 h watermark (SURVEY ST7). This pins both
+    // halves of that semantics: an event arriving a micro-batch later
+    // but still inside the watermark lands in its event-time window,
+    // and an event older than the watermark is dropped instead of
+    // resurrecting expired state.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def ev(id: Long, at: String) =
+      Ev(id, Timestamp.valueOf(at), 1L, "view", 1.0)
+    // batch 1: three events in the 00:00 window, plus a far-future event
+    // that advances the watermark to 2024-01-02 00:00 (max - 24 h)
+    stream.addData(Seq(
+      ev(1, "2024-01-01 00:00:05"), ev(2, "2024-01-01 00:00:15"),
+      ev(3, "2024-01-01 00:00:45"), ev(4, "2024-01-03 00:00:00")))
+    // NOT startMemorySink: its AvailableNow trigger stops the query after
+    // draining batch 1, and the late-arrival batch below would never run
+    val q = Realtime.minutelyCounts(stream.toDF()).writeStream
+      .format("memory").queryName("t_latedata")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .start()
+    q.processAllAvailable()
+    // batch 2, after the watermark advanced: one event 18 h out of order
+    // but inside the watermark (counted), one below it targeting the
+    // batch-1 window (dropped — the count must NOT become 4)
+    stream.addData(Seq(
+      ev(5, "2024-01-02 06:00:30"), ev(6, "2024-01-01 00:00:55")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_latedata")
+      .groupBy("minute", "event_type").agg(max("n").as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(got("2024-01-01 00:00:00.0") == 3L,
+      s"late event below the watermark must not mutate the expired window: $got")
+    assert(got("2024-01-02 06:00:00.0") == 1L,
+      s"out-of-order event inside the watermark must be counted: $got")
+  }
+
   test("streaming dedup drops replayed events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
