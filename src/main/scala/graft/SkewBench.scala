@@ -45,8 +45,8 @@ object SkewBench {
         tasks.synchronized { tasks += ((te.stageId, te.taskInfo.duration)) }
     })
 
-    def runCensus(name: String): String = {
-      val fn = SparkEntry.queries(name)
+    def runCensusThunk(name: String,
+        frame: () => org.apache.spark.sql.DataFrame): String = {
       // the listener bus drains asynchronously: late TaskEnd events from
       // the warmup or the PREVIOUS query can land after a bare clear and
       // contaminate this query's stats (ADVICE r11) — drain before
@@ -54,7 +54,7 @@ object SkewBench {
       Thread.sleep(1500)
       tasks.synchronized(tasks.clear())
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      frame().write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // listener bus drains asynchronously
       val byStage = tasks.synchronized(tasks.toVector).groupBy(_._1)
@@ -70,6 +70,9 @@ object SkewBench {
       }.mkString("[", ",", "]")
       f""""$name":{"wall_sec":$wall%.2f,"stages":$stages}"""
     }
+    def runCensusOn(name: String, dir: String): String =
+      runCensusThunk(name, () => SparkEntry.queries(name)(spark, dir))
+    def runCensus(name: String): String = runCensusOn(name, sfDir)
 
     // untimed warmup (JIT + parquet footers)
     SparkEntry.queries("q03_daily_sales")(spark, sfDir)
@@ -89,7 +92,71 @@ object SkewBench {
     spark.conf.set(wglConf, "-1")
     val noWgl = Names.map(runCensus).mkString("{", ",", "}")
     spark.conf.set(wglConf, "1000")
-    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl}"""
+
+    // Pass 3 (r12, optional) — AQE skew-join splitting, demonstrated on a
+    // fixture whose hot key IS the shuffle-join column (make_skewed.py
+    // --hot-orderkey: ~20% of lineitem on one l_orderkey). Two knobs make
+    // the local fixture behave like the cluster-scale shape: (a)
+    // broadcast is disabled for the pass because at 100 TB the orders
+    // side is multi-TB and CANNOT broadcast — locally AQE would quietly
+    // convert the 22 MB orders side to a broadcast join and the hot key
+    // would never shuffle at all (the first run of this pass measured
+    // exactly that: flat stages both ways); (b) the skew thresholds are
+    // lowered so the fixture's ~200 MB hot partition qualifies the same
+    // way a multi-GB partition would at scale.
+    //
+    // Two shapes, because they demonstrate OPPOSITE findings, both plan-
+    // verified (skew=true present/absent in the final adaptive plan):
+    //  - join_agg (orders⋈lineitem → sum by l_suppkey): the split FIRES —
+    //    the skewed side's hot partition is read as N advisory-sized
+    //    slices, the orders row block is duplicated to each, and the
+    //    downstream agg keys on a different column so nothing above
+    //    needs the join's partitioning.
+    //  - q09 (adds countDistinct(o_orderkey)): the split is structurally
+    //    BLOCKED — the distinct-agg's partial phase reuses the join's
+    //    hashpartitioning(o_orderkey) (ClusteredDistribution satisfied by
+    //    a subset key, a shuffle SAVED), and splitting the hot partition
+    //    would scatter equal o_orderkeys across tasks, breaking that
+    //    distribution. forceOptimizeSkewedJoin=true is the documented
+    //    escape: split anyway and re-shuffle the distinct phase.
+    val skewJoin = sys.env.get("SPARK_GRAFT_SKEWJOIN_DIR")
+      .filter(_.trim.nonEmpty).map { dir =>
+        import org.apache.spark.sql.functions.{col, sum => fsum}
+        def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        def bareJoin() = {
+          val orders = spark.read.parquet(s"$dir/orders.parquet")
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+            .groupBy(col("l_suppkey"))
+            .agg(fsum(col("l_extendedprice")).as("rev"))
+        }
+        val q09 = "q09_supplier_scorecard"
+        conf("spark.sql.adaptive.skewJoin.enabled", "true")
+        val jOn = runCensusThunk("join_agg", bareJoin _)
+        val qOn = runCensusOn(q09, dir)
+        conf("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        val qForce = runCensusOn(q09, dir)
+        conf("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+        conf("spark.sql.adaptive.skewJoin.enabled", "false")
+        val jOff = runCensusThunk("join_agg", bareJoin _)
+        val qOff = runCensusOn(q09, dir)
+        conf("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        conf("spark.sql.autoBroadcastJoinThreshold", bcast)
+        conf("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+        s""","aqe_skewjoin":{"sf":"$dir","on":{$jOn,$qOn},""" +
+          s""""force":{$qForce},"off":{$jOff,$qOff}}"""
+      }.getOrElse("")
+
+    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

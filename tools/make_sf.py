@@ -35,16 +35,33 @@ def base_of(max_key):
 
 
 def replicate(src, dst, name, key_offsets, k, bases, text_suffix=False,
-              embed_perturb=False):
+              embed_perturb=False, text_salt=False):
     t = pq.read_table(os.path.join(src, f"{name}.parquet"))
     t = t.replace_schema_metadata(None)
     parts = []
     for r in range(k):
         cols = []
+        salted_text = None
+        if text_salt and r > 0 and "text" in t.schema.names:
+            # token-level bijection: suffix EVERY token with a replica tag.
+            # A bijection on tokens preserves every within-replica
+            # similarity EXACTLY (Jaccard/containment/span structure are
+            # set/sequence relations over tokens) while making
+            # cross-replica overlap zero — so planted pair counts scale
+            # LINEARLY in K instead of C(K,2), and a big-SF bench measures
+            # engine scaling, not fixture pair density (round-12 answer to
+            # the d11-superlinearity diagnosis).
+            salted_text = pc.replace_substring_regex(
+                t.column("text"), pattern=r"(\S+)",
+                replacement=f"\\1~r{r}")
         for field in t.schema:
             c = t.column(field.name)
             if field.name in key_offsets and r > 0:
                 c = pc.add(c, r * bases[field.name]).cast(field.type)
+            elif field.name == "text" and salted_text is not None:
+                c = salted_text
+            elif field.name == "n_chars" and salted_text is not None:
+                c = pc.utf8_length(salted_text).cast(field.type)
             elif field.name == "text" and text_suffix and r > 0:
                 c = pc.binary_join_element_wise(
                     c, pa.scalar(f" xr{r}"), "")
@@ -68,9 +85,11 @@ def replicate(src, dst, name, key_offsets, k, bases, text_suffix=False,
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    salt = "--salt-tokens" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    dst = argv[1] if len(argv) > 1 else "/tmp/sf1"
+    k = int(argv[2]) if len(argv) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     for t in ("region", "nation"):
         shutil.copyfile(os.path.join(src, f"{t}.parquet"),
@@ -104,7 +123,8 @@ def main():
         "orders": dict(key_offsets=["o_orderkey", "o_custkey"]),
         "lineitem": dict(key_offsets=["l_orderkey", "l_partkey", "l_suppkey"]),
         "events": dict(key_offsets=["event_id", "user_id"]),
-        "documents": dict(key_offsets=["doc_id"], text_suffix=True),
+        "documents": dict(key_offsets=["doc_id"],
+                          text_suffix=not salt, text_salt=salt),
         "embeddings": dict(key_offsets=["vec_id"], embed_perturb=True),
     }
     for name, kw in spec.items():

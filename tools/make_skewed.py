@@ -83,17 +83,51 @@ def skew_documents(src, dst):
     return t.num_rows
 
 
+def skew_orderkey(src, dst):
+    """--hot-orderkey mode (round 12): plant the hot key on the ONE join
+    column that actually shuffles (l_orderkey; part/supplier joins are
+    broadcast and therefore skew-immune), so AQE's skew-join splitting
+    has something to absorb and the census can show it firing. The hot
+    key is the smallest existing o_orderkey, so every rewritten row
+    still matches exactly one order and the oracle gate stays the
+    correctness check (same data, both engines)."""
+    orders = pq.read_table(os.path.join(src, "orders.parquet"),
+                           columns=["o_orderkey"])
+    hot = pc.min(orders.column("o_orderkey")).as_py()
+    t = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    t = t.replace_schema_metadata(None)
+    mask = hot_mask(t.num_rows)
+    cols = []
+    for field in t.schema:
+        c = t.column(field.name)
+        if field.name == "l_orderkey":
+            c = pc.if_else(mask, pa.scalar(hot).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        cols.append(c)
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    pq.write_table(out, os.path.join(dst, "lineitem.parquet"))
+    return t.num_rows, hot
+
+
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_skew"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hot_orderkey = "--hot-orderkey" in sys.argv
+    src = argv[0] if len(argv) > 0 else "/tmp/sf1"
+    dst = argv[1] if len(argv) > 1 else (
+        "/tmp/sf1_skewjoin" if hot_orderkey else "/tmp/sf1_skew")
     os.makedirs(dst, exist_ok=True)
     for name in TABLES:
         p = os.path.join(src, f"{name}.parquet")
         if not os.path.exists(p):
             continue
-        if name in ("lineitem", "documents"):
+        if name == "lineitem" or (name == "documents" and not hot_orderkey):
             continue  # rewritten below
         shutil.copyfile(p, os.path.join(dst, f"{name}.parquet"))
+    if hot_orderkey:
+        nl, hot = skew_orderkey(src, dst)
+        print(f"skew-join copy at {dst}: hot l_orderkey={hot} holds "
+              f"~{100 // HOT_MOD}% of {nl} lineitem rows")
+        return
     nl = skew_lineitem(src, dst)
     nd = skew_documents(src, dst)
     print(f"skewed copy at {dst}: hot ({HOT_PARTKEY},{HOT_SUPPKEY}) holds "
