@@ -72,8 +72,15 @@ object BpeBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val docs = naturalCorpus(spark, nDocs = 2000, wordsPerDoc = 60,
-      nStems = 700).cache()
+    // fixture knobs (r12 verdict #7): the scale run grows the VOCABULARY
+    // (nStems) — the word-frequency table is what each training round
+    // aggregates, so vocab width, not raw corpus rows, is the axis that
+    // shows where driver-round synchronization starts to dominate
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BPE_DOCS", "2000").toInt
+    val wordsPerDoc = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "60").toInt
+    val nStems = sys.env.getOrElse("SPARK_GRAFT_BPE_STEMS", "700").toInt
+    val docs = naturalCorpus(spark, nDocs = nDocs, wordsPerDoc = wordsPerDoc,
+      nStems = nStems).cache()
     val distinctWords = docs
       .select(org.apache.spark.sql.functions.explode(
         graft.llm.TextOps.tokens(org.apache.spark.sql.functions.col("text"))))
@@ -93,7 +100,7 @@ object BpeBench {
       s"batched != sequential on the natural vocabulary: " +
         s"first diff at ${batched.zip(seq).indexWhere(p => p._1 != p._2)}")
 
-    val line = f"""{"metric":"bpe_census","k":$k,"merges":${batched.size},"rounds":$rounds,"merges_per_round":${batched.size.toDouble / rounds}%.2f,"distinct_words":$distinctWords,"batched_sec":$batchedSec%.1f,"sequential_sec":$seqSec%.1f,"batched_equals_sequential":true}"""
+    val line = f"""{"metric":"bpe_census","k":$k,"n_docs":$nDocs,"words_per_doc":$wordsPerDoc,"n_stems":$nStems,"merges":${batched.size},"rounds":$rounds,"merges_per_round":${batched.size.toDouble / rounds}%.2f,"distinct_words":$distinctWords,"batched_sec":$batchedSec%.1f,"sequential_sec":$seqSec%.1f,"batched_equals_sequential":true}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BPE_OUT", "BPE_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -123,11 +123,61 @@ object RecallBench {
       }
 
     def sect(rows: Seq[String]) = rows.mkString("[", ",", "]")
+
+    // ---- boundary probe (r12 verdict #4): planted pairs AT the decision
+    // boundary (tools/make_boundary.py) — true containment just above the
+    // exact threshold (estimate-noise failure mode) and tiny-in-huge
+    // full containment (candidate-miss failure mode). Measures where
+    // gate recall actually degrades vs k / est_t, and what restores it —
+    // the organic fixture's 1.0000 rows never exercised either mode. ----
+    val boundary = sys.env.get("SPARK_GRAFT_BOUNDARY_DIR")
+      .filter(_.trim.nonEmpty).map { bdir =>
+        val bdocs = Tables.documents(spark, bdir)
+        val bsh = shingles(spark, bdir).cache()
+        val cfgLabels = Map(0 -> "c=0.51", 1 -> "c=0.55", 2 -> "c=0.60",
+          3 -> "c=0.70", 4 -> "c=1.00,ratio=10", 5 -> "c=1.00,ratio=66")
+        // doc_id encodes (family, config) — the make_boundary.py contract
+        def cfgOf(id: Long): (Int, Int) =
+          (((id / 1000000L) - 1).toInt, ((id % 1000000L) / 10000L).toInt)
+        def byCfg(pairs: Set[(Long, Long)], fam: Int): Map[Int, Set[(Long, Long)]] =
+          pairs.filter(p => cfgOf(p._1)._1 == fam).groupBy(p => cfgOf(p._1)._2)
+        val truth40 = byCfg(pairSet(TextOps.shingleContainment(bdocs)), 0)
+        val truth44 = byCfg(pairSet(exactPairStats(bsh, crossSourceOnly = true)
+          .filter(greatest(
+            col("n_inter").cast(DoubleType) / col("sz1").cast(DoubleType),
+            col("n_inter").cast(DoubleType) / col("sz2").cast(DoubleType)) >= thr)), 1)
+        (0 to 5).foreach { c =>
+          require(truth40.getOrElse(c, Set.empty).size == 50
+            && truth44.getOrElse(c, Set.empty).size == 50,
+            s"boundary fixture must plant 50 truth pairs per config (cfg=$c:" +
+              s" ${truth40.getOrElse(c, Set.empty).size}" +
+              s"/${truth44.getOrElse(c, Set.empty).size})")
+        }
+        val knobs =
+          Seq(8, 16, 32, 64, 128).map(k => (k, SketchOps.ContainEstThreshold)) ++
+            Seq((16, 0.3), (64, 0.3), (16, 0.5))
+        def famRows(fam: Int, truth: Map[Int, Set[(Long, Long)]],
+            tierOf: (Int, Double) => DataFrame): Seq[String] =
+          knobs.flatMap { case (k, t) =>
+            val tier = pairSet(tierOf(k, t))
+            (0 to 5).map { c =>
+              recallRow(f"${cfgLabels(c)},k=$k,est_t=$t%.1f", truth(c),
+                tier.filter(p => cfgOf(p._1) == ((fam, c))))
+            }
+          }
+        val rows40 = famRows(0, truth40,
+          (k, t) => SketchOps.containmentKmv(bdocs, k, t))
+        val rows44 = famRows(1, truth44,
+          (k, t) => SketchOps.crossSourceContainment(bdocs, k, t))
+        bsh.unpersist()
+        s""","d40b_boundary":${sect(rows40)},"d44_boundary":${sect(rows44)}"""
+      }.getOrElse("")
+
     val line = s"""{"metric":"recall_census","sf":"$sfDir",""" +
       s""""d11_lsh_neardup":${sect(lshRows)},""" +
       s""""d08b_simhash_banded":${sect(simRows)},""" +
       s""""d40b_containment_kmv":${sect(kmvRows)},""" +
-      s""""d44_cross_source_gate":${sect(d44Rows)}}"""
+      s""""d44_cross_source_gate":${sect(d44Rows)}$boundary}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

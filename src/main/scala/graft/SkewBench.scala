@@ -123,7 +123,16 @@ object SkewBench {
       .filter(_.trim.nonEmpty).map { dir =>
         import org.apache.spark.sql.functions.{col, sum => fsum}
         def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+        // save EVERY conf the pass mutates and restore the saved values
+        // (not literals) — silently wrong otherwise if Spark defaults
+        // change or Engine.configure ever sets these (advice r12)
         val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val skewThresh = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        val advisory = spark.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val skewFactor = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         conf("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
@@ -147,9 +156,9 @@ object SkewBench {
         val jOff = runCensusThunk("join_agg", bareJoin _)
         val qOff = runCensusOn(q09, dir)
         conf("spark.sql.adaptive.skewJoin.enabled", "true")
-        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
-        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
-        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
         conf("spark.sql.autoBroadcastJoinThreshold", bcast)
         conf("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
         s""","aqe_skewjoin":{"sf":"$dir","on":{$jOn,$qOn},""" +

@@ -152,6 +152,7 @@ object SparkEntry {
     "d42_incremental_containment" -> (graft.llm.SketchOps.d42IncrementalContainment _),
     "d43_source_containment" -> (graft.llm.QualityOps.d43SourceContainment _),
     "d44_cross_source_containment" -> (graft.llm.SketchOps.d44CrossSourceContainment _),
+    "d45_syndication_ingest" -> (graft.streaming.CorpusStream.d45SyndicationIngest _),
     "d36_tfidf_keywords" -> (graft.llm.QualityOps.d36TfidfKeywords _),
     "d37_quality_classifier" -> (graft.llm.LmOps.d37QualityClassifier _),
     "a05_semantic_dedup" -> (graft.llm.VectorOps.a05SemanticDedup _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "d42_incremental_containment" -> graft.llm.SketchOps.d42Sql,
     "d43_source_containment" -> graft.llm.QualityOps.d43Sql,
     "d44_cross_source_containment" -> graft.llm.SketchOps.d44Sql,
+    "d45_syndication_ingest" -> graft.streaming.CorpusStream.d45Sql,
     "d36_tfidf_keywords" -> graft.llm.QualityOps.d36Sql,
     "d37_quality_classifier" -> graft.llm.LmOps.d37Sql,
     "a05_semantic_dedup" -> graft.llm.VectorOps.a05Sql,

@@ -367,8 +367,12 @@ object CorpusStream {
       .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
     val shI = TextOps.shingleRows(candDocs, 3)
       .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    // eager: the rejected id set is tiny, and materializing it here lets
+    // the micro-batch's cache release immediately — a long-running stream
+    // must not accumulate one cached candidate frame per batch (advice r12)
     val rejected = SketchOps.crossVerifiedPairs(cand, shB, shI)
-      .select(col("db")).distinct()
+      .select(col("db")).distinct().localCheckpoint()
+    cand.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -444,7 +448,10 @@ object CorpusStream {
       .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
     val shI = TextOps.shingleRows(candDocs, 3)
       .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    // eager + release, dropNearDups' cache discipline
     val rejected = SketchOps.crossContainedBatch(cand, shB, shI)
+      .localCheckpoint()
+    cand.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -510,6 +517,9 @@ object CorpusStream {
           col("__i") / col("sz2").cast(DoubleType))
           >= SketchOps.ContainEstThreshold)
       .select(col("db"), col("di"))
+      // read twice below (candidate fetch ids + exact verify) — cache so
+      // the estimate stage computes once, exactly as the batch d44 does
+      .cache()
     // stage 3: exact verify against fetched bodies, batch direction
     val candDocs = candidateFetch(spark, outDir,
         gated.select(col("di").as("doc_id")).distinct())
@@ -518,7 +528,11 @@ object CorpusStream {
       .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
     val shI = TextOps.shingleRows(candDocs, 3)
       .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
+    // eager + release: a long-running stream must not accumulate cached
+    // blocks across micro-batches (advice r12)
     val rejected = SketchOps.crossContainedBatch(gated, shB, shI)
+      .localCheckpoint()
+    bsk.unpersist(); cand.unpersist(); gated.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -672,4 +686,106 @@ object CorpusStream {
           spanGate, containGate, syndGate) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  // ---------------------------------------------------------------------
+  // d45 — the syndication-gate INGEST as an oracle-checkable query (r12
+  // verdict #3): the REAL ingestBatch machinery — gated() quality filter,
+  // in-batch keep-first, exact fingerprint anti-join against the
+  // persisted index, then dropSyndicated's three-stage cross-source
+  // protocol — driven over a deterministic two-batch replay of the
+  // documents table, so the STREAMING gate's rejection semantics sit
+  // under the same DuckDB hash gate as every batch operator instead of
+  // only a spec assertion.
+  //
+  // Replay shape: every source EXCEPT the lexicographically smallest
+  // lands first (batch 0 = the accepted history; first commit, so no
+  // gates beyond quality + keep-first, exactly ingestBatch's no-history
+  // rule), then the smallest source arrives as the new micro-batch —
+  // "the wire dump lands after the aggregator pages". A min-source doc
+  // whose content is already contained in an accepted doc from another
+  // source is rejected by the gate; everything else commits. Every stage
+  // is md5-deterministic, so the whole path has a full SQL oracle
+  // (d45Sql replicates it stage for stage with d44Sql's sketch algebra).
+  // ---------------------------------------------------------------------
+  def d45SyndicationIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ms = docs.agg(min(col("source"))).head.getString(0) // 1-row probe
+    val idx = java.nio.file.Files.createTempDirectory("graft_d45_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_d45_out").toString
+    ingestBatch(spark, idx, out, writer = "verify", syndGate = true)(
+      docs.filter(col("source") =!= ms), 0L)
+    ingestBatch(spark, idx, out, writer = "verify", syndGate = true)(
+      docs.filter(col("source") === ms), 1L)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("source"), col("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d45Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, text, md5(text) AS text_fp
+       |  FROM documents
+       |  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) >= $MinTokens
+       |    AND CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / len(text) <= $MaxPunctRatio),
+       |acc0 AS (
+       |  SELECT doc_id, source, text, text_fp FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text_fp ORDER BY doc_id) AS rn
+       |    FROM g WHERE source <> (SELECT MIN(source) FROM documents)) z
+       |  WHERE rn = 1),
+       |b1 AS (
+       |  SELECT doc_id, source, text, text_fp FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text_fp ORDER BY doc_id) AS rn
+       |    FROM g WHERE source = (SELECT MIN(source) FROM documents)) z
+       |  WHERE rn = 1),
+       |b1f AS (
+       |  SELECT * FROM b1 WHERE NOT EXISTS
+       |    (SELECT 1 FROM acc0 WHERE acc0.text_fp = b1.text_fp)),
+       |live AS (SELECT doc_id, source, text, text_fp, 0 AS b FROM acc0
+       |         UNION ALL SELECT doc_id, source, text, text_fp, 1 AS b FROM b1f),
+       |toks AS (
+       |  SELECT doc_id, b,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM live),
+       |st AS (
+       |  SELECT DISTINCT doc_id, b, array_to_string(tk[i:i+2], ' ') AS tok
+       |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM toks))) AS i) r
+       |  WHERE i <= len(tk) - 2),
+       |h AS (SELECT doc_id, b,
+       |             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM st),
+       |sk AS (
+       |  SELECT doc_id, b, COUNT(*) AS sz,
+       |         list_slice(list_sort(list(h)), 1, ${SketchOps.ContainK}) AS bk
+       |  FROM h GROUP BY doc_id, b),
+       |el AS (SELECT s.doc_id, l.source, s.b, unnest(s.bk) AS h
+       |       FROM sk s JOIN live l ON l.doc_id = s.doc_id AND l.b = s.b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS db, i.doc_id AS di
+       |  FROM el a JOIN el i
+       |    ON a.h = i.h AND a.b = 1 AND i.b = 0 AND a.source <> i.source),
+       |est AS (
+       |  SELECT c.db, c.di, sa.sz AS sz1, si.sz AS sz2,
+       |         CAST(len(list_intersect(list_intersect(
+       |           list_slice(list_sort(list_distinct(list_concat(sa.bk, si.bk))), 1, ${SketchOps.ContainK}),
+       |           sa.bk), si.bk)) AS DOUBLE)
+       |           / len(list_slice(list_sort(list_distinct(list_concat(sa.bk, si.bk))), 1, ${SketchOps.ContainK})) AS j_est
+       |  FROM cand c JOIN sk sa ON sa.doc_id = c.db AND sa.b = 1
+       |              JOIN sk si ON si.doc_id = c.di AND si.b = 0),
+       |gat AS (
+       |  SELECT db, di FROM est
+       |  WHERE GREATEST((j_est * (sz1 + sz2) / (j_est + 1.0)) / sz1,
+       |                 (j_est * (sz1 + sz2) / (j_est + 1.0)) / sz2)
+       |          >= ${SketchOps.ContainEstThreshold}),
+       |farr AS (SELECT doc_id, b, list_sort(list(h)) AS arr, COUNT(*) AS sz
+       |         FROM h GROUP BY doc_id, b),
+       |rej AS (
+       |  SELECT DISTINCT gg.db FROM gat gg
+       |  JOIN farr f1 ON f1.doc_id = gg.db AND f1.b = 1
+       |  JOIN farr f2 ON f2.doc_id = gg.di AND f2.b = 0
+       |  WHERE CAST(len(list_intersect(f1.arr, f2.arr)) AS DOUBLE) / f1.sz
+       |          >= ${TextOps.ContainmentThreshold})
+       |SELECT doc_id, source, text_fp FROM live
+       |WHERE b = 0 OR doc_id NOT IN (SELECT db FROM rej)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Ritual gate (r12 verdict #6): every census artifact README names must
+EXIST in the tree and be at least as new as the harness source that
+produces it — so "documentation shipped ahead of the evidence" (the r12
+spill-census finding) fails loudly instead of lingering silently.
+
+Timestamp rule: a path's effective time is its last git commit time,
+or its filesystem mtime when the working tree differs from HEAD (an
+artifact regenerated this round but not yet committed counts as fresh).
+An artifact that exists but was never committed AND is byte-identical
+to nothing in git still gets its mtime — the final gate is the round's
+end-of-round commit, which the driver performs.
+
+Exit nonzero on: a README-named census artifact that is missing, an
+artifact older than any of its producers, or a census-looking name in
+README with no producer mapping here (forces this map to stay honest).
+
+Usage: python3 tools/check_artifacts.py [--repo /root/repo]
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+# artifact -> the sources whose change invalidates it
+PRODUCERS = {
+    "SKEW_CENSUS.json": ["src/main/scala/graft/SkewBench.scala",
+                         "tools/make_skewed.py"],
+    "SKEW_CORRECTNESS.json": ["tools/make_skewed.py"],
+    "RECALL_CENSUS.json": ["src/main/scala/graft/RecallBench.scala"],
+    "RECALL_CENSUS_sf001.json": ["src/main/scala/graft/RecallBench.scala"],
+    "BPE_CENSUS.json": ["src/main/scala/graft/BpeBench.scala"],
+    "SPILL_CENSUS.json": ["src/main/scala/graft/SpillBench.scala",
+                          "tools/spill_census.sh"],
+    "BENCH_COLD.json": ["src/main/scala/graft/Bench.scala"],
+}
+# names that look like local census artifacts; driver-produced
+# per-round files (BENCH_r*, CORRECTNESS_r*, COPYCHECK, LEAKCHECK,
+# BASELINE) are the driver's concern, not this gate's
+CENSUS_RE = re.compile(r"\b([A-Z][A-Z0-9_]*(?:CENSUS|CORRECTNESS|COLD)"
+                       r"[A-Z0-9_]*\.json)\b")
+DRIVER_RE = re.compile(r"_r\d+\.json$|^CORRECTNESS_sf|^DIRTY_")
+
+
+def eff_time(repo, rel):
+    """Last-commit time, or mtime if the working tree differs from HEAD."""
+    p = os.path.join(repo, rel)
+    if not os.path.exists(p):
+        return None
+    dirty = subprocess.run(["git", "diff", "--quiet", "HEAD", "--", rel],
+                           cwd=repo).returncode != 0
+    untracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", rel], cwd=repo,
+        capture_output=True).returncode != 0
+    if dirty or untracked:
+        return int(os.path.getmtime(p))
+    out = subprocess.run(["git", "log", "-1", "--format=%ct", "--", rel],
+                         cwd=repo, capture_output=True, text=True).stdout
+    return int(out.strip()) if out.strip() else int(os.path.getmtime(p))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repo", default=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args()
+    repo = args.repo
+    readme = open(os.path.join(repo, "README.md")).read()
+    named = {m for m in CENSUS_RE.findall(readme) if not DRIVER_RE.search(m)}
+    failures, report = [], {}
+    for art in sorted(named):
+        if art not in PRODUCERS:
+            failures.append(f"{art}: named in README but has no producer "
+                            "mapping in tools/check_artifacts.py — add one")
+            continue
+        t_art = eff_time(repo, art)
+        if t_art is None:
+            failures.append(f"{art}: named in README but MISSING from the tree")
+            continue
+        stale_vs = [src for src in PRODUCERS[art]
+                    if (eff_time(repo, src) or 0) > t_art]
+        report[art] = {"ok": not stale_vs, "stale_vs": stale_vs}
+        if stale_vs:
+            failures.append(f"{art}: older than producer(s) {stale_vs} — "
+                            "re-run the harness and commit the refreshed artifact")
+    print(json.dumps({"named_in_readme": sorted(named),
+                      "checked": report, "failures": failures}, indent=1))
+    if failures:
+        print(f"\nARTIFACT GATE FAILED ({len(failures)}):", file=sys.stderr)
+        for f in failures:
+            print("  - " + f, file=sys.stderr)
+        sys.exit(1)
+    print("\nall README-named census artifacts present and fresh")
+
+
+if __name__ == "__main__":
+    main()

@@ -300,6 +300,24 @@ def main():
                "cross-source sketch tier; absent from the source-blocked "
                f"exact tier ({n_exact} rows) — syndication is d44's job")
 
+    # --- d45: the STREAMING syndication gate (CorpusStream.ingestBatch
+    #     with syndGate on, driven by the d45 two-batch replay) REJECTS
+    #     the planted contained doc arriving from the min source AFTER
+    #     its cross-source container was accepted as history — and keeps
+    #     the container. Proves the streaming rejection tier fires
+    #     through the same Verify path as every batch gate (r12 #3).
+    if man.get("d45_streaming_pair") is not None:
+        a_id, b_id = man["d45_streaming_pair"]
+        surv = load(con, vout, "d45_syndication_ingest")
+        n_a = con.execute(
+            f"SELECT COUNT(*) FROM {surv} WHERE doc_id = {a_id}").fetchone()[0]
+        n_b = con.execute(
+            f"SELECT COUNT(*) FROM {surv} WHERE doc_id = {b_id}").fetchone()[0]
+        branch("d45_streaming_syndication_reject", n_a == 0 and n_b == 1,
+               f"planted pair ({a_id}, {b_id}): contained doc from the min "
+               f"source {'REJECTED' if n_a == 0 else 'SURVIVED (!)'} by the "
+               f"streaming gate, container {'kept' if n_b == 1 else 'LOST (!)'}")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

@@ -244,6 +244,43 @@ def dirty_documents(src, dst, manifest):
     manifest["d44_syndication_pair"] = [next_id, next_id + 1]
     next_id += 2
 
+    # (k) d45 STREAMING syndication branch: the same cross-source
+    # doc-in-doc shape, but sized for the streaming ingest's quality gate
+    # (>= 10 tokens — the d44 plant's 8-token doc never reaches the
+    # syndication stage) and arranged for d45's replay order: the
+    # contained doc arrives from the MIN source (sources[0] = the last
+    # batch), its container was accepted earlier from another source.
+    # Sketch collisions are a fixed property of the texts, so retry the
+    # construction until the full three-stage gate provably fires
+    # (python replica of bottom-k candidates -> estimate -> exact verify).
+    def _sh_hashes(text):
+        tk = [w for w in text.lower().split() if w]
+        sh = {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+        return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh}
+
+    def _synd_gate_fires(at, bt):
+        ha, hb = _sh_hashes(at), _sh_hashes(bt)
+        bka, bkb = sorted(ha)[:16], sorted(hb)[:16]
+        if not set(bka) & set(bkb):
+            return False               # stage 1: no shared sketch element
+        u = sorted(set(bka) | set(bkb))[:16]
+        j = len(set(u) & set(bka) & set(bkb)) / len(u)
+        est = j * (len(ha) + len(hb)) / (j + 1.0)
+        if max(est / len(ha), est / len(hb)) < 0.4:
+            return False               # stage 2: estimate gate
+        return len(ha & hb) / len(ha) >= 0.5  # stage 3: exact c12 verify
+
+    while True:
+        a_text = fresh_text(16)                     # 14 shingles, gate-sized
+        b_text = a_text + " " + fresh_text(40)      # ≈55 shingles, superset
+        if b_text not in texts and _synd_gate_fires(a_text, b_text):
+            break
+    texts.add(b_text)
+    rows.append(doc(next_id, a_text, sources[0]))      # MIN source: batch 1
+    rows.append(doc(next_id + 1, b_text, sources[1]))  # history: batch 0
+    manifest["d45_streaming_pair"] = [next_id, next_id + 1]
+    next_id += 2
+
     # capacity guard: every lang must stay in d21's exact regime
     per_lang = {}
     for d in docs + rows:

@@ -17,6 +17,15 @@ CLASSES="$REPO/target/scala-2.13/classes"
 ROWS="$(mktemp /tmp/spill_rows.XXXXXX.jsonl)"
 OOMS="$(mktemp /tmp/spill_ooms.XXXXXX.jsonl)"
 
+# validate + parse HEAP up front, loudly (advice r12: a silent bc failure
+# published oom_at_mb=0); accept e.g. 8g/8G/512m/512M
+HEAP_NORM="$(echo "$HEAP" | tr '[:upper:]' '[:lower:]')"
+case "$HEAP_NORM" in
+  *[0-9]g) heap_mb=$(( ${HEAP_NORM%g} * 1024 )) ;;
+  *[0-9]m) heap_mb=$(( ${HEAP_NORM%m} )) ;;
+  *) echo "HEAP must match ^[0-9]+[gmGM]$ (got: $HEAP)" >&2; exit 1 ;;
+esac
+
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -46,10 +55,21 @@ for cpus in "${RUNGS[@]}"; do
     if [ "$rc" -eq 0 ] && [ "$n_after" -gt "$n_before" ]; then
       echo "[spill-census]   ok: $(tail -1 "$ROWS")" >&2
     else
-      # heap/cpus in MB; mirrors SpillBench's mem_per_core_mb
-      heap_mb=$(( $(echo "$HEAP" | sed 's/g/*1024/;s/m//' | bc) ))
-      echo "{\"query\":\"$q\",\"oom_at_mb\":$(( heap_mb / cpus ))}" >> "$OOMS"
-      echo "[spill-census]   FAILED (rc=$rc) at $(( heap_mb / cpus )) MB/core — will retry one rung down" >&2
+      # classify the death (advice r12): only a genuine OOM may be
+      # published as a memory-per-core floor. rc=124 is the ladder
+      # timeout, and any other non-OOM failure (bad query name, missing
+      # fixture) is recorded under failed_at_mb with its rc so a
+      # persistent non-OOM failure can't masquerade as an OOM rung.
+      mbc=$(( heap_mb / cpus ))
+      if grep -q "OutOfMemoryError\|java.lang.OutOfMemory\|Java heap space\|Direct buffer memory\|GC overhead limit" /tmp/spill_attempt.log \
+         || [ "$rc" -eq 137 ] || [ "$rc" -eq 134 ]; then
+        echo "{\"query\":\"$q\",\"oom_at_mb\":$mbc}" >> "$OOMS"
+        echo "[spill-census]   OOM (rc=$rc) at $mbc MB/core — will retry one rung down" >&2
+      else
+        kind="error"; [ "$rc" -eq 124 ] && kind="timeout"
+        echo "{\"query\":\"$q\",\"failed_at_mb\":$mbc,\"rc\":$rc,\"kind\":\"$kind\"}" >> "$OOMS"
+        echo "[spill-census]   FAILED non-OOM (rc=$rc, $kind) at $mbc MB/core — will retry one rung down" >&2
+      fi
       tail -3 /tmp/spill_attempt.log >&2
       next+=("$q")
     fi
@@ -62,17 +82,26 @@ python3 - "$SF_DIR" "$OUT" "$ROWS" "$OOMS" "$HEAP" "$LADDER" <<'EOF'
 import json, sys
 sf, out, rows_f, ooms_f, heap, ladder = sys.argv[1:7]
 rows = [json.loads(l) for l in open(rows_f) if l.strip()]
-ooms = [json.loads(l) for l in open(ooms_f) if l.strip()]
+deaths = [json.loads(l) for l in open(ooms_f) if l.strip()]
 queries = {}
 for r in rows:
     q = r.pop("query")
-    r["oom_at_mb"] = [o["oom_at_mb"] for o in ooms if o["query"] == q]
+    r["oom_at_mb"] = [d["oom_at_mb"] for d in deaths
+                      if d["query"] == q and "oom_at_mb" in d]
+    fails = [d for d in deaths if d["query"] == q and "failed_at_mb" in d]
+    if fails:  # non-OOM deaths kept separate from the memory floor
+        r["failed_at_mb"] = [{"mb": d["failed_at_mb"], "rc": d["rc"],
+                              "kind": d["kind"]} for d in fails]
     queries[q] = r
 survived = set(queries)
-for o in ooms:
-    if o["query"] not in survived:
-        e = queries.setdefault(o["query"], {"failed": True, "oom_at_mb": []})
-        e["oom_at_mb"].append(o["oom_at_mb"])
+for d in deaths:
+    if d["query"] not in survived:
+        e = queries.setdefault(d["query"], {"failed": True, "oom_at_mb": []})
+        if "oom_at_mb" in d:
+            e["oom_at_mb"].append(d["oom_at_mb"])
+        else:
+            e.setdefault("failed_at_mb", []).append(
+                {"mb": d["failed_at_mb"], "rc": d["rc"], "kind": d["kind"]})
 doc = {"metric": "spill_census", "sf": sf, "heap": heap,
        "shuffle_partitions": 32, "cpu_ladder": [int(x) for x in ladder.split(",")],
        "queries": queries}
