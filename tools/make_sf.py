@@ -11,7 +11,12 @@ a replica and never collide across replicas. region/nation stay fixed
 (" xr<r>") so the corpus does not degenerate into 90% exact duplicates
 (which would blow up every pairwise-similarity query quadratically);
 that adds K-1 tokens to the vocabulary, still far inside d21's exact
-Misra-Gries capacity (64). Embeddings perturb component 0 by r * 1e-3
+Misra-Gries capacity (64). --salt-tokens instead suffixes EVERY token
+(bijection per replica; see below) — that multiplies the vocabulary by
+K, which EXCEEDS d21's exact regime: salted fixtures are BENCH
+fixtures (linear pair density for engine-scaling runs); the ORACLE
+gate must use the default suffix mode (measured: d21 hash-mismatches
+on a salted sf1, round 13). Embeddings perturb component 0 by r * 1e-3
 (stored float32, identical bytes to both engines) so replicas are not
 bitwise-tied in top-k orderings.
 
