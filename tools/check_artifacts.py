@@ -45,20 +45,18 @@ DRIVER_RE = re.compile(r"_r\d+\.json$|^CORRECTNESS_sf|^DIRTY_")
 
 
 def eff_time(repo, rel):
-    """Last-commit time, or mtime if the working tree differs from HEAD."""
+    """max(last-commit time, mtime): a regenerated artifact counts as
+    fresh even when the rerun is byte-identical to HEAD (deterministic
+    gates produce exactly that), and a fresh clone's uniform checkout
+    mtimes keep artifact >= producer. The MISSING case — the r12 class
+    this gate exists for — is unaffected."""
     p = os.path.join(repo, rel)
     if not os.path.exists(p):
         return None
-    dirty = subprocess.run(["git", "diff", "--quiet", "HEAD", "--", rel],
-                           cwd=repo).returncode != 0
-    untracked = subprocess.run(
-        ["git", "ls-files", "--error-unmatch", rel], cwd=repo,
-        capture_output=True).returncode != 0
-    if dirty or untracked:
-        return int(os.path.getmtime(p))
     out = subprocess.run(["git", "log", "-1", "--format=%ct", "--", rel],
                          cwd=repo, capture_output=True, text=True).stdout
-    return int(out.strip()) if out.strip() else int(os.path.getmtime(p))
+    committed = int(out.strip()) if out.strip() else 0
+    return max(committed, int(os.path.getmtime(p)))
 
 
 def main():
