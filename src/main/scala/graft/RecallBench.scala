@@ -135,7 +135,11 @@ object RecallBench {
         val bdocs = Tables.documents(spark, bdir)
         val bsh = shingles(spark, bdir).cache()
         val cfgLabels = Map(0 -> "c=0.51", 1 -> "c=0.55", 2 -> "c=0.60",
-          3 -> "c=0.70", 4 -> "c=1.00,ratio=10", 5 -> "c=1.00,ratio=66")
+          3 -> "c=0.70", 4 -> "c=1.00,ratio=10", 5 -> "c=1.00,ratio=66",
+          // sub-threshold plants: truth is EMPTY by construction, so
+          // `tier` on these rows is the estimate gate's false-positive
+          // count (d40b emits them; d44's exact verify must kill them)
+          6 -> "c=0.49(sub)", 7 -> "c=0.45(sub)", 8 -> "c=0.30(sub)")
         // doc_id encodes (family, config) — the make_boundary.py contract
         def cfgOf(id: Long): (Int, Int) =
           (((id / 1000000L) - 1).toInt, ((id % 1000000L) / 10000L).toInt)
@@ -146,12 +150,13 @@ object RecallBench {
           .filter(greatest(
             col("n_inter").cast(DoubleType) / col("sz1").cast(DoubleType),
             col("n_inter").cast(DoubleType) / col("sz2").cast(DoubleType)) >= thr)), 1)
-        (0 to 5).foreach { c =>
-          require(truth40.getOrElse(c, Set.empty).size == 50
-            && truth44.getOrElse(c, Set.empty).size == 50,
-            s"boundary fixture must plant 50 truth pairs per config (cfg=$c:" +
+        (0 to 8).foreach { c =>
+          val want = if (c <= 5) 50 else 0 // sub-threshold cfgs: no truth
+          require(truth40.getOrElse(c, Set.empty).size == want
+            && truth44.getOrElse(c, Set.empty).size == want,
+            s"boundary fixture must plant $want truth pairs for cfg=$c:" +
               s" ${truth40.getOrElse(c, Set.empty).size}" +
-              s"/${truth44.getOrElse(c, Set.empty).size})")
+              s"/${truth44.getOrElse(c, Set.empty).size}")
         }
         val knobs =
           Seq(8, 16, 32, 64, 128).map(k => (k, SketchOps.ContainEstThreshold)) ++
@@ -160,8 +165,9 @@ object RecallBench {
             tierOf: (Int, Double) => DataFrame): Seq[String] =
           knobs.flatMap { case (k, t) =>
             val tier = pairSet(tierOf(k, t))
-            (0 to 5).map { c =>
-              recallRow(f"${cfgLabels(c)},k=$k,est_t=$t%.1f", truth(c),
+            (0 to 8).map { c =>
+              recallRow(f"${cfgLabels(c)},k=$k,est_t=$t%.1f",
+                truth.getOrElse(c, Set.empty),
                 tier.filter(p => cfgOf(p._1) == ((fam, c))))
             }
           }
