@@ -368,11 +368,14 @@ object CorpusStream {
     val shI = TextOps.shingleRows(candDocs, 3)
       .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
     // eager: the rejected id set is tiny, and materializing it here lets
-    // the micro-batch's cache release immediately — a long-running stream
-    // must not accumulate one cached candidate frame per batch (advice r12)
+    // the micro-batch's caches release immediately — a long-running
+    // stream must not accumulate cached frames per batch (advice r12).
+    // shB/shI are the very objects crossVerifiedPairs cached; the
+    // signature build's internal token-set cache releases by plan.
     val rejected = SketchOps.crossVerifiedPairs(cand, shB, shI)
       .select(col("db")).distinct().localCheckpoint()
-    cand.unpersist()
+    cand.unpersist(); shB.unpersist(); shI.unpersist()
+    SketchOps.releaseSignatureCache(srced)
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -448,10 +451,11 @@ object CorpusStream {
       .select(col("doc_id").as("db"), TextOps.shingleHash(col("sh")).as("shh"))
     val shI = TextOps.shingleRows(candDocs, 3)
       .select(col("doc_id").as("di"), TextOps.shingleHash(col("sh")).as("shh"))
-    // eager + release, dropNearDups' cache discipline
+    // eager + release, dropNearDups' cache discipline (shB is the
+    // object crossContainedBatch cached; shI it leaves uncached)
     val rejected = SketchOps.crossContainedBatch(cand, shB, shI)
       .localCheckpoint()
-    cand.unpersist()
+    cand.unpersist(); shB.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -532,7 +536,7 @@ object CorpusStream {
     // blocks across micro-batches (advice r12)
     val rejected = SketchOps.crossContainedBatch(gated, shB, shI)
       .localCheckpoint()
-    bsk.unpersist(); cand.unpersist(); gated.unpersist()
+    bsk.unpersist(); cand.unpersist(); gated.unpersist(); shB.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -667,6 +671,12 @@ object CorpusStream {
           .unionByName(ckRows)
       }
     deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
+    // the band-delta build registered minhashSignatures' token-set cache
+    // for this batch — release it now that the delta is on disk, so a
+    // long-running stream holds zero cached frames between batches
+    // (advice r12; the gate functions release their own the same way)
+    if (nearDup)
+      SketchOps.releaseSignatureCache(fresh.withColumn("source", lit("batch")))
   }
 
   /** The index-backed streaming ingest: wire a document stream

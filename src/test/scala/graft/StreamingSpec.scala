@@ -790,6 +790,33 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Seq((1L, 3L)))
   }
 
+  test("gated ingest releases its per-batch SQL caches (advice r12)") {
+    // a long-running stream must not accumulate one cached candidate
+    // frame per micro-batch: every gate eagerly materializes its small
+    // rejected set (localCheckpoint) and unpersists its caches before
+    // returning — so after any gated batch the SQL cache is empty
+    import graft.streaming.CorpusStream
+    // start from a clean slate: other tests in the shared session may
+    // hold their own (legitimate) cached frames — the assertion below
+    // is about what THIS ingest leaves behind
+    spark.catalog.clearCache()
+    val idx = java.nio.file.Files.createTempDirectory("graft_ccidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ccout").toString
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "source")
+    val page = (1 to 30).map(i => s"tok$i").mkString(" ")
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w",
+      nearDup = true, spanGate = true, containGate = true, syndGate = true)(
+      docs((1L, page, "agg"),
+        (2L, (1 to 20).map(i => s"wrd$i").mkString(" "), "wire")), 0L)
+    CorpusStream.ingestBatch(spark, idx, out, writer = "w",
+      nearDup = true, spanGate = true, containGate = true, syndGate = true)(
+      docs((3L, (5 to 14).map(i => s"tok$i").mkString(" "), "wire"),
+        (4L, (1 to 12).map(i => s"new$i").mkString(" "), "misc")), 1L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "gated ingestBatch left SQL-cached frames behind")
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")
