@@ -723,6 +723,13 @@ object CorpusStream {
     val ms = docs.agg(min(col("source"))).head.getString(0) // 1-row probe
     val idx = java.nio.file.Files.createTempDirectory("graft_d45_idx").toString
     val out = java.nio.file.Files.createTempDirectory("graft_d45_out").toString
+    // the returned frame reads `out` lazily, so the dirs can only be
+    // reclaimed at JVM exit — without this, repeated bench/verify calls
+    // accumulate one temp store per invocation
+    Seq(idx, out).foreach { d =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    }
     ingestBatch(spark, idx, out, writer = "verify", syndGate = true)(
       docs.filter(col("source") =!= ms), 0L)
     ingestBatch(spark, idx, out, writer = "verify", syndGate = true)(
