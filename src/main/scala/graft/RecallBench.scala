@@ -64,6 +64,8 @@ object RecallBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime() // wall stamp: keeps reruns byte-distinct
+    // (the commit-time artifact gate needs regenerated != committed)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -179,7 +181,8 @@ object RecallBench {
         s""","d40b_boundary":${sect(rows40)},"d44_boundary":${sect(rows44)}"""
       }.getOrElse("")
 
-    val line = s"""{"metric":"recall_census","sf":"$sfDir",""" +
+    val wall = f"${(System.nanoTime() - t0) / 1e9}%.1f"
+    val line = s"""{"metric":"recall_census","sf":"$sfDir","wall_sec":$wall,""" +
       s""""d11_lsh_neardup":${sect(lshRows)},""" +
       s""""d08b_simhash_banded":${sect(simRows)},""" +
       s""""d40b_containment_kmv":${sect(kmvRows)},""" +

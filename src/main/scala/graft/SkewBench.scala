@@ -125,7 +125,11 @@ object SkewBench {
         def conf(k: String, v: String): Unit = spark.conf.set(k, v)
         // save EVERY conf the pass mutates and restore the saved values
         // (not literals) — silently wrong otherwise if Spark defaults
-        // change or Engine.configure ever sets these (advice r12)
+        // change or Engine.configure ever sets these (advice r12/r13).
+        // adaptive.autoBroadcastJoinThreshold is the one exception: its
+        // default is a FALLBACK to the non-adaptive threshold, and
+        // conf.get resolves that fallback — restoring the resolved value
+        // would pin it and sever the fallback, so it is unset instead.
         val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val skewThresh = spark.conf.get(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
@@ -133,6 +137,10 @@ object SkewBench {
           "spark.sql.adaptive.advisoryPartitionSizeInBytes")
         val skewFactor = spark.conf.get(
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        val skewEnabled = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.enabled")
+        val forceSkew = spark.conf.get(
+          "spark.sql.adaptive.forceOptimizeSkewedJoin")
         conf("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
@@ -151,16 +159,16 @@ object SkewBench {
         val qOn = runCensusOn(q09, dir)
         conf("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         val qForce = runCensusOn(q09, dir)
-        conf("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+        conf("spark.sql.adaptive.forceOptimizeSkewedJoin", forceSkew)
         conf("spark.sql.adaptive.skewJoin.enabled", "false")
         val jOff = runCensusThunk("join_agg", bareJoin _)
         val qOff = runCensusOn(q09, dir)
-        conf("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
         conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
         conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
         conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
         conf("spark.sql.autoBroadcastJoinThreshold", bcast)
-        conf("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         s""","aqe_skewjoin":{"sf":"$dir","on":{$jOn,$qOn},""" +
           s""""force":{$qForce},"off":{$jOff,$qOff}}"""
       }.getOrElse("")

@@ -817,6 +817,37 @@ class StreamingSpec extends SparkSpec {
       "gated ingestBatch left SQL-cached frames behind")
   }
 
+  test("d45 ingest handles single-source and all-gated-out corpora (advice r13)") {
+    // a single-source table makes the replay's batch-0 slice empty; the
+    // old path committed a zero-row store whose parquet dirs held no
+    // data files, and batch 1's history probes died on schema inference.
+    // Now batch 0 is skipped (batch 1 = first commit, no history to
+    // syndicate from) and every quality-passing doc is accepted.
+    import graft.streaming.CorpusStream
+    def writeDocs(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_d45deg").toString
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val body1 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val body2 = (1 to 30).map(i => s"wrd$i").mkString(" ")
+    val single = writeDocs(Seq((1L, body1, "wire"), (2L, body2, "wire")))
+    val got = CorpusStream.d45SyndicationIngest(spark, single)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    // all-gated-out: every doc fails the quality gate (under MinTokens),
+    // so both batches commit zero rows — the explicit-schema store read
+    // returns empty instead of failing parquet schema inference
+    val gatedOut = writeDocs(Seq((1L, "too short", "wire"),
+      (2L, "also short", "misc")))
+    assert(CorpusStream.d45SyndicationIngest(spark, gatedOut).count() == 0L)
+  }
+
   test("json event parsing roundtrip (N1)") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":5,"event_type":"view","value":1.5}""")

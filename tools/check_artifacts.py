@@ -44,19 +44,31 @@ CENSUS_RE = re.compile(r"\b([A-Z][A-Z0-9_]*(?:CENSUS|CORRECTNESS|COLD)"
 DRIVER_RE = re.compile(r"_r\d+\.json$|^CORRECTNESS_sf|^DIRTY_")
 
 
+def _dirty(repo, rel):
+    """True when the path differs from HEAD (modified/untracked)."""
+    out = subprocess.run(["git", "status", "--porcelain", "--", rel],
+                         cwd=repo, capture_output=True, text=True).stdout
+    return bool(out.strip())
+
+
 def eff_time(repo, rel):
-    """max(last-commit time, mtime): a regenerated artifact counts as
-    fresh even when the rerun is byte-identical to HEAD (deterministic
-    gates produce exactly that), and a fresh clone's uniform checkout
-    mtimes keep artifact >= producer. The MISSING case — the r12 class
-    this gate exists for — is unaffected."""
+    """A path's effective time is its last git commit time; filesystem
+    mtime is consulted ONLY when the path differs from HEAD (an artifact
+    regenerated this round but not yet committed counts as fresh, and a
+    byte-identical deterministic rerun needs no freshness credit — the
+    committed copy IS current). Advice r13: the old max(commit, mtime)
+    made the staleness check vacuous in a fresh clone, whose uniform
+    checkout mtimes guarantee artifact >= producer; comparing commit
+    times alone for clean paths restores the gate's guarantee."""
     p = os.path.join(repo, rel)
     if not os.path.exists(p):
         return None
     out = subprocess.run(["git", "log", "-1", "--format=%ct", "--", rel],
                          cwd=repo, capture_output=True, text=True).stdout
     committed = int(out.strip()) if out.strip() else 0
-    return max(committed, int(os.path.getmtime(p)))
+    if _dirty(repo, rel):
+        return max(committed, int(os.path.getmtime(p)))
+    return committed
 
 
 def main():

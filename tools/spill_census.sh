@@ -18,13 +18,17 @@ ROWS="$(mktemp /tmp/spill_rows.XXXXXX.jsonl)"
 OOMS="$(mktemp /tmp/spill_ooms.XXXXXX.jsonl)"
 
 # validate + parse HEAP up front, loudly (advice r12: a silent bc failure
-# published oom_at_mb=0); accept e.g. 8g/8G/512m/512M
+# published oom_at_mb=0); accept e.g. 8g/8G/512m/512M. Anchored regex
+# (advice r13): the old case patterns (*[0-9]g) accepted '1.5g'/'x8g',
+# which then died mid-ladder under set -u instead of here.
 HEAP_NORM="$(echo "$HEAP" | tr '[:upper:]' '[:lower:]')"
-case "$HEAP_NORM" in
-  *[0-9]g) heap_mb=$(( ${HEAP_NORM%g} * 1024 )) ;;
-  *[0-9]m) heap_mb=$(( ${HEAP_NORM%m} )) ;;
-  *) echo "HEAP must match ^[0-9]+[gmGM]$ (got: $HEAP)" >&2; exit 1 ;;
-esac
+[[ "$HEAP_NORM" =~ ^[0-9]+[gm]$ ]] \
+  || { echo "HEAP must match ^[0-9]+[gmGM]$ (got: $HEAP)" >&2; exit 1; }
+if [ "${HEAP_NORM: -1}" = g ]; then
+  heap_mb=$(( ${HEAP_NORM%g} * 1024 ))
+else
+  heap_mb=$(( ${HEAP_NORM%m} ))
+fi
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -61,8 +65,14 @@ for cpus in "${RUNGS[@]}"; do
       # fixture) is recorded under failed_at_mb with its rc so a
       # persistent non-OOM failure can't masquerade as an OOM rung.
       mbc=$(( heap_mb / cpus ))
-      if grep -q "OutOfMemoryError\|java.lang.OutOfMemory\|Java heap space\|Direct buffer memory\|GC overhead limit" /tmp/spill_attempt.log \
-         || [ "$rc" -eq 137 ] || [ "$rc" -eq 134 ]; then
+      # rc=134 (SIGABRT) counts as OOM only when the attempt log carries a
+      # memory message (advice r13): a native assertion abort at a rung
+      # must not publish a memory floor. rc=137 (SIGKILL) stays
+      # unconditional — the kernel OOM-killer leaves no JVM log line.
+      oom_msg=0
+      grep -q "OutOfMemoryError\|java.lang.OutOfMemory\|Java heap space\|Direct buffer memory\|GC overhead limit\|Native memory allocation\|insufficient memory" /tmp/spill_attempt.log \
+        && oom_msg=1
+      if [ "$oom_msg" -eq 1 ] || [ "$rc" -eq 137 ]; then
         echo "{\"query\":\"$q\",\"oom_at_mb\":$mbc}" >> "$OOMS"
         echo "[spill-census]   OOM (rc=$rc) at $mbc MB/core — will retry one rung down" >&2
       else
