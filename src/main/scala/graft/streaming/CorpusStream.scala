@@ -104,6 +104,22 @@ object CorpusStream {
     * `v<N>_b<id>` → `v<N>_<writer>_b<id>` for whichever single writer
     * produced the old sequence. */
   def indexVersions(spark: SparkSession, indexDir: String): Seq[(Int, String, Long)] = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = physicalDeltas(spark, indexDir)
+    // a compacted delta carries the (version, writer, batchId) triples it
+    // folded in its _graft_folded ledger — they stay visible here so
+    // replayed batches remain no-ops after compaction
+    val folded = dirs.flatMap { case (v, w, b) =>
+      readFoldedLedger(fs, new Path(s"$indexDir/v${v}_${w}_b$b")) }
+    (dirs ++ folded).distinct.sortBy(_._1)
+  }
+
+  /** Committed delta DIRECTORIES only (the triples that own parquet data
+    * on disk) — [[indexVersions]] minus ledger-only entries. The read
+    * paths union these; the replay check consults the full ledger. */
+  private def physicalDeltas(spark: SparkSession,
+      indexDir: String): Seq[(Int, String, Long)] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -124,6 +140,31 @@ object CorpusStream {
       .sortBy(_._1)
   }
 
+  private val FoldedLedger = "_graft_folded"
+
+  private def readFoldedLedger(fs: org.apache.hadoop.fs.FileSystem,
+      deltaDir: Path): Seq[(Int, String, Long)] = {
+    val p = new Path(deltaDir, FoldedLedger)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .map(_.trim).filter(_.nonEmpty).map { line =>
+          val Array(v, w, b) = line.split("\t")
+          (v.toInt, w, b.toLong)
+        }
+      finally in.close()
+    }
+  }
+
+  private def writeFoldedLedger(fs: org.apache.hadoop.fs.FileSystem,
+      deltaDir: Path, folded: Seq[(Int, String, Long)]): Unit = {
+    val out = fs.create(new Path(deltaDir, FoldedLedger), true)
+    try out.write(folded.map { case (v, w, b) => s"$v\t$w\t$b" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private val FpSchema = StructType(Seq(StructField("text_fp", StringType)))
   // the near-dup tier's delta rows: fp rows carry (text_fp, doc_id) with
   // null band columns; band rows carry (doc_id, band, bh) with null fp.
@@ -134,7 +175,7 @@ object CorpusStream {
     StructField("band", IntegerType), StructField("bh", StringType)))
 
   private def committedPaths(spark: SparkSession, indexDir: String): Seq[String] =
-    indexVersions(spark, indexDir).map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }
+    physicalDeltas(spark, indexDir).map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }
 
   /** The current index: union of all committed fingerprint deltas
     * (one `text_fp` column; empty before the first commit). */
@@ -202,6 +243,94 @@ object CorpusStream {
     else spark.read.schema(SpanSchema).parquet(vs: _*)
       .filter(col("sfp").isNotNull)
       .groupBy(col("sfp")).agg(sum(col("sn")).as("sn"))
+  }
+
+  // the union of every tier's delta columns — what a delta dir can hold.
+  // Compaction reads ALL deltas under this widest schema (absent columns
+  // in older/narrower deltas are null, exactly the per-tier read_
+  // contract) so the fold is tier-lossless.
+  private val FullDeltaSchema = StructType(Seq(
+    StructField("text_fp", StringType), StructField("doc_id", LongType),
+    StructField("band", IntegerType), StructField("bh", StringType),
+    StructField("sfp", LongType), StructField("sn", LongType),
+    StructField("ck", LongType), StructField("csz", LongType),
+    StructField("csource", StringType)))
+
+  /** Fold every committed index delta into ONE compacted delta — the
+    * maintenance pass that keeps a long-running ingest's per-batch cost
+    * flat. [[ingestBatch]] appends one delta directory per micro-batch,
+    * so after a year of 5-minute batches the index is ~100k directories:
+    * every probe ([[readIndex]]/[[readBandIndex]]/[[readSpanIndex]]/
+    * [[readContainIndex]]) unions 100k parquet fragments and every
+    * [[indexVersions]] call lists 100k dirs driver-side. At 100 TB that
+    * listing — not the data — becomes the per-batch bottleneck.
+    * Compaction rewrites the accumulated rows as one delta with
+    * [[FullDeltaSchema]]-width columns, bounded file count, and
+    * tier-clustered row groups, after which reads scan one directory
+    * until deltas accumulate again.
+    *
+    * Replay idempotence SURVIVES the fold: the compacted delta carries a
+    * `_graft_folded` ledger of every (version, writer, batchId) triple it
+    * absorbed (including triples from earlier compactions), and
+    * [[indexVersions]] reports ledger entries alongside physical dirs —
+    * so a crawler replaying an already-committed batch after compaction
+    * still no-ops, and the next live batch's version number stays
+    * monotonic. "compacted" is a reserved writer id ([[ingestBatch]]
+    * rejects it) so a fold can never collide with a live writer's slot.
+    *
+    * Pure row MOVE, verified before the swap: per-tier row counts
+    * (exact-fp / band / span / sketch-element) must match the pre-fold
+    * union or the pass aborts with both stores intact. The swap is
+    * [[compactStore]]'s two-rename protocol with the same crash window
+    * and entry-time recovery; run it with writers quiesced — the
+    * single-writer contract ingest already requires. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a prior pass that died inside its two-rename window
+    // left the index at .__old__ and nothing at the root — restore it
+    val crashed = new Path(indexDir + ".__old__")
+    if (!fs.exists(root) && fs.exists(crashed)) {
+      System.err.println(s"[graft] fingerprint index $indexDir missing " +
+        s"with $crashed present — restoring the pre-compaction index " +
+        "before re-running the fold")
+      require(fs.rename(crashed, root),
+        s"could not restore $crashed to $indexDir")
+    }
+    val all = indexVersions(spark, indexDir) // dirs + prior ledgers
+    val dirs = physicalDeltas(spark, indexDir)
+    if (dirs.size <= 1) return // nothing to fold
+    val paths = dirs.map { case (v, w, b) => s"$indexDir/v${v}_${w}_b$b" }
+    val src = spark.read.schema(FullDeltaSchema).parquet(paths: _*)
+    def tierCounts(df: DataFrame): Seq[Long] = df.agg(
+        count(lit(1)), count(col("text_fp")), count(col("band")),
+        count(col("sfp")), count(col("ck")))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val before = tierCounts(src)
+    val next = all.map(_._1).max + 1
+    val epoch = all.count(_._2 == "compacted")
+    val tmp = new Path(indexDir + ".__compact__")
+    fs.delete(tmp, true) // crashed prior pass
+    val deltaName = s"v${next}_compacted_b$epoch"
+    // bounded file count (never more than the dirs being folded, capped
+    // at the session's shuffle width so big indexes split config-wide),
+    // tiers clustered inside each file so per-tier reads skip whole row
+    // groups on null-count stats
+    val nOut = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, dirs.size))
+    src.repartition(nOut)
+      .sortWithinPartitions(col("ck"), col("sfp"), col("band"), col("text_fp"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/$deltaName")
+    val after = tierCounts(
+      spark.read.schema(FullDeltaSchema).parquet(s"$tmp/$deltaName"))
+    require(after == before,
+      s"index compaction of $indexDir would change tier row counts " +
+        s"($before -> $after); aborting swap")
+    writeFoldedLedger(fs, new Path(s"$tmp/$deltaName"), all)
+    fs.delete(crashed, true) // leftovers of a COMPLETED prior pass
+    require(fs.rename(root, crashed) && fs.rename(tmp, root),
+      s"index compaction swap failed for $indexDir")
+    fs.delete(crashed, true)
   }
 
   /** Corpus-store bucket fan-out DEFAULT. Accepted bodies land under
@@ -586,6 +715,8 @@ object CorpusStream {
       batch: DataFrame, batchId: Long): Unit = {
     require(writer.matches("[A-Za-z0-9-]+"),
       s"writer id must be [A-Za-z0-9-]+ (delta dir names embed it): $writer")
+    require(writer != "compacted",
+      "writer id 'compacted' is reserved for compactIndex/compactStore folds")
     require(!syndGate || batch.columns.contains("source"),
       "the syndication gate compares origin sources: the ingest frame " +
         "must carry a `source` column when syndGate is on")

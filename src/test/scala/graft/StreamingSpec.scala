@@ -595,6 +595,84 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(out + ".__old__")))
   }
 
+  test("compactIndex folds deltas to one dir: probes identical, replays no-op, gates still fire") {
+    import graft.streaming.CorpusStream
+    val idx = java.nio.file.Files.createTempDirectory("graft_ciidx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ciout").toString
+    def ingest(writer: String, b: Long, rows: Seq[(Long, String, String)]): Unit =
+      CorpusStream.ingestBatch(spark, idx, out, writer = writer,
+        nearDup = true, spanGate = true, containGate = true, syndGate = true)(
+        rows.toDF("doc_id", "text", "source"), b)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    ingest("stream", 0L, Seq((1L, body, "wire"), (2L, other, "wire")))
+    ingest("stream", 1L, Seq(
+      (3L, "third wholly novel document body carrying plenty of distinct tokens here", "misc")))
+    ingest("nightly", 0L, Seq(
+      (4L, "the nightly writer contributes one more novel accepted document body", "arch")))
+    def deltaDirs() = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted.toSeq
+    assert(deltaDirs().size == 3)
+    def snap() = (
+      CorpusStream.readIndex(spark, idx).collect().map(_.getString(0)).sorted.toSeq,
+      CorpusStream.readBandIndex(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq,
+      CorpusStream.readSpanIndex(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      CorpusStream.readContainIndex(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted.toSeq)
+    val before = snap()
+    val versBefore = CorpusStream.indexVersions(spark, idx)
+
+    CorpusStream.compactIndex(spark, idx)
+    assert(deltaDirs() == Seq("v3_compacted_b0"), s"got ${deltaDirs()}")
+    assert(snap() == before, "every tier's probe must read identically from the fold")
+    // the folded (writer, batchId) triples stay visible for replay checks
+    assert(versBefore.toSet.subsetOf(CorpusStream.indexVersions(spark, idx).toSet))
+    val storeRows = spark.read.parquet(out).count()
+    ingest("stream", 0L, Seq((1L, body, "wire"), (2L, other, "wire"))) // replay
+    assert(spark.read.parquet(out).count() == storeRows, "replay must stay a no-op")
+
+    // every history tier still fires off the COMPACTED delta: exact dup,
+    // near-dup, and a cross-source syndicated copy all bounce; fresh lands
+    ingest("stream", 2L, Seq(
+      (10L, body, "misc"),                          // exact tier (fp folded)
+      (11L, body.replace("kappa", "lambda"), "misc"), // band tier
+      (12L, body, "archive2"),                      // would be syndication had fp missed
+      (13L, "a genuinely fresh follow-up document accepted after the compaction pass", "misc")))
+    val accepted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(accepted == Seq(1L, 2L, 3L, 4L, 13L), s"got $accepted")
+    // the new delta's version continues ABOVE the fold (no slot reuse)
+    assert(deltaDirs().contains("v4_stream_b2"), s"got ${deltaDirs()}")
+
+    // second fold: epoch advances, everything above still holds
+    CorpusStream.compactIndex(spark, idx)
+    assert(deltaDirs() == Seq("v5_compacted_b1"), s"got ${deltaDirs()}")
+    ingest("stream", 2L, Seq((14L, "replay of batch two after the second fold", "misc")))
+    assert(spark.read.parquet(out).select("doc_id").count() == 5, "replay after refold")
+
+    // crash window: dying between the two swap renames leaves the index
+    // at .__old__ — the next pass restores it before folding
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ingest("stream", 3L, Seq(
+      (15L, "one more accepted document so the restored index has two deltas to fold", "misc")))
+    val versNow = CorpusStream.indexVersions(spark, idx).toSet
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + ".__old__")))
+    CorpusStream.compactIndex(spark, idx) // restore, then fold
+    assert(versNow.subsetOf(CorpusStream.indexVersions(spark, idx).toSet))
+    assert(deltaDirs().size == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".__old__")))
+
+    // 'compacted' is a reserved writer id
+    intercept[IllegalArgumentException] {
+      CorpusStream.ingestBatch(spark, idx, out, writer = "compacted")(
+        Seq((99L, body, "wire")).toDF("doc_id", "text", "source"), 9L)
+    }
+  }
+
   test("near-dup streaming ingest: band index rejects near-dups across batches, restarts, writers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.CorpusStream

