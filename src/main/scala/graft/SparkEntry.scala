@@ -164,6 +164,8 @@ object SparkEntry {
     "a04_ann_ivf" -> (graft.llm.VectorOps.a04AnnIvf _),
     "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // inference oracled against the frozen centroid artifact; IvfSpec recall contract for training
     "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // inference oracled against the frozen codebook artifact; PqSpec recall contract for training
+    "a09_knn_join" -> (graft.llm.VectorOps.a09KnnJoin _),
+    "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
@@ -288,6 +290,8 @@ object SparkEntry {
     "a02_ann_lsh_bucketed" -> graft.llm.VectorOps.a02Sql,
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,
     "a04_ann_ivf" -> graft.llm.VectorOps.a04Sql,
+    "a09_knn_join" -> graft.llm.VectorOps.a09Sql,
+    "d46_inverted_index" -> graft.llm.QualityOps.d46Sql,
     // frozen-model inference oracles (defs — the SQL bakes in the
     // artifact path the query persisted for THIS run's data dir; Verify
     // runs queries first, dumps oracle SQL after)

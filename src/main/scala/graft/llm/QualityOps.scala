@@ -961,4 +961,64 @@ object QualityOps {
        |  FROM sc)
        |SELECT doc_id, rank, tok, tf, df, n_tokens, tfidf_q
        |FROM rk WHERE rank <= $KeywordTopK ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d46 — inverted index build: term → (df, total tf, top-K postings by
+  // tf) — the retrieval-side member of the term-statistics family (d17 =
+  // global vocabulary head, d28 = doc rarity mass, d36 = per-doc
+  // keywords; this is the SEARCH INDEX over the curated corpus). Postings
+  // are emitted as rows (tok, rank, doc_id, tf) so the result stays
+  // hash-comparable; hapax terms (df < MinDf) are dropped — an index on
+  // the long tail is per-doc metadata, which d36 already carries.
+  //
+  // Scale: the per-term top-K is a bounded TypedImperativeAggregate
+  // ([[org.apache.spark.sql.graft.TopKPairsAgg]]), NOT a window — a
+  // row_number window partitioned by term would shuffle the FULL postings
+  // of every stopword to a single reducer (corpus-sized partitions, the
+  // skew class every other window in this repo avoids by using bounded
+  // partition keys). The heap agg's map-side partials bound the shuffle
+  // to ≤ K pairs per (term, map partition), and df/tf_total ride the same
+  // single hash aggregate. Two shuffles total: (doc,term) tf collapse,
+  // then the term-grain aggregate.
+  // ---------------------------------------------------------------------
+  private val PostingsK = 5
+  private val MinDf = 3
+
+  def d46InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        org.apache.spark.sql.graft.TopKPairsAgg
+          .topKPairs(col("tf"), col("doc_id"), PostingsK).as("postings"))
+      .filter(col("df") >= MinDf)
+      .select(col("tok"), col("df"), col("tf_total"),
+        posexplode(col("postings")))
+      .select(col("tok"), col("df"), col("tf_total"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("tf"))
+      .orderBy(col("tok"), col("rank"))
+  }
+
+  val d46Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |term AS (
+       |  SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+       |  FROM tf GROUP BY tok),
+       |rk AS (
+       |  SELECT tok, doc_id, tf,
+       |         CAST(row_number() OVER (PARTITION BY tok
+       |           ORDER BY tf DESC, doc_id) AS INT) AS rank
+       |  FROM tf)
+       |SELECT t.tok, t.df, t.tf_total, r.rank, r.doc_id, r.tf
+       |FROM term t JOIN rk r USING (tok)
+       |WHERE t.df >= $MinDf AND r.rank <= $PostingsK
+       |ORDER BY tok, rank""".stripMargin
 }

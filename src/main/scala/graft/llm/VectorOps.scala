@@ -916,4 +916,64 @@ object VectorOps {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // a09 — k-NN similarity JOIN between two corpora (entity resolution /
+  // cross-dataset linking): even vec_ids play corpus A (every A row is a
+  // probe), odd vec_ids corpus B (the index side); each A row links to
+  // its top-JoinK B neighbors by cosine among candidates sharing its
+  // sign-LSH bucket. Distinct from a01/a02's ANN SEARCH shape (a small
+  // fixed query set against one corpus): here BOTH sides are corpus-sized
+  // — the record-linkage join a curation pipeline runs to align two
+  // crawls or match documents to a reference set.
+  //
+  // Scale: the candidate stage is a hash equi-join on the bucket id — no
+  // cross join anywhere; per-probe candidate count is bounded by bucket
+  // occupancy (more LSH bits shrink it; multiprobe widens recall), so the
+  // top-k window partitions on left_id over a bucket-bounded candidate
+  // list, never the corpus. An A row whose bucket holds no B rows emits
+  // nothing — recall is the LSH trade, measured for this family in
+  // RECALL_CENSUS.json.
+  // ---------------------------------------------------------------------
+  private val JoinK = 3
+
+  def a09KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .withColumn("__norm", norm(col("embedding")))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("left_id"), col("embedding").as("le"),
+        col("bucket"), col("__norm").as("lnorm"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("right_id"), col("embedding").as("re"),
+        col("bucket").as("rbucket"), col("__norm").as("rnorm"))
+    val scored = a.join(b, col("bucket") === col("rbucket"))
+      .select(col("left_id"), col("right_id"), col("bucket"),
+        cosinePre(dot(col("le"), col("re")), col("lnorm"), col("rnorm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos_sim").desc, col("right_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= JoinK)
+      .orderBy(col("left_id"), col("rank"))
+  }
+
+  val a09Sql: String = {
+    val bucket = (0 until LshBits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |a AS (SELECT vec_id AS left_id, embedding AS le, bucket FROM e WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS right_id, embedding AS re, bucket AS rbucket FROM e WHERE vec_id % 2 = 1),
+       |scored AS (
+       |  SELECT left_id, right_id, bucket, ${cosSql("le", "re")} AS cos_sim
+       |  FROM a JOIN b ON bucket = rbucket),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY left_id
+       |    ORDER BY cos_sim DESC, right_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT left_id, right_id, bucket, cos_sim, rank FROM ranked
+       |WHERE rank <= $JoinK ORDER BY left_id, rank""".stripMargin
+  }
 }

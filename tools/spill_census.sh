@@ -12,7 +12,9 @@ LADDER="${LADDER:-32,16,8}"
 HEAP="${HEAP:-8g}"
 ATTEMPT_TIMEOUT="${ATTEMPT_TIMEOUT:-3600}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-CLASSES="$REPO/target/scala-2.13/classes"
+# SPILL_CLASSES pins the compiled-classes dir (e.g. a snapshot copy) so a
+# long census run is immune to concurrent sbt recompiles of the live tree.
+CLASSES="${SPILL_CLASSES:-$REPO/target/scala-2.13/classes}"
 [ -d "$CLASSES" ] || { echo "compile first: sbt compile" >&2; exit 1; }
 ROWS="$(mktemp /tmp/spill_rows.XXXXXX.jsonl)"
 OOMS="$(mktemp /tmp/spill_ooms.XXXXXX.jsonl)"
