@@ -166,6 +166,7 @@ object SparkEntry {
     "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // inference oracled against the frozen codebook artifact; PqSpec recall contract for training
     "a09_knn_join" -> (graft.llm.VectorOps.a09KnnJoin _),
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
+    "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
@@ -292,6 +293,7 @@ object SparkEntry {
     "a04_ann_ivf" -> graft.llm.VectorOps.a04Sql,
     "a09_knn_join" -> graft.llm.VectorOps.a09Sql,
     "d46_inverted_index" -> graft.llm.QualityOps.d46Sql,
+    "d47_layout_cluster" -> graft.sources.Layout.d47Sql,
     // frozen-model inference oracles (defs — the SQL bakes in the
     // artifact path the query persisted for THIS run's data dir; Verify
     // runs queries first, dumps oracle SQL after)

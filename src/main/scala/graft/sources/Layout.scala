@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Lake layout maintenance — the OPTIMIZE/CLUSTER-BY tier every serving
+  * lake needs at 100 TB: rewrite a table physically clustered on its
+  * dominant predicate column so selective scans prune most of the data
+  * at PLANNING time (directory partition pruning) and most of the rest
+  * at READ time (parquet row-group min/max stats, which only help when
+  * the writer sorted the column).
+  *
+  * d47 clusters `documents` by a derived length band: rows are
+  * range-shuffled on (band, n_chars, doc_id) — so every output file
+  * covers a contiguous n_chars run AND file sizes stay balanced even
+  * when one band dominates (a hash-on-band repartition would pin each
+  * band to exactly one writer task; range on the full sort key splits a
+  * hot band across tasks) — then written `partitionBy(len_band)`. The
+  * serving filter carries BOTH the semantic predicate (n_chars range)
+  * and its implied band range: the band conjunct is what the planner
+  * prunes directories with, the n_chars conjunct is what the reader
+  * pushes to row-group stats. Band arithmetic is integer floor-division
+  * — exact and engine-identical.
+  *
+  * The oracle runs the same aggregate over the ORIGINAL table: a layout
+  * rewrite must be value-invariant, so oracle equality here is also the
+  * round-trip proof (write → partition-pruned read → same answer).
+  * LayoutBench measures the physical side (files/bytes/rows actually
+  * read, clustered vs unclustered) → LAYOUT_CENSUS.json.
+  */
+object Layout {
+
+  private[graft] val BandWidth = 64L
+  private[graft] val LoChars = 150L
+  private[graft] val HiChars = 280L
+
+  /** Artifact path keyed by data dir (Models.path's md5 move — gates on
+    * different dirs must not clobber one another's layout copies). */
+  private[graft] def layoutPath(dir: String, tag: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+    val suffix = md5.map("%02x".format(_)).mkString
+    new java.io.File(s"target/layout/${tag}_$suffix").getAbsolutePath
+  }
+
+  /** The clustered rewrite alone (shared by d47 and LayoutBench).
+    * Returns the output path. */
+  private[graft] def writeClustered(spark: SparkSession, dir: String): String = {
+    val out = layoutPath(dir, "d47_docs_by_len")
+    Tables.documents(spark, dir)
+      .withColumn("len_band", floor(col("n_chars") / BandWidth).cast(LongType))
+      .repartitionByRange(col("len_band"), col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("len_band"), col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("len_band").parquet(out)
+    out
+  }
+
+  /** The pruned serving scan alone (shared by d47 and LayoutBench). */
+  private[graft] def servingScan(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .filter(col("len_band").between(LoChars / BandWidth, HiChars / BandWidth)
+        && col("n_chars").between(LoChars, HiChars))
+
+  def d47LayoutCluster(spark: SparkSession, dir: String): DataFrame = {
+    val out = writeClustered(spark, dir)
+    servingScan(spark, out)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val d47Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM documents
+       |WHERE n_chars BETWEEN $LoChars AND $HiChars
+       |GROUP BY lang ORDER BY lang""".stripMargin
+}

@@ -35,6 +35,8 @@ PRODUCERS = {
     "SPILL_CENSUS.json": ["src/main/scala/graft/SpillBench.scala",
                           "tools/spill_census.sh"],
     "BENCH_COLD.json": ["src/main/scala/graft/Bench.scala"],
+    "LAYOUT_CENSUS.json": ["src/main/scala/graft/LayoutBench.scala",
+                           "src/main/scala/graft/sources/Layout.scala"],
 }
 # names that look like local census artifacts; driver-produced
 # per-round files (BENCH_r*, CORRECTNESS_r*, COPYCHECK, LEAKCHECK,
