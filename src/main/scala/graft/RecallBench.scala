@@ -124,6 +124,21 @@ object RecallBench {
         recallRow(f"k=$k,est_t=$t%.1f", d44Truth, tier)
       }
 
+    // ---- a09 k-NN join: sign-LSH bucket recall vs brute-force top-k ----
+    // truth = the bits=0 run (single bucket ⇒ exact top-JoinK over the
+    // full index side); tier = the bucketed join at each bit width. The
+    // knob trades candidate-set size (≈ N/2^bits per probe) against
+    // recall — the number a deployment picks bits by.
+    def knnPairs(bits: Int): Set[(Long, Long)] =
+      graft.llm.VectorOps.knnJoinPairs(spark, sfDir, bits)
+        .select(col("left_id").as("d1"), col("right_id").as("d2"))
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knnTruth = knnPairs(0)
+    val knnRows = Seq(4, 8, 12).map { bits =>
+      recallRow(s"bits=$bits", knnTruth, knnPairs(bits))
+    }
+
     def sect(rows: Seq[String]) = rows.mkString("[", ",", "]")
 
     // ---- boundary probe (r12 verdict #4): planted pairs AT the decision
@@ -186,7 +201,8 @@ object RecallBench {
       s""""d11_lsh_neardup":${sect(lshRows)},""" +
       s""""d08b_simhash_banded":${sect(simRows)},""" +
       s""""d40b_containment_kmv":${sect(kmvRows)},""" +
-      s""""d44_cross_source_gate":${sect(d44Rows)}$boundary}"""
+      s""""d44_cross_source_gate":${sect(d44Rows)},""" +
+      s""""a09_knn_join_bucket":${sect(knnRows)}$boundary}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -937,10 +937,23 @@ object VectorOps {
   // ---------------------------------------------------------------------
   private val JoinK = 3
 
-  def a09KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Bits-parametrized sign bucket (RecallBench sweeps the knob: more
+    * bits = smaller candidate buckets = faster join, lower recall).
+    * bits=0 disables bucketing (every row in one bucket) — that is the
+    * brute-force truth engine the census compares against. */
+  private[graft] def signBucketN(emb: Column, bits: Int): Column =
+    if (bits == 0) lit(0)
+    else (0 until bits)
+      .map(i => when(element_at(emb, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** a09's frame with the bucket width as a knob — shared by the query
+    * (bits = LshBits) and RecallBench's sweep. */
+  private[graft] def knnJoinPairs(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", signBucket(col("embedding")))
+      .withColumn("bucket", signBucketN(col("embedding"), bits))
       .withColumn("__norm", norm(col("embedding")))
     val a = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("left_id"), col("embedding").as("le"),
@@ -958,6 +971,9 @@ object VectorOps {
       .filter(col("rank") <= JoinK)
       .orderBy(col("left_id"), col("rank"))
   }
+
+  def a09KnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoinPairs(spark, dir, LshBits)
 
   val a09Sql: String = {
     val bucket = (0 until LshBits)
