@@ -165,6 +165,8 @@ object SparkEntry {
     "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // inference oracled against the frozen centroid artifact; IvfSpec recall contract for training
     "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // inference oracled against the frozen codebook artifact; PqSpec recall contract for training
     "a09_knn_join" -> (graft.llm.VectorOps.a09KnnJoin _),
+    "a10_ann_incremental" -> (graft.llm.VectorOps.a10AnnIncremental _), // serving oracled against the frozen index-stratum centroids; IncAnnSpec fold parity
+    "a10b_ann_drift" -> (graft.llm.VectorOps.a10bAnnDrift _),
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
@@ -298,6 +300,8 @@ object SparkEntry {
     // artifact path the query persisted for THIS run's data dir; Verify
     // runs queries first, dumps oracle SQL after)
     "a04b_ann_ivf_kmeans" -> graft.llm.VectorOps.a04bSql,
+    "a10_ann_incremental" -> graft.llm.VectorOps.a10Sql,
+    "a10b_ann_drift" -> graft.llm.VectorOps.a10bSql,
     "a07_ann_pq" -> graft.llm.VectorOps.a07Sql,
     "a08_ann_ivf_pq" -> graft.llm.VectorOps.a08Sql,
     "d33b_bpe_encode" -> graft.llm.LmOps.d33bSql,

@@ -230,7 +230,7 @@ object VectorOps {
     cents.withColumn("cn", norm(col("ce")))
 
   /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break). */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(withCn(cents)))
       .withColumn("__cs",
@@ -244,11 +244,16 @@ object VectorOps {
 
   /** Lloyd's k-means over (vec_id, embedding, __norm); returns
     * (centroid_id, ce). Empty clusters drop out (standard IVF behavior).
-    * Each round materializes only the k×dim model frame. */
-  def trainKmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = e.filter(col("vec_id") < k)
+    * Each round materializes only the k×dim model frame.
+    *
+    * `init` overrides the default deterministic seed (the vectors with
+    * vec_id < k) with an explicit (centroid_id, ce) frame — a10 trains
+    * on the index STRATUM, whose k smallest vec_ids are not 0..k-1. */
+  def trainKmeans(e: DataFrame, k: Int, iters: Int,
+      init: Option[DataFrame] = None): DataFrame = {
+    var cents = init.getOrElse(e.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("centroid_id"),
-        col("embedding").as("ce"))
+        col("embedding").as("ce")))
     for (_ <- 1 to iters) {
       cents = assignTo(e, cents)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -991,5 +996,196 @@ object VectorOps {
        |  FROM scored)
        |SELECT left_id, right_id, bucket, cos_sim, rank FROM ranked
        |WHERE rank <= $JoinK ORDER BY left_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // a10 — INCREMENTAL ANN: IVF index maintenance under append-only
+  // vector arrival, closing the incremental family on the vector side
+  // (d26 exact, d30 near-dup, d35b span, d42 containment, d45
+  // syndication — the ANN index was the one tier without an incremental
+  // protocol). The d-family's 80/20 hash-bucket split plays the roles:
+  // vec_id buckets < SketchOps.IndexBuckets are the SERVING INDEX — its
+  // centroids trained once on that stratum only and FROZEN as the
+  // a10_centroids artifact (production retrains on compaction, never per
+  // batch) — and buckets >= 80 are today's DELTA, assigned to the same
+  // frozen lists without retraining (the vector-DB upsert path). Queries
+  // multi-probe index ∪ delta with per-neighbor provenance: a vector is
+  // searchable the moment it lands, through exactly the lists a
+  // compaction would fold it into.
+  //
+  // Nearest-centroid assignment is a pure per-row function of (vector,
+  // frozen model), so incremental ingest and fold-then-serve are
+  // result-identical — IncAnnSpec EXECUTES that parity (separate
+  // index/delta assignment passes unioned vs the one-pass fold), and the
+  // a10Sql oracle replays the whole serving path from the frozen bits.
+  //
+  // Scale shape: training reads the bounded index stratum (the periodic
+  // compaction job's input); per-batch work is |delta| broadcast-assigns
+  // against a k×dim model (no shuffle); probes stay candidate-bounded by
+  // the nprobe lists exactly as in a04b. Nothing data-sized moves except
+  // the one probe join. a10b is the per-list DRIFT census a deployment
+  // triggers that retrain from: delta share and member-to-centroid mean
+  // cosine per stratum (fixed-point sums — order-free and oracle-exact).
+  // ---------------------------------------------------------------------
+  private[graft] def isDeltaVec(id: Column): Column =
+    TextOps.hashBucket(id) >= SketchOps.IndexBuckets
+
+  /** Train-on-index-only frozen centroids + full-corpus assignment with
+    * provenance. One assignTo pass covers both strata: assignment is
+    * per-row pure, so this IS the fold of the index's persisted lists
+    * with the delta's fresh ones (parity executed in IncAnnSpec). */
+  private[graft] def a10Index(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+    val idx = e.filter(!isDeltaVec(col("vec_id")))
+    // deterministic init: the k smallest vec_ids IN THE STRATUM (k-row
+    // bounded collect, the LmOps merge-table precedent) — the default
+    // `vec_id < k` seed would straddle strata
+    val initRows = idx.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(NCentroids).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+    val init = spark.createDataFrame(
+      spark.sparkContext.parallelize(initRows.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Float](1))
+      }.toSeq, 1),
+      StructType(Seq(StructField("centroid_id", IntegerType),
+        StructField("ce", ArrayType(FloatType)))))
+    val cents = Models.save(
+      trainKmeans(idx.cache(), NCentroids, KmIters, Some(init)),
+      dir, "a10_centroids")
+    val assigned = assignTo(e, cents)
+      .withColumn("from_delta", isDeltaVec(col("vec_id")))
+    (cents, assigned)
+  }
+
+  def a10AnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, assigned) = a10Index(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(withCn(cents)))
+      .withColumn("__cs",
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= NProbeDefault)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"), col("centroid_id").as("pc"))
+    val n = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("__norm").as("nn"),
+      col("centroid_id").as("nc"), col("from_delta"))
+    val scored = probes.join(n,
+        col("pc") === col("nc") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"),
+        col("from_delta"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Serving-path oracle over the frozen a10 centroids — a04bSql's form
+    * plus the provenance flag (the md5 hash-bucket replica, d42Sql's bkt
+    * algebra). A `def`: resolved at Verify-dump time, after the query
+    * trained and froze its model for this run's data dir. */
+  def a10Sql: String =
+    s"""WITH cents AS (
+       |  SELECT centroid_id, ce FROM ${Models.sqlRef("a10_centroids")}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS pc FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS pr
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries)
+       |  WHERE pr <= $NProbeDefault),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, centroid_id AS nc,
+       |        (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+       |           >= ${SketchOps.IndexBuckets}) AS from_delta
+       |      FROM assigned),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos_sim, from_delta
+       |  FROM probes JOIN n ON pc = nc AND query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, from_delta, rank FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Delta share that triggers a retrain+fold (compaction) of a list. */
+  private[graft] val DriftRetrainFrac = 0.3
+
+  def a10bAnnDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = a10Index(spark, dir)
+    val c2 = withCn(cents).select(col("centroid_id").as("cid"),
+      col("ce"), col("cn"))
+    val m = assigned.join(broadcast(c2), col("centroid_id") === col("cid"))
+      .select(col("centroid_id"), col("from_delta"),
+        adcFx(cosinePre(dot(col("embedding"), col("ce")),
+          col("__norm"), col("cn"))).as("cfx"))
+    m.groupBy(col("centroid_id"))
+      .agg(
+        sum(when(!col("from_delta"), lit(1L)).otherwise(lit(0L))).as("n_index"),
+        sum(when(col("from_delta"), lit(1L)).otherwise(lit(0L))).as("n_delta"),
+        sum(when(!col("from_delta"), col("cfx"))).as("fxi"),
+        sum(when(col("from_delta"), col("cfx"))).as("fxd"))
+      .select(col("centroid_id"), col("n_index"), col("n_delta"),
+        (col("n_delta").cast(DoubleType)
+          / (col("n_index") + col("n_delta"))).as("delta_frac"),
+        when(col("n_index") > 0, col("fxi").cast(DoubleType)
+          / (lit(AdcFxGrain) * col("n_index").cast(DoubleType))).as("mean_cos_index"),
+        when(col("n_delta") > 0, col("fxd").cast(DoubleType)
+          / (lit(AdcFxGrain) * col("n_delta").cast(DoubleType))).as("mean_cos_delta"))
+      .withColumn("retrain", col("delta_frac") >= DriftRetrainFrac)
+      .orderBy(col("centroid_id"))
+  }
+
+  def a10bSql: String = {
+    val fx = (1L << 40).toString
+    s"""WITH cents AS (
+       |  SELECT centroid_id, ce FROM ${Models.sqlRef("a10_centroids")}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT a.centroid_id,
+       |         (CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+       |            >= ${SketchOps.IndexBuckets}) AS from_delta,
+       |         CAST(floor(${cosSql("a.embedding", "c.ce")} * $fx + 0.5) AS BIGINT) AS cfx
+       |  FROM assigned a JOIN cents c ON a.centroid_id = c.centroid_id),
+       |g AS (
+       |  SELECT centroid_id,
+       |         SUM(CASE WHEN NOT from_delta THEN 1 ELSE 0 END) AS n_index,
+       |         SUM(CASE WHEN from_delta THEN 1 ELSE 0 END) AS n_delta,
+       |         SUM(CASE WHEN NOT from_delta THEN cfx END) AS fxi,
+       |         SUM(CASE WHEN from_delta THEN cfx END) AS fxd
+       |  FROM m GROUP BY centroid_id)
+       |SELECT centroid_id, CAST(n_index AS BIGINT) AS n_index,
+       |       CAST(n_delta AS BIGINT) AS n_delta,
+       |       CAST(n_delta AS DOUBLE) / (n_index + n_delta) AS delta_frac,
+       |       CASE WHEN n_index > 0 THEN
+       |         CAST(fxi AS DOUBLE) / ($fx.0 * CAST(n_index AS DOUBLE)) END AS mean_cos_index,
+       |       CASE WHEN n_delta > 0 THEN
+       |         CAST(fxd AS DOUBLE) / ($fx.0 * CAST(n_delta AS DOUBLE)) END AS mean_cos_delta,
+       |       (CAST(n_delta AS DOUBLE) / (n_index + n_delta))
+       |         >= ${DriftRetrainFrac} AS retrain
+       |FROM g ORDER BY centroid_id""".stripMargin
   }
 }
