@@ -34,6 +34,7 @@ PRODUCERS = {
     "BPE_CENSUS.json": ["src/main/scala/graft/BpeBench.scala"],
     "SPILL_CENSUS.json": ["src/main/scala/graft/SpillBench.scala",
                           "tools/spill_census.sh"],
+    "COMPACTION_CENSUS.json": ["src/main/scala/graft/CompactionBench.scala"],
     "BENCH_COLD.json": ["src/main/scala/graft/Bench.scala"],
     "LAYOUT_CENSUS.json": ["src/main/scala/graft/LayoutBench.scala",
                            "src/main/scala/graft/sources/Layout.scala"],
