@@ -173,7 +173,52 @@ object SkewBench {
           s""""force":{$qForce},"off":{$jOff,$qOff}}"""
       }.getOrElse("")
 
-    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin}"""
+    // Pass 4 (r14) — bucket skew in a09's k-NN candidate join, on a
+    // fixture where one sign-LSH bucket holds ~20% of BOTH join sides
+    // (make_skewed.py --hot-bucket: the clustered-corpus shape; the
+    // organic fixture's random signs give uniform buckets, so a09's skew
+    // behavior was otherwise unmeasured). Same two cluster-scale knobs
+    // as pass 3: broadcast disabled — at 100 TB both a09 sides are
+    // corpus-sized and CANNOT broadcast, while locally AQE would convert
+    // the ~10 MB side and the hot bucket would never shuffle — and skew
+    // thresholds lowered so the fixture's hot partition qualifies the
+    // way a multi-GB one would. Unlike q09 there is no distribution-
+    // reusing agg above this join (the top-k window repartitions on
+    // left_id regardless), so OptimizeSkewedJoin has no structural
+    // blocker: the on/off rows measure the split absorbing the hot
+    // bucket vs the bare straggler.
+    val skewAnn = sys.env.get("SPARK_GRAFT_SKEWANN_DIR")
+      .filter(_.trim.nonEmpty).map { dir =>
+        def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val skewThresh = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        val advisory = spark.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val skewFactor = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        val skewEnabled = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.enabled")
+        conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        val a09 = "a09_knn_join"
+        conf("spark.sql.adaptive.skewJoin.enabled", "true")
+        val aOn = runCensusOn(a09, dir)
+        conf("spark.sql.adaptive.skewJoin.enabled", "false")
+        val aOff = runCensusOn(a09, dir)
+        conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        conf("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff}}"""
+      }.getOrElse("")
+
+    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -109,9 +109,51 @@ def skew_orderkey(src, dst):
     return t.num_rows, hot
 
 
+def skew_embeddings(src, dst):
+    """--hot-bucket mode (round 14): plant sign-LSH bucket skew for a09's
+    k-NN candidate join. Every HOT_MODth vector gets its first 8
+    components replaced by their absolute values, so all of them land in
+    sign bucket 2^8-1 (a09's LshBits=8 contract) — the clustered-corpus
+    shape where one bucket holds ~20% of both join sides. abs() preserves
+    the norm and every other component, row order and schema unchanged,
+    so a09Sql in DuckDB over the same copy remains the correctness check
+    (same data, both engines)."""
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    t = t.replace_schema_metadata(None)
+    emb = t.column("embedding").combine_chunks()
+    vals = []
+    for i, v in enumerate(emb):
+        lst = v.as_py()
+        if i % HOT_MOD == 0:
+            lst = [abs(x) for x in lst[:8]] + lst[8:]
+        vals.append(lst)
+    cols = []
+    for field in t.schema:
+        if field.name == "embedding":
+            cols.append(pa.array(vals, type=field.type))
+        else:
+            cols.append(t.column(field.name))
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
+    return t.num_rows
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     hot_orderkey = "--hot-orderkey" in sys.argv
+    hot_bucket = "--hot-bucket" in sys.argv
+    if hot_bucket:
+        src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+        dst = argv[1] if len(argv) > 1 else "/tmp/sf01_hotbucket"
+        os.makedirs(dst, exist_ok=True)
+        for name in TABLES:
+            p = os.path.join(src, f"{name}.parquet")
+            if os.path.exists(p) and name != "embeddings":
+                shutil.copyfile(p, os.path.join(dst, f"{name}.parquet"))
+        ne = skew_embeddings(src, dst)
+        print(f"hot-bucket copy at {dst}: sign bucket 255 holds "
+              f"~{100 // HOT_MOD}% of {ne} embeddings")
+        return
     src = argv[0] if len(argv) > 0 else "/tmp/sf1"
     dst = argv[1] if len(argv) > 1 else (
         "/tmp/sf1_skewjoin" if hot_orderkey else "/tmp/sf1_skew")
