@@ -177,16 +177,32 @@ object SkewBench {
     // fixture where one sign-LSH bucket holds ~20% of BOTH join sides
     // (make_skewed.py --hot-bucket: the clustered-corpus shape; the
     // organic fixture's random signs give uniform buckets, so a09's skew
-    // behavior was otherwise unmeasured). Same two cluster-scale knobs
-    // as pass 3: broadcast disabled — at 100 TB both a09 sides are
-    // corpus-sized and CANNOT broadcast, while locally AQE would convert
-    // the ~10 MB side and the hot bucket would never shuffle — and skew
-    // thresholds lowered so the fixture's hot partition qualifies the
-    // way a multi-GB one would. Unlike q09 there is no distribution-
-    // reusing agg above this join (the top-k window repartitions on
-    // left_id regardless), so OptimizeSkewedJoin has no structural
-    // blocker: the on/off rows measure the split absorbing the hot
-    // bucket vs the bare straggler.
+    // behavior was otherwise unmeasured). Unlike q09 there is no
+    // distribution-reusing agg above this join (the top-k window
+    // repartitions on left_id regardless), so OptimizeSkewedJoin has no
+    // structural blocker. Four local-scale knobs make the fixture behave
+    // like the cluster-scale shape, each measured as NECESSARY:
+    //  - broadcast disabled: at 100 TB both a09 sides are corpus-sized
+    //    and cannot broadcast; locally AQE would convert the ~10 MB side
+    //    and the hot bucket would never shuffle at all.
+    //  - skew thresholds lowered (1m/1m/2): the fixture's ~3.3 MB hot
+    //    partition qualifies the way a multi-GB one would.
+    //  - partition coalescing OFF for the pass: with sub-advisory
+    //    uniform partitions, CoalesceShufflePartitions rewrites the
+    //    reads into multi-reducer CoalescedPartitionSpecs first, and
+    //    OptimizeSkewedJoin only matches 1:1 reads — the split silently
+    //    never fires (measured: skewMarks=0 at every threshold until
+    //    this was disabled). At scale partitions exceed advisory and
+    //    this conflict does not arise.
+    //  - small scan splits (files.maxPartitionBytes=1m) PLUS a
+    //    many-row-group fixture: the split operates at MAP-OUTPUT
+    //    granularity, and a row group is the minimum scan unit — with
+    //    the fixture written as one row group every hot row funnels
+    //    through one map task and the hot reduce partition is
+    //    structurally unsplittable ("number of skewed partitions:
+    //    left 0" in the rule's debug log). make_skewed.py writes 4k-row
+    //    groups; production corpora have thousands of row groups (d47's
+    //    OPTIMIZE tier is what keeps that true on a real lake).
     val skewAnn = sys.env.get("SPARK_GRAFT_SKEWANN_DIR")
       .filter(_.trim.nonEmpty).map { dir =>
         def conf(k: String, v: String): Unit = spark.conf.set(k, v)
@@ -199,11 +215,16 @@ object SkewBench {
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         val skewEnabled = spark.conf.get(
           "spark.sql.adaptive.skewJoin.enabled")
+        val coalesce = spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        val maxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
         conf("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf("spark.sql.files.maxPartitionBytes", "1m")
         val a09 = "a09_knn_join"
         conf("spark.sql.adaptive.skewJoin.enabled", "true")
         val aOn = runCensusOn(a09, dir)
@@ -213,6 +234,8 @@ object SkewBench {
         conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
         conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
         conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        conf("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+        conf("spark.sql.files.maxPartitionBytes", maxPart)
         conf("spark.sql.autoBroadcastJoinThreshold", bcast)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff}}"""

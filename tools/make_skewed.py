@@ -134,7 +134,16 @@ def skew_embeddings(src, dst):
         else:
             cols.append(t.column(field.name))
     out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
-    pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
+    # many small row groups: AQE's skew-join split works at MAP-OUTPUT
+    # granularity, and a row group is the minimum scan unit — a
+    # single-row-group file funnels every hot row through one map task
+    # and the hot reduce partition becomes structurally unsplittable
+    # (measured: "number of skewed partitions: left 0" in the
+    # OptimizeSkewedJoin debug log until this was split). Production
+    # corpora have thousands of row groups; 4k rows per group restores
+    # that shape at fixture scale.
+    pq.write_table(out, os.path.join(dst, "embeddings.parquet"),
+                   row_group_size=4096)
     return t.num_rows
 
 
