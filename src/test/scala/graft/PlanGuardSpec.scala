@@ -27,6 +27,8 @@ class PlanGuardSpec extends SparkSpec {
     "a05_semantic_dedup", "a06_quantize_embeddings", // 1-row calibration
     "a07_ann_pq", // K-row sub-codebook broadcasts (assignL2, a01/a04's shape)
     "a08_ann_ivf_pq", // k-row coarse-centroid broadcasts (a04b's probe shape)
+    "a10_ann_incremental", // k-row frozen-centroid broadcasts (assign + probe, a04b's shape)
+    "a10b_ann_drift", // same k-row centroid broadcast into assignment + drift join
     "d28_token_rarity", // 1-row mean-token-frequency threshold
     "d28b_token_rarity_topk", // same 1-row threshold, over the K-row table
     "d31_lm_score", // 1-row vocabulary-size |V| broadcast into the model table
