@@ -226,18 +226,26 @@ object SkewBench {
         conf("spark.sql.adaptive.coalescePartitions.enabled", "false")
         conf("spark.sql.files.maxPartitionBytes", "1m")
         val a09 = "a09_knn_join"
-        conf("spark.sql.adaptive.skewJoin.enabled", "true")
-        val aOn = runCensusOn(a09, dir)
-        conf("spark.sql.adaptive.skewJoin.enabled", "false")
-        val aOff = runCensusOn(a09, dir)
-        conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
-        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
-        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
-        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
-        conf("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
-        conf("spark.sql.files.maxPartitionBytes", maxPart)
-        conf("spark.sql.autoBroadcastJoinThreshold", bcast)
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        // restore in finally (ADVICE r14): a failure mid-census must not
+        // leave broadcast/coalescing disabled and 1 MB scan splits for
+        // whatever runs after this pass in the same session
+        val (aOn, aOff) =
+          try {
+            conf("spark.sql.adaptive.skewJoin.enabled", "true")
+            val on = runCensusOn(a09, dir)
+            conf("spark.sql.adaptive.skewJoin.enabled", "false")
+            val off = runCensusOn(a09, dir)
+            (on, off)
+          } finally {
+            conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
+            conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
+            conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
+            conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+            conf("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+            conf("spark.sql.files.maxPartitionBytes", maxPart)
+            conf("spark.sql.autoBroadcastJoinThreshold", bcast)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
         s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff}}"""
       }.getOrElse("")
 

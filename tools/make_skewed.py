@@ -114,7 +114,12 @@ def skew_embeddings(src, dst):
     k-NN candidate join. Every HOT_MODth vector gets its first 8
     components replaced by their absolute values, so all of them land in
     sign bucket 2^8-1 (a09's LshBits=8 contract) — the clustered-corpus
-    shape where one bucket holds ~20% of both join sides. abs() preserves
+    shape where one bucket holds ~20% of both join sides. Caveat (ADVICE
+    r14): signBucket sets a bit only for strictly-positive components, so
+    a hot row with an exact 0.0 among its first 8 components would land
+    elsewhere — the generator draws continuous floats, so exact zeros
+    are improbable and the ~20% invariant is approximate, not
+    guaranteed. abs() preserves
     the norm and every other component, row order and schema unchanged,
     so a09Sql in DuckDB over the same copy remains the correctness check
     (same data, both engines)."""
