@@ -165,8 +165,12 @@ object SparkEntry {
     "a04b_ann_ivf_kmeans" -> (graft.llm.VectorOps.a04bAnnIvfKmeans _), // inference oracled against the frozen centroid artifact; IvfSpec recall contract for training
     "a07_ann_pq" -> (graft.llm.VectorOps.a07AnnPq _), // inference oracled against the frozen codebook artifact; PqSpec recall contract for training
     "a09_knn_join" -> (graft.llm.VectorOps.a09KnnJoin _),
+    "a09b_knn_join_banded" -> (graft.llm.VectorOps.a09bKnnJoinBanded _),
+    "a09c_knn_join_salted" -> (graft.llm.VectorOps.a09cKnnJoinSalted _), // output ≡ a09; oracle reuses a09Sql
     "a10_ann_incremental" -> (graft.llm.VectorOps.a10AnnIncremental _), // serving oracled against the frozen index-stratum centroids; IncAnnSpec fold parity
     "a10b_ann_drift" -> (graft.llm.VectorOps.a10bAnnDrift _),
+    "a10c_ann_compacted" -> (graft.llm.VectorOps.a10cAnnCompacted _), // retrain-and-fold; oracle serves from the folded artifact
+
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
@@ -294,6 +298,8 @@ object SparkEntry {
     "a03_embedding_neardup" -> graft.llm.VectorOps.a03Sql,
     "a04_ann_ivf" -> graft.llm.VectorOps.a04Sql,
     "a09_knn_join" -> graft.llm.VectorOps.a09Sql,
+    "a09b_knn_join_banded" -> graft.llm.VectorOps.a09bSql,
+    "a09c_knn_join_salted" -> graft.llm.VectorOps.a09Sql, // salted twin: same rows as a09 by construction
     "d46_inverted_index" -> graft.llm.QualityOps.d46Sql,
     "d47_layout_cluster" -> graft.sources.Layout.d47Sql,
     // frozen-model inference oracles (defs — the SQL bakes in the
@@ -302,6 +308,7 @@ object SparkEntry {
     "a04b_ann_ivf_kmeans" -> graft.llm.VectorOps.a04bSql,
     "a10_ann_incremental" -> graft.llm.VectorOps.a10Sql,
     "a10b_ann_drift" -> graft.llm.VectorOps.a10bSql,
+    "a10c_ann_compacted" -> graft.llm.VectorOps.a10cSql,
     "a07_ann_pq" -> graft.llm.VectorOps.a07Sql,
     "a08_ann_ivf_pq" -> graft.llm.VectorOps.a08Sql,
     "d33b_bpe_encode" -> graft.llm.LmOps.d33bSql,

@@ -45,8 +45,8 @@ object VectorOps {
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
-  private val K = 5
-  private val NQueries = 20
+  private[graft] val K = 5
+  private[graft] val NQueries = 20
 
   // ---------------------------------------------------------------------
   // a01 — brute-force cosine top-k: the first 20 vectors are the query
@@ -999,6 +999,150 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------------
+  // a09b — banded OR-amplified k-NN join (the high-recall serving tier
+  // a09 deliberately is not): a09's single sign-LSH band is a BLOCKING
+  // contract — RECALL_CENSUS measures 0.14/0.02/0.003 joint recall vs
+  // global top-3 at bits 4/8/12, because one band's collision
+  // probability for a pair at angle θ is only (1-θ/π)^bits. a09b is the
+  // d07/d11 OR-amplification algebra moved to the vector side: B
+  // independent sign-LSH bands over DISJOINT 8-component slices of the
+  // 64-dim embedding (independent axis-aligned hyperplane draws, the
+  // same family as a02), candidate pairs unioned across bands, deduped,
+  // then exact cosine + top-k. Joint recall compounds as 1-(1-p^B_bits)^B
+  // — ≈0.94 for a cos≈0.9 pair at B=bits=8, while a random pair
+  // (p≈0.5) stays at ≈0.03, so the candidate multiplier is bounded:
+  // RECALL_CENSUS's planted-neighbor fixture measures both sides
+  // (recall and candidate count vs the |A|·|B| all-pairs cost).
+  //
+  // Scale shape: the ×B posexplode is the standard OR-amplification
+  // shuffle cost (identical to d07's band signature explode); each
+  // band's buckets keep a09's occupancy bound, so the equi-join never
+  // degenerates; the pair dedup carries only (ids, score) — 16 bytes a
+  // row, map-side combinable — never the embedding arrays; top-k is
+  // a09's WindowGroupLimit-pushed rank window.
+  // ---------------------------------------------------------------------
+  private[graft] val KnnBands = 8
+  private[graft] val KnnBandBits = 8
+
+  /** Sign bucket of band b's disjoint component slice
+    * [b·bits, (b+1)·bits) — independent hashes because the generator
+    * draws components independently. */
+  private def bandBucket(emb: Column, band: Int): Column =
+    (0 until KnnBandBits)
+      .map(j => when(element_at(emb, band * KnnBandBits + j + 1) > 0f,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Deduped candidate pairs of the banded join — the frame whose row
+    * count IS the tier's cost (RecallBench reports it against
+    * |A|·|B|); a09b ranks on top of it. */
+  private[graft] def knnJoinBandedCandidates(spark: SparkSession,
+      dir: String, bands: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("__norm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("__norm"),
+        posexplode(array((0 until bands).map(b =>
+          bandBucket(col("embedding"), b)): _*)).as(Seq("band", "bucket")))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("left_id"), col("embedding").as("le"),
+        col("__norm").as("lnorm"), col("band"), col("bucket"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("right_id"), col("embedding").as("re"),
+        col("__norm").as("rnorm"), col("band").as("rband"),
+        col("bucket").as("rbucket"))
+    // score per collision (the cosine is deterministic per PAIR, so the
+    // cross-band duplicates agree bit-for-bit and max() is a pure
+    // dedup); n_bands = how many bands found the pair — the
+    // OR-amplification diagnostic, deterministic and oracle-checkable
+    a.join(b, col("band") === col("rband") && col("bucket") === col("rbucket"))
+      .select(col("left_id"), col("right_id"),
+        cosinePre(dot(col("le"), col("re")), col("lnorm"), col("rnorm"))
+          .as("__cs"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(max(col("__cs")).as("cos_sim"), count(lit(1)).as("n_bands"))
+  }
+
+  def a09bKnnJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos_sim").desc, col("right_id"))
+    knnJoinBandedCandidates(spark, dir, KnnBands)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= JoinK)
+      .orderBy(col("left_id"), col("rank"))
+  }
+
+  val a09bSql: String = {
+    val bucket = (0 until KnnBandBits)
+      .map(j => s"(CASE WHEN embedding[t.band*$KnnBandBits + ${j + 1}] > 0" +
+        s" THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH bands AS (
+       |  SELECT vec_id, embedding, CAST(t.band AS INTEGER) AS band,
+       |         $bucket AS bucket
+       |  FROM embeddings, range($KnnBands) t(band)),
+       |a AS (SELECT vec_id AS left_id, embedding AS le, band, bucket
+       |      FROM bands WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS right_id, embedding AS re, band AS rband,
+       |             bucket AS rbucket
+       |      FROM bands WHERE vec_id % 2 = 1),
+       |cand AS (
+       |  SELECT left_id, right_id, MAX(${cosSql("le", "re")}) AS cos_sim,
+       |         COUNT(*) AS n_bands
+       |  FROM a JOIN b ON band = rband AND bucket = rbucket
+       |  GROUP BY left_id, right_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY left_id
+       |    ORDER BY cos_sim DESC, right_id) AS INTEGER) AS rank
+       |  FROM cand)
+       |SELECT left_id, right_id, cos_sim, n_bands, rank FROM ranked
+       |WHERE rank <= $JoinK ORDER BY left_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // a09c — a09's SALTED twin for the quadratic skew residual (the q18b
+  // playbook on the candidate join): AQE's byte-based split caps what it
+  // can do on a hot LSH bucket at max/med ≈ 10 because every split
+  // slice still joins the FULL hot index partition (SKEW_CENSUS pass 4).
+  // Salting attacks the row-count product directly: the index side
+  // lands in ONE of R salt shards by hash(right_id); the probe side is
+  // replicated across all R, so every in-bucket pair is still produced
+  // exactly once but the hot bucket's build side is R-way split
+  // STRUCTURALLY — no AQE precondition (works even on single-row-group
+  // files where the byte split cannot fire). Output ≡ a09 row-for-row;
+  // the oracle entry IS a09's SQL. Cost: R× the probe-side shuffle —
+  // the documented premium for bounded-task guarantees on clustered
+  // corpora; the salt is not data-dependent, so the twin is the knob a
+  // deployment flips when SKEW_CENSUS flags the organic form.
+  // ---------------------------------------------------------------------
+  private[graft] val KnnSalt = 8
+
+  def a09cKnnJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucketN(col("embedding"), LshBits))
+      .withColumn("__norm", norm(col("embedding")))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("left_id"), col("embedding").as("le"),
+        col("bucket"), col("__norm").as("lnorm"))
+      .withColumn("salt", explode(array((0 until KnnSalt).map(lit): _*)))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("right_id"), col("embedding").as("re"),
+        col("bucket").as("rbucket"), col("__norm").as("rnorm"),
+        pmod(hash(col("vec_id")), lit(KnnSalt)).as("rsalt"))
+    val scored = a.join(b,
+        col("bucket") === col("rbucket") && col("salt") === col("rsalt"))
+      .select(col("left_id"), col("right_id"), col("bucket"),
+        cosinePre(dot(col("le"), col("re")), col("lnorm"), col("rnorm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos_sim").desc, col("right_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= JoinK)
+      .orderBy(col("left_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // a10 — INCREMENTAL ANN: IVF index maintenance under append-only
   // vector arrival, closing the incremental family on the vector side
   // (d26 exact, d30 near-dup, d35b span, d42 containment, d45
@@ -1212,4 +1356,129 @@ object VectorOps {
        |         >= ${DriftRetrainFrac} AS retrain
        |FROM g ORDER BY centroid_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // a10c — COMPACTION of the incremental ANN index (round-15: the step
+  // a10b's `retrain` flag points at, previously prose-only). The fold:
+  //  1. read the a10 drift census; if ANY list's delta share crossed
+  //     DriftRetrainFrac (or the caller forces), RETRAIN Lloyd's on
+  //     index ∪ delta — the full corpus, exactly what a periodic
+  //     compaction job reads; otherwise the frozen centroids are kept
+  //     (fold without retrain — the cheap branch);
+  //  2. re-freeze the result as the a10c_centroids artifact;
+  //  3. reset the provenance ledger — post-fold, every vector is INDEX
+  //     (from_delta=false), the d26/d42 fold discipline on vectors.
+  // Serving after the fold is the same frozen-model inference as a10,
+  // so the oracle replays it from the new artifact bits; IncAnnSpec
+  // executes the fold parity (post-fold serving == the serving algebra
+  // recomputed from the persisted artifact) and exercises BOTH trigger
+  // branches. Scale shape: the retrain is the a10 training loop at
+  // index∪delta size — the scheduled-job cost, never the per-batch
+  // cost; everything else is a10's bounded-model inference.
+  // ---------------------------------------------------------------------
+  private val a10cMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The folded (possibly retrained) frozen centroids for (dir). The
+    * trigger read is a 1-row bounded probe over the k-row drift frame. */
+  private[graft] def compactAnnIndex(spark: SparkSession, dir: String,
+      force: Boolean = false): DataFrame = {
+    val hit = a10cMemo.get(dir)
+    if (!force && hit != null && (hit.sparkSession eq spark)) hit
+    else {
+      val (cents, _) = a10Index(spark, dir)
+      val tripped = force ||
+        a10bAnnDrift(spark, dir).filter(col("retrain")).limit(1).count() > 0
+      val folded =
+        if (!tripped) cents
+        else {
+          val e = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"))
+            .withColumn("__norm", norm(col("embedding")))
+          // deterministic init over the FULL post-fold corpus (k-row
+          // bounded collect, the a10Train precedent)
+          val initRows = e.orderBy(col("vec_id")).limit(NCentroids).collect()
+            .sortBy(_.getLong(0)).zipWithIndex
+          val init = spark.createDataFrame(
+            spark.sparkContext.parallelize(initRows.map { case (r, i) =>
+              org.apache.spark.sql.Row(i, r.getSeq[Float](1))
+            }.toSeq, 1),
+            StructType(Seq(StructField("centroid_id", IntegerType),
+              StructField("ce", ArrayType(FloatType)))))
+          val cached = e.cache()
+          try trainKmeans(cached, NCentroids, KmIters, Some(init))
+          finally cached.unpersist()
+        }
+      val frozen = Models.save(folded, dir, "a10c_centroids")
+      a10cMemo.put(dir, frozen)
+      frozen
+    }
+  }
+
+  def a10cAnnCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = compactAnnIndex(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+    val assigned = assignTo(e, cents)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(withCn(cents)))
+      .withColumn("__cs",
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= NProbeDefault)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"), col("centroid_id").as("pc"))
+    val n = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("__norm").as("nn"),
+      col("centroid_id").as("nc"))
+    val scored = probes.join(n,
+        col("pc") === col("nc") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      // ledger reset: post-fold there is no delta stratum
+      .withColumn("from_delta", lit(false))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("from_delta"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a10Sql's serving algebra over the FOLDED artifact, provenance
+    * constant-false (the ledger reset is part of what the oracle
+    * checks). */
+  def a10cSql: String =
+    s"""WITH cents AS (
+       |  SELECT centroid_id, ce FROM ${Models.sqlRef("a10c_centroids")}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS pc FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS pr
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries)
+       |  WHERE pr <= $NProbeDefault),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, centroid_id AS nc
+       |      FROM assigned),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS cos_sim
+       |  FROM probes JOIN n ON pc = nc AND query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, FALSE AS from_delta, rank
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 }

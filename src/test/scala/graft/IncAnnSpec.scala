@@ -81,4 +81,67 @@ class IncAnnSpec extends SparkSpec {
     val globalFrac = nDel.toDouble / total
     assert(globalFrac > 0.1 && globalFrac < 0.3, s"delta share $globalFrac")
   }
+
+  /** The frozen-model serving algebra recomputed in-spec from a given
+    * centroid frame — the independent expectation for a10c's fold
+    * parity (reads the PERSISTED bits, not the query's internal state). */
+  private def servingFrom(cents: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val c = cents.withColumn("cn",
+      sqrt(VectorOps.dot(col("ce"), col("ce"))))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
+    val assigned = VectorOps.assignTo(e, cents)
+    val probes = e.filter(col("vec_id") < VectorOps.NQueries)
+      .crossJoin(broadcast(c))
+      .withColumn("__cs", VectorOps.dot(col("embedding"), col("ce"))
+        / (col("__norm") * col("cn")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= VectorOps.NProbeDefault)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"), col("centroid_id").as("pc"))
+    val n = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("__norm").as("nn"),
+      col("centroid_id").as("nc"))
+    val scored = probes.join(n,
+        col("pc") === col("nc") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorOps.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+          .as("cos_sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= VectorOps.K)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  test("a10c fold: artifact-backed serving parity, ledger reset, both trigger branches") {
+    // organic branch: the trigger is whatever the data says
+    val res = VectorOps.a10cAnnCompacted(spark, sfDir)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getBoolean(rows.head.fieldIndex("from_delta"))),
+      "post-fold serving must report an empty delta ledger")
+    val disk = spark.read.parquet(graft.llm.Models.path(sfDir, "a10c_centroids"))
+    val kBefore = disk.count() // snapshot before the forced overwrite
+                               // deletes these part files
+    val got = res.drop("from_delta")
+    val want = servingFrom(disk)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "serving must replay exactly from the persisted folded artifact")
+    // forced-retrain branch: re-freeze on index ∪ delta (what a tripped
+    // drift census triggers) — parity must hold on the NEW bits too
+    VectorOps.compactAnnIndex(spark, sfDir, force = true)
+    val disk2 = spark.read.parquet(graft.llm.Models.path(sfDir, "a10c_centroids"))
+    val got2 = VectorOps.a10cAnnCompacted(spark, sfDir).drop("from_delta")
+    val want2 = servingFrom(disk2)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "post-retrain serving must replay from the retrained artifact")
+    // the retrained model keeps the same list count (k rows, modulo
+    // empty-cluster drops — none at fixture scale)
+    assert(disk2.count() == kBefore)
+  }
 }

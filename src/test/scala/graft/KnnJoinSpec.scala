@@ -43,4 +43,35 @@ class KnnJoinSpec extends SparkSpec {
     val want = brute.select("left_id", "right_id", "bucket", "rank")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("a09c salted twin is row-identical to a09 (salt never changes the answer)") {
+    val a09 = VectorOps.a09KnnJoin(spark, sfDir)
+    val a09c = VectorOps.a09cKnnJoinSalted(spark, sfDir)
+    assert(a09.columns.toSeq == a09c.columns.toSeq)
+    assert(a09c.exceptAll(a09).isEmpty && a09.exceptAll(a09c).isEmpty)
+  }
+
+  test("a09b banded: superset recall over a09's single band, candidates ≪ all-pairs") {
+    // every single-band survivor pair is also a banded CANDIDATE: band 0
+    // of a09b is exactly a09's bucket (same leading 8 components), so
+    // the OR-union can only add pairs. Compare at the candidate level —
+    // top-3 membership can legitimately change when better neighbors
+    // from other bands displace a bucket-local one.
+    val singleBand = VectorOps.knnJoinPairs(spark, sfDir, 8)
+      .select("left_id", "right_id")
+    val cand = VectorOps.knnJoinBandedCandidates(spark, sfDir, VectorOps.KnnBands)
+    assert(singleBand.exceptAll(cand.select("left_id", "right_id")).isEmpty,
+      "banded candidates must contain every single-band pair")
+    // cost contract: the deduped candidate set stays well under the
+    // |A|·|B| all-pairs cross join the banding exists to avoid
+    val e = Tables.embeddings(spark, sfDir)
+    val nA = e.filter(col("vec_id") % 2 === 0).count()
+    val nB = e.filter(col("vec_id") % 2 === 1).count()
+    val nCand = cand.count()
+    assert(nCand < nA * nB / 4,
+      s"banded candidates $nCand not ≪ all-pairs ${nA * nB}")
+    // n_bands is a collision count in [1, B]
+    val bad = cand.filter(col("n_bands") < 1 || col("n_bands") > VectorOps.KnnBands)
+    assert(bad.isEmpty)
+  }
 }
