@@ -137,9 +137,64 @@ object RecallBench {
     val knnTruth = knnPairs(0)
     val knnRows = Seq(4, 8, 12).map { bits =>
       recallRow(s"bits=$bits", knnTruth, knnPairs(bits))
+    } :+ {
+      // the banded tier on the ORGANIC fixture, for contrast with the
+      // planted section below: random vectors' global top-3 are far
+      // pairs (cos ~0.3), so even OR-amplification stays low here —
+      // the serving-grade number lives on the planted fixture
+      val tier = graft.llm.VectorOps.a09bKnnJoinBanded(spark, sfDir)
+        .select(col("left_id").cast("long").as("d1"),
+          col("right_id").cast("long").as("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      recallRow(s"banded_B=${graft.llm.VectorOps.KnnBands}", knnTruth, tier)
     }
 
     def sect(rows: Seq[String]) = rows.mkString("[", ",", "]")
+
+    // ---- a09b serving-grade recall (r14 verdict #2): planted-neighbor
+    // fixture (tools/make_skewed.py --planted) — every odd index row is
+    // its even probe's EXACT cosine-0.9 twin, so truth = the unblocked
+    // pairs at cos ≥ 0.85 is unambiguous (organic 64-dim pairs top out
+    // near 0.4). Measures joint recall AND the candidate-pair count
+    // against the |A|·|B| all-pairs cost the banding exists to avoid:
+    // single-band sign-LSH collides a θ=25.8° pair with p^8 ≈ 0.29;
+    // eight OR-ed bands compound to 1-(1-p^8)^8 ≈ 0.94. ----
+    val plantedSect = sys.env.get("SPARK_GRAFT_PLANTED_DIR")
+      .filter(_.trim.nonEmpty).map { pdir =>
+        import graft.llm.VectorOps
+        val e = Tables.embeddings(spark, pdir)
+        val a = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("d1"), col("embedding").as("le"))
+        val b = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("d2"), col("embedding").as("re"))
+        val nA = a.count(); val nB = b.count()
+        // quadratic truth engine (census-only): unblocked cross join
+        val truth = pairSet(a.crossJoin(b)
+          .filter(VectorOps.cosine(col("le"), col("re")) >= 0.85))
+        require(truth.size >= (nA * 9) / 10,
+          s"planted fixture must carry ~$nA cos-0.9 twins, found ${truth.size}")
+        def row(knob: String, bands: Int,
+            tierDf: org.apache.spark.sql.DataFrame): String = {
+          // tier = the SERVING output (top-k rows), so this is end-to-end
+          // recall; candidates = the deduped pair count the exact-scoring
+          // stage paid for — the cost column vs all_pairs
+          val nCand = VectorOps.knnJoinBandedCandidates(spark, pdir, bands)
+            .count()
+          val tier = pairSet(tierDf.select(col("left_id").as("d1"),
+            col("right_id").as("d2")))
+          val hits = (truth & tier).size
+          val recall = if (truth.isEmpty) 1.0 else hits.toDouble / truth.size
+          f"""{"knob":"$knob","truth":${truth.size},"hits":$hits,""" +
+            f""""recall":$recall%.4f,"candidates":$nCand,""" +
+            f""""all_pairs":${nA * nB}}"""
+        }
+        val rows = Seq(
+          row("single_band(a09)", 1,
+            VectorOps.knnJoinPairs(spark, pdir, 8)),
+          row(s"banded_B=${VectorOps.KnnBands}(a09b)", VectorOps.KnnBands,
+            VectorOps.a09bKnnJoinBanded(spark, pdir)))
+        s""","a09b_planted":{"sf":"$pdir","rows":${sect(rows)}}"""
+      }.getOrElse("")
 
     // ---- boundary probe (r12 verdict #4): planted pairs AT the decision
     // boundary (tools/make_boundary.py) — true containment just above the
@@ -202,7 +257,7 @@ object RecallBench {
       s""""d08b_simhash_banded":${sect(simRows)},""" +
       s""""d40b_containment_kmv":${sect(kmvRows)},""" +
       s""""d44_cross_source_gate":${sect(d44Rows)},""" +
-      s""""a09_knn_join_bucket":${sect(knnRows)}$boundary}"""
+      s""""a09_knn_join_bucket":${sect(knnRows)}$plantedSect$boundary}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

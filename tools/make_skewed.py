@@ -152,10 +152,63 @@ def skew_embeddings(src, dst):
     return t.num_rows
 
 
+def plant_neighbors(src, dst):
+    """--planted mode (round 15): serving-grade recall fixture for the
+    banded k-NN join (a09b). For every even vec_id 2t (a09's probe
+    side), the odd row 2t+1 (the index side) is rewritten to a vector at
+    EXACTLY cosine 0.9 from the probe: w = |v|(0.9·v̂ + sqrt(1-0.81)·û⊥)
+    with û⊥ a seeded random unit vector orthogonalized against v̂. Random
+    64-dim vectors top out near cosine ~0.4, so the planted twins are
+    unambiguous serving truth (every pair with cos ≥ 0.85 is planted),
+    and the census measures what fraction each tier's candidate
+    generation recovers — the recall@serving number the organic fixture
+    (whose global top-3 are far pairs no LSH should be judged on)
+    cannot produce. Norm of each index row is preserved; probe rows,
+    labels, row order, and schema are untouched, so a09/a09b's oracles
+    stay runnable on the copy."""
+    import numpy as np
+    rng = np.random.default_rng(15)
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    t = t.replace_schema_metadata(None)
+    emb = np.array(t.column("embedding").combine_chunks().to_pylist(),
+                   dtype=np.float64)
+    n, dim = emb.shape
+    cos_target = 0.9
+    sin_target = (1.0 - cos_target * cos_target) ** 0.5
+    for k in range(0, n - 1, 2):
+        v = emb[k]
+        vhat = v / np.linalg.norm(v)
+        u = rng.standard_normal(dim)
+        uperp = u - (u @ vhat) * vhat
+        uhat = uperp / np.linalg.norm(uperp)
+        emb[k + 1] = np.linalg.norm(emb[k + 1]) * (
+            cos_target * vhat + sin_target * uhat)
+    field = t.schema.field("embedding")
+    vals = pa.array(emb.astype(np.float32).tolist(), type=field.type)
+    cols = [vals if f.name == "embedding" else t.column(f.name)
+            for f in t.schema]
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
+    return n
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     hot_orderkey = "--hot-orderkey" in sys.argv
     hot_bucket = "--hot-bucket" in sys.argv
+    planted = "--planted" in sys.argv
+    if planted:
+        src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+        dst = argv[1] if len(argv) > 1 else "/tmp/sf01_planted"
+        os.makedirs(dst, exist_ok=True)
+        for name in TABLES:
+            p = os.path.join(src, f"{name}.parquet")
+            if os.path.exists(p) and name != "embeddings":
+                shutil.copyfile(p, os.path.join(dst, f"{name}.parquet"))
+        ne = plant_neighbors(src, dst)
+        print(f"planted-neighbor copy at {dst}: every odd row is its even "
+              f"probe's cosine-0.9 twin ({ne} embeddings)")
+        return
     if hot_bucket:
         src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
         dst = argv[1] if len(argv) > 1 else "/tmp/sf01_hotbucket"
