@@ -26,7 +26,11 @@ object SkewBench {
     * Defaults pass only: the WindowGroupLimit toggle is about rank
     * windows, which none of these plan. */
   private val JoinNames = Seq("q01_sales_overview", "q09_supplier_scorecard",
-    "d07_minhash_lsh", "d11_lsh_neardup", "d23_dedup_clusters")
+    "d07_minhash_lsh", "d11_lsh_neardup", "d23_dedup_clusters",
+    // r15: a09 vs its salted twin on the ORGANIC embeddings (this
+    // fixture's copy is unskewed) — the side-by-side wall showing what
+    // the structural R-way salt premium costs when there is no skew
+    "a09_knn_join", "a09c_knn_join_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1_skew")
@@ -229,13 +233,21 @@ object SkewBench {
         // restore in finally (ADVICE r14): a failure mid-census must not
         // leave broadcast/coalescing disabled and 1 MB scan splits for
         // whatever runs after this pass in the same session
-        val (aOn, aOff) =
+        val (aOn, aOff, aSalt) =
           try {
             conf("spark.sql.adaptive.skewJoin.enabled", "true")
             val on = runCensusOn(a09, dir)
             conf("spark.sql.adaptive.skewJoin.enabled", "false")
             val off = runCensusOn(a09, dir)
-            (on, off)
+            // the salted twin (r15): measured with AQE skew-join OFF —
+            // the split is STRUCTURAL (hash(right_id) pre-shards the hot
+            // bucket's build side), so it needs none of the byte-based
+            // rule's preconditions (fires even on the single-row-group
+            // files that make hot keys unsplittable for AQE) and is the
+            // knob past AQE's max/med≈10 residual, where every split
+            // slice still joined the FULL hot index partition
+            val salt = runCensusOn("a09c_knn_join_salted", dir)
+            (on, off, salt)
           } finally {
             conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
             conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
@@ -246,7 +258,8 @@ object SkewBench {
             conf("spark.sql.autoBroadcastJoinThreshold", bcast)
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
           }
-        s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff}}"""
+        s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff},""" +
+          s""""salted_off":{$aSalt}}"""
       }.getOrElse("")
 
     val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn}"""

@@ -294,6 +294,20 @@ object Runner {
     prepared.unpersist()
   }
 
+  /** Maintenance layer (round 15): scheduled jobs over the LIVE lake,
+    * run after the layers that populate it — currently the d47 OPTIMIZE
+    * tier rewriting corpus/chunks range-clustered by doc band so
+    * doc-sharded training reads prune directories instead of scanning
+    * the whole chunk table (graft.sources.Layout.optimizeChunks; the
+    * pruning + value-parity contract is PipelineSpec's assertion, the
+    * physical win is LAYOUT_CENSUS). At 100 TB this is the nightly
+    * OPTIMIZE job; here it is the fourth Runner stage so its wall is on
+    * the same board as the layers it serves. */
+  def runMaintenance(spark: SparkSession, outDir: String): Unit = {
+    val out = graft.sources.Layout.optimizeChunks(spark, outDir)
+    println(s"[runner] maintenance: corpus/chunks clustered at $out")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_lake"
@@ -307,6 +321,7 @@ object Runner {
     timed("silver")(runSilver(spark, sfDir, outDir))
     timed("gold")(runGold(spark, sfDir, outDir))
     timed("corpus")(runCorpus(spark, sfDir, outDir))
+    timed("maintenance")(runMaintenance(spark, outDir))
     println(s"[runner] lake written to $outDir")
     spark.stop()
   }

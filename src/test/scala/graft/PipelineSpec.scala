@@ -106,6 +106,35 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("offset_in_pack") >= 512L
         || org.apache.spark.sql.functions.col("offset_in_pack") < 0L)
       .count() == 0)
+
+    // maintenance stage (round 15): OPTIMIZE over the live lake — the
+    // clustered chunk table must (a) serve a doc shard reading FEWER
+    // files than are on disk (directory pruning is real) and (b) be
+    // value-identical to the unclustered table on that shard
+    import org.apache.spark.sql.functions.col
+    Runner.runMaintenance(spark, out)
+    val clustered = s"$out/corpus/chunks_clustered"
+    val ids = spark.read.parquet(s"$out/corpus/chunks")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(0)
+      + (ids.getLong(1) - ids.getLong(0)) / 4) // first-quartile shard
+    val shard = graft.sources.Layout.chunkShard(spark, clustered, lo, hi)
+    shard.collect()
+    val scan = shard.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("doc_band")),
+      s"no doc_band partition filter: ${scan.partitionFilters}")
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(clustered).inputFiles.length
+    assert(readFiles < allFiles,
+      s"maintenance read $readFiles of $allFiles files — nothing pruned")
+    val want = spark.read.parquet(s"$out/corpus/chunks")
+      .filter(col("doc_id").between(lo, hi))
+    assert(shard.drop("doc_band").exceptAll(want).isEmpty
+      && want.exceptAll(shard.drop("doc_band")).isEmpty,
+      "clustered shard must be value-identical to the unclustered table")
   }
 
   test("CSV source roundtrip with pinned schema (S1/S4)") {

@@ -85,7 +85,17 @@ def replicate(src, dst, name, key_offsets, k, bases, text_suffix=False,
                 c = pa.chunked_array(arrs).cast(field.type)
             cols.append(c)
         parts.append(pa.table(dict(zip(t.schema.names, cols))).cast(t.schema))
-    pq.write_table(pa.concat_tables(parts), os.path.join(dst, f"{name}.parquet"))
+    # bounded row groups (round 15): pyarrow's default wrote ONE row
+    # group per table — /tmp/sf10's 500k-row documents.parquet gave
+    # Spark 15 "splits" of which 14 were empty, so d35's candidate-phase
+    # partial aggregate ran the WHOLE 25M-fingerprint corpus in one task
+    # (the 2.1 GB max_task_peak outlier in SPILL_CENSUS, and a 51 s
+    # straggler). A row group is the minimum scan-split unit; production
+    # corpora have thousands of them (d47's OPTIMIZE tier keeps that
+    # true on a real lake), so the stretch fixtures must too — same
+    # lesson make_skewed.py already applies to the hot-bucket fixture.
+    pq.write_table(pa.concat_tables(parts), os.path.join(dst, f"{name}.parquet"),
+                   row_group_size=32768)
     return k * t.num_rows
 
 
