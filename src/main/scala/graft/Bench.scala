@@ -104,6 +104,25 @@ object Bench {
       r
     }
 
+    // Load sentinel (r14 verdict #1): a fixed, data-independent
+    // calibration task timed before and after the sweep, plus the OS
+    // load average at both points, stamped into the artifact — so a
+    // board taken on a loaded machine is SELF-identifying instead of
+    // poisoning cross-round per-query diffs (r14's +13% drift on
+    // untouched code was concurrent fixture generation; nothing in the
+    // artifact said so). Reading rule (README): trust per-query diffs
+    // only when both sentinel walls sit within ~1.2× of the comparison
+    // round's sentinels.
+    def sentinel(): (Double, Double) = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val t0 = System.nanoTime()
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id"))).as("h")).collect()
+      ((System.nanoTime() - t0) / 1e9, load)
+    }
+
     // Untimed warmup: a representative scan+join+agg query warms codegen,
     // parquet readers, and the shuffle machinery before anything is timed.
     queries.find(_._1 == "q03_daily_sales").orElse(queries.headOption).foreach {
@@ -119,6 +138,10 @@ object Bench {
       case (n, fn) => runOnce(n, fn)
     }
 
+    sentinel() // untimed: the sentinel's own codegen/JIT warmup —
+               // pre/post must differ only by machine load
+    val (sentPre, loadPre) = sentinel()
+
     // (time, flaky): flaky = one of the two passes threw. The surviving
     // time still counts, but the query is named in "flaky" so an
     // intermittent OOM/regression can't hide behind best-of-2 (ADVICE r2).
@@ -131,6 +154,8 @@ object Bench {
         name -> best
     }
 
+    val (sentPost, loadPost) = sentinel()
+
     val ok = results.collect { case (k, Some((v, _))) => k -> v }
     val errors = results.collect { case (k, None) => k }
     val flaky = results.collect { case (k, Some((_, true))) => k }
@@ -138,7 +163,9 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},"sf":"$sfDir"}"""
+    val sent = f""""sentinel":{"pre_sec":$sentPre%.3f,"post_sec":$sentPost%.3f,""" +
+      f""""load_avg_pre":$loadPre%.2f,"load_avg_post":$loadPost%.2f}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},$sent,"sf":"$sfDir"}"""
     // The round driver stores only a bounded TAIL of this process's
     // output before parsing, and the full line (~3.4 KB at 100 queries)
     // overflows it — BENCH_r07/r08 both landed as parsed:null with the
