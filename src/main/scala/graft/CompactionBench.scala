@@ -89,9 +89,41 @@ object CompactionBench {
     val rows = Seq(
       runRegime("never", None),
       runRegime(s"compact$every", Some(every)))
+
+    // ANN fold census (r15, gated on SPARK_GRAFT_ANN_DIR): the trigger
+    // economics of a10c's retrain-and-fold — per-list delta share vs
+    // the DriftRetrainFrac threshold, whether the organic data trips
+    // it, and the two walls a deployment weighs: serving incrementally
+    // (index ∪ delta, a10) vs the one-off forced retrain+refreeze
+    // (compactAnnIndex(force)) plus post-fold serving (a10c). The fold
+    // is the scheduled-job cost; the drift board is what schedules it.
+    val ann = sys.env.get("SPARK_GRAFT_ANN_DIR").filter(_.trim.nonEmpty)
+      .map { dir =>
+        import graft.llm.VectorOps
+        def wall(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val wServe = wall(VectorOps.a10AnnIncremental(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+        val drift = VectorOps.a10bAnnDrift(spark, dir).collect() // k rows
+        val iR = drift.head.fieldIndex("retrain")
+        val iF = drift.head.fieldIndex("delta_frac")
+        val lists = drift.map(r =>
+          f"""{"centroid_id":${r.getInt(0)},"delta_frac":${r.getDouble(iF)}%.4f,"retrain":${r.getBoolean(iR)}}""")
+          .mkString("[", ",", "]")
+        val tripped = drift.exists(_.getBoolean(iR))
+        val wFold = wall(VectorOps.compactAnnIndex(spark, dir, force = true))
+        val wPost = wall(VectorOps.a10cAnnCompacted(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+        f""","ann_fold":{"sf":"$dir","threshold":${VectorOps.DriftRetrainFrac},""" +
+          f""""organic_trigger":$tripped,"lists":$lists,""" +
+          f""""serve_incremental_sec":$wServe%.3f,"fold_retrain_sec":$wFold%.3f,""" +
+          f""""serve_post_fold_sec":$wPost%.3f}"""
+      }.getOrElse("")
+
     val json = s"""{"metric":"compaction_census","sf":"$sfDir","cpus":$cpus,""" +
       s""""n_batches":$nBatches,"compact_every":$every,""" +
-      rows.mkString("", ",", "}")
+      rows.mkString("", ",", "") + ann + "}"
     println(json)
     sys.env.get("SPARK_GRAFT_COMPACTION_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
