@@ -233,10 +233,14 @@ object SkewBench {
         // restore in finally (ADVICE r14): a failure mid-census must not
         // leave broadcast/coalescing disabled and 1 MB scan splits for
         // whatever runs after this pass in the same session
-        val (aOn, aOff, aSalt) =
+        val (aOn, aSaltOn, aOff, aSalt) =
           try {
             conf("spark.sql.adaptive.skewJoin.enabled", "true")
             val on = runCensusOn(a09, dir)
+            // salt ∘ AQE — the composition a deployment actually runs:
+            // the salt bounds the hot shard structurally by R, AQE's
+            // byte split mops up what's left inside each shard
+            val saltOn = runCensusOn("a09c_knn_join_salted", dir)
             conf("spark.sql.adaptive.skewJoin.enabled", "false")
             val off = runCensusOn(a09, dir)
             // the salted twin (r15): measured with AQE skew-join OFF —
@@ -247,7 +251,7 @@ object SkewBench {
             // knob past AQE's max/med≈10 residual, where every split
             // slice still joined the FULL hot index partition
             val salt = runCensusOn("a09c_knn_join_salted", dir)
-            (on, off, salt)
+            (on, saltOn, off, salt)
           } finally {
             conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
             conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
@@ -258,8 +262,8 @@ object SkewBench {
             conf("spark.sql.autoBroadcastJoinThreshold", bcast)
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
           }
-        s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"off":{$aOff},""" +
-          s""""salted_off":{$aSalt}}"""
+        s""","aqe_skewann":{"sf":"$dir","on":{$aOn},"salted_on":{$aSaltOn},""" +
+          s""""off":{$aOff},"salted_off":{$aSalt}}"""
       }.getOrElse("")
 
     val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn}"""
