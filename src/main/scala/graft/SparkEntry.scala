@@ -100,6 +100,7 @@ object SparkEntry {
     "q48_market_basket" -> (graft.analytics.OlapQueries.q48MarketBasket _),
     "q49_nation_share_of_region" -> (graft.analytics.OlapQueries.q49NationShareOfRegion _),
     "q50_retained_buyers" -> (graft.analytics.OlapQueries.q50RetainedBuyers _),
+    "q51_copurchase_rank" -> (graft.analytics.OlapQueries.q51CopurchaseRank _), // fixed-point weighted PageRank; GraphRankSpec pins the arithmetic
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "a10_ann_incremental" -> (graft.llm.VectorOps.a10AnnIncremental _), // serving oracled against the frozen index-stratum centroids; IncAnnSpec fold parity
     "a10b_ann_drift" -> (graft.llm.VectorOps.a10bAnnDrift _),
     "a10c_ann_compacted" -> (graft.llm.VectorOps.a10cAnnCompacted _), // retrain-and-fold; oracle serves from the folded artifact
+    "a11_diversity_prune" -> (graft.llm.VectorOps.a11DiversityPrune _), // D4 prototypicality pruning over the frozen a10 lists
 
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
@@ -239,6 +241,7 @@ object SparkEntry {
     "q48_market_basket" -> graft.analytics.OlapQueries.q48Sql,
     "q49_nation_share_of_region" -> graft.analytics.OlapQueries.q49Sql,
     "q50_retained_buyers" -> graft.analytics.OlapQueries.q50Sql,
+    "q51_copurchase_rank" -> graft.analytics.OlapQueries.q51Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,
@@ -309,6 +312,7 @@ object SparkEntry {
     "a10_ann_incremental" -> graft.llm.VectorOps.a10Sql,
     "a10b_ann_drift" -> graft.llm.VectorOps.a10bSql,
     "a10c_ann_compacted" -> graft.llm.VectorOps.a10cSql,
+    "a11_diversity_prune" -> graft.llm.VectorOps.a11Sql,
     "a07_ann_pq" -> graft.llm.VectorOps.a07Sql,
     "a08_ann_ivf_pq" -> graft.llm.VectorOps.a08Sql,
     "d33b_bpe_encode" -> graft.llm.LmOps.d33bSql,

@@ -686,4 +686,101 @@ object OlapQueries {
       |SELECT c.c_custkey AS customer_id, c.c_name AS name
       |FROM retained r JOIN customer c ON r.o_custkey = c.c_custkey
       |ORDER BY customer_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q51 — weighted PageRank over the CO-PURCHASE graph (q48's pair frame
+  // as an undirected weighted graph): the iterative-propagation operator
+  // class the repo's pointer-doubling CC (d23) opens but does not cover —
+  // "which products sit at the center of the basket graph" is the
+  // link-analysis question retail curation and web-corpus domain-ranking
+  // both ask (Common Crawl publishes exactly this over its host graph).
+  //
+  // Numeric contract: ranks live in integer MICRO-units (1e6 = 1.0) and
+  // every per-edge contribution is a pure integer function of
+  // (r_src, w, wtot) — ((r*850 div 1000)*w) div wtot — so the per-node
+  // SUM is order-free and both engines reproduce it bit-for-bit (the
+  // d31 fixed-point discipline on an iterative operator). Damping 0.85,
+  // base mass 0.15 per node, 10 fixed iterations; undirected co-purchase
+  // edges mean no dangling nodes (every node has out-weight ≥ 1).
+  // Overflow headroom: r ≤ total mass ≈ N·1e6; at N = 2e9 parts,
+  // r·850 ≈ 1.7e18 < Long.Max — the widest intermediate by design.
+  //
+  // Scale shape: the pair blow-up is order-keyed (k²/2 per order, k
+  // bounded by validation); each of the 10 iterations is ONE keyed
+  // shuffle of the edge frame joined to a node-sized rank frame —
+  // GraphX-Pregel's cost without leaving the DataFrame planner. Edge and
+  // rank frames are localCheckpoint-pinned per round (d23's discipline:
+  // lineage stays flat, block loss fails loudly rather than resampling).
+  // ---------------------------------------------------------------------
+  private val PrIters = 10
+  private val PrStep = "(((r * 850) div 1000) * w) div wtot"
+
+  /** 10-iteration damped weighted PageRank over undirected pairs
+    * (pa, pb, w): returns (node, r, wtot) in micro-units. Extracted so
+    * the spec can drive a hand-checkable graph through the exact
+    * production arithmetic. */
+  private[graft] def weightedPageRank(pairs: DataFrame): DataFrame = {
+    val edges0 = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val wt = edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val edges = edges0.join(wt, Seq("src")).localCheckpoint()
+    var ranks = wt.select(col("src").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      ranks = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr(PrStep).as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.join(wt, col("node") === col("src"))
+      .select(col("node"), col("r"), col("wtot"))
+  }
+
+  def q51CopurchaseRank(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+    weightedPageRank(pairs)
+      .select(col("node").as("part_id"), col("r").as("rank_micro"),
+        col("wtot").as("w_out"))
+      .orderBy(col("rank_micro").desc, col("part_id"))
+      .limit(30)
+  }
+
+  /** The 10 iterations unroll as chained CTEs (recursive CTEs cannot
+    * aggregate in the recursive term); DuckDB SUMs over BIGINT promote
+    * to HUGEINT, so every aggregated column is re-CAST (the
+    * audit_oracle_types rule). */
+  val q51Sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + SUM((((p.r * 850) // 1000) * e.w) // e.wtot) AS BIGINT) AS r
+         |  FROM edges e JOIN r${i - 1} p ON e.src = p.node GROUP BY e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |edges0 AS (
+       |  SELECT pa AS src, pb AS dst, w FROM pairs
+       |  UNION ALL SELECT pb, pa, w FROM pairs),
+       |wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM edges0 GROUP BY src),
+       |edges AS (SELECT e.src, e.dst, e.w, t.wtot FROM edges0 e JOIN wt t ON e.src = t.src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM wt),
+       |$iters
+       |SELECT p.node AS part_id, p.r AS rank_micro, t.wtot AS w_out
+       |FROM r$PrIters p JOIN wt t ON p.node = t.src
+       |ORDER BY rank_micro DESC, part_id
+       |LIMIT 30""".stripMargin
+  }
 }

@@ -1481,4 +1481,78 @@ object VectorOps {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, FALSE AS from_delta, rank
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // a11 — semantic DIVERSITY pruning (the D4 recipe: SemDeDup, then drop
+  // the most PROTOTYPICAL points of every k-means cluster — Tirumala et
+  // al. 2023 keep the diverse tail, not the redundant center; a05 covers
+  // the SemDeDup half, a11 closes the published family). Over the frozen
+  // a10 centroids: assign every vector to its nearest list, score cosine
+  // to the ASSIGNED centroid, rank most-prototypical-first within the
+  // cluster, and drop the top ceil(25%) per cluster.
+  //
+  // Scale shape: the within-cluster rank is NOT a per-cluster window —
+  // a cluster is corpus/k-sized and a hot list would funnel one task.
+  // Instead Ranks.withGlobalRank orders (centroid_id, cos DESC, vec_id)
+  // globally (range-repartition + P-row offset frame), and the per-
+  // cluster rank falls out as global_rank − cluster's min global rank +
+  // 1 via a k-row broadcast join. Assignment reuses a10's memoized
+  // frozen artifact (no second training); the only corpus-sized moves
+  // are the one broadcast-assign pass and the range shuffle.
+  // ---------------------------------------------------------------------
+  private val DiversityDropNum = 1 // drop ceil(1/4) most-prototypical
+  private val DiversityDropDen = 4
+
+  def a11DiversityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = a10Index(spark, dir)
+    // cosine to the assigned centroid only: one dot per ROW (the argmax
+    // already ran inside a10's assignment), via a k-row broadcast join
+    val scored = assigned.join(
+        broadcast(withCn(cents).select(col("centroid_id").as("cid"),
+          col("ce"), col("cn"))),
+        col("centroid_id") === col("cid"))
+      .select(col("vec_id"), col("centroid_id"),
+        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn"))
+          .as("cos_to_centroid"))
+    val ranked = graft.operators.Ranks.withGlobalRank(scored,
+      Seq(col("centroid_id"), col("cos_to_centroid").desc, col("vec_id")),
+      "__g")
+    val sizes = ranked.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cluster_n"), min(col("__g")).as("__base"))
+    ranked.join(broadcast(sizes), Seq("centroid_id"))
+      .withColumn("proto_rank",
+        (col("__g") - col("__base") + lit(1L)).cast(IntegerType))
+      // integer ceil(n/4): identical arithmetic on both engines (the
+      // verify-skill float rule — never compare a rounded double)
+      .withColumn("kept", col("proto_rank") >
+        expr(s"(cluster_n * $DiversityDropNum + ${DiversityDropDen - 1}) div $DiversityDropDen"))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"),
+        col("proto_rank"), col("cluster_n"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Prototypicality replayed from the frozen a10 bits: the assigned CTE
+    * is a10Sql's verbatim, the per-cluster rank a plain window (exact at
+    * gate scale; the engine's distributed-rank equivalence is RanksSpec's
+    * contract). */
+  def a11Sql: String =
+    s"""WITH cents AS (
+       |  SELECT centroid_id, ce FROM ${Models.sqlRef("a10_centroids")}),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id, cs AS cos_to_centroid FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |           ${cosSql("e.embedding", "c.ce")} AS cs,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |r AS (
+       |  SELECT vec_id, centroid_id, cos_to_centroid,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+       |           ORDER BY cos_to_centroid DESC, vec_id) AS INTEGER) AS proto_rank,
+       |         CAST(COUNT(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_n
+       |  FROM assigned)
+       |SELECT vec_id, centroid_id, cos_to_centroid, proto_rank, cluster_n,
+       |       proto_rank > (cluster_n * $DiversityDropNum + ${DiversityDropDen - 1}) // $DiversityDropDen AS kept
+       |FROM r ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.OlapQueries
+
+/** q51's fixed-point weighted PageRank: the distributed arithmetic must
+  * reproduce a driver-side integer simulation EXACTLY (the oracle's
+  * cross-engine contract depends on every contribution being a pure
+  * integer function summed order-free), plus structural sanity on the
+  * real co-purchase graph. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: same micro-unit integer arithmetic, plain
+    * Scala maps. Long `/` truncates toward zero == Spark `div` == DuckDB
+    * `//` on the all-positive ranks. */
+  private def simulate(pairs: Seq[(Long, Long, Long)],
+      iters: Int = 10): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wtot = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r: Map[Long, Long] = wtot.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => ((r(s) * 850L / 1000L) * w) / wtot(s) }.sum
+      }
+      r = r.keys.map(n => n -> (150000L + contrib(n))).toMap
+    }
+    r
+  }
+
+  test("weightedPageRank == the integer simulation on a weighted hub graph") {
+    // weighted edges with a hub (node 2) and a pendant (node 5): exercises
+    // unequal out-weights, multi-edge accumulation, and the damping base
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L),
+      (2L, 4L, 5L), (5L, 2L, 1L))
+    val got = OlapQueries.weightedPageRank(pairs.toDF("pa", "pb", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sim = simulate(pairs)
+    assert(got.keySet == sim.keySet)
+    for ((n, expected) <- sim)
+      assert(got(n) == expected, s"node $n: got ${got(n)}, simulated $expected")
+  }
+
+  test("star graph: the hub outranks every leaf; symmetric leaves tie exactly") {
+    val pairs = (2L to 9L).map(i => (1L, i, 1L))
+    val got = OlapQueries.weightedPageRank(pairs.toDF("pa", "pb", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leafRanks = (2L to 9L).map(got)
+    assert(leafRanks.distinct.size == 1, "symmetric leaves must tie bit-exactly")
+    assert(got(1L) > leafRanks.head, "hub must dominate")
+  }
+
+  test("q51 at sf0.001: bounded output, base-mass floor, deterministic ordering") {
+    val rows = OlapQueries.q51CopurchaseRank(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    // every rank carries at least the damping base plus one contribution
+    assert(rows.forall(_.getLong(1) > 150000L))
+    val ranks = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ranks.sameElements(ranks.sortBy { case (r, id) => (-r, id) }),
+      "rows must arrive rank-desc, part_id tie-broken asc")
+  }
+}
