@@ -175,6 +175,7 @@ object SparkEntry {
 
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
+    "d48_token_efficiency" -> (graft.llm.LmOps.d48TokenEfficiency _), // tokenizer-fit census from the frozen d33b merges
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
     "m03_image_decode" -> (graft.llm.Multimodal.m03ImageDecode _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "a09c_knn_join_salted" -> graft.llm.VectorOps.a09Sql, // salted twin: same rows as a09 by construction
     "d46_inverted_index" -> graft.llm.QualityOps.d46Sql,
     "d47_layout_cluster" -> graft.sources.Layout.d47Sql,
+    "d48_token_efficiency" -> graft.llm.LmOps.d48Sql,
     // frozen-model inference oracles (defs — the SQL bakes in the
     // artifact path the query persisted for THIS run's data dir; Verify
     // runs queries first, dumps oracle SQL after)

@@ -686,17 +686,34 @@ object LmOps {
   // LmOpsSpec additionally pins the hand-computed encoding of the
   // planted corpus and the token-count bounds on the fixture.
   // ---------------------------------------------------------------------
-  def d33bBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    // freeze the trained merge table (the tokenizer artifact a real
-    // pipeline ships); the encode consumes the PERSISTED rows in rank
-    // order, and d33bSql replays the same encode in DuckDB from the file
-    val frozen = Models.save(bpeTrain(spark, docs, BpeMerges), dir, "d33b_merges")
-    val merges = frozen.orderBy(col("rank"))
-      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
-    bpeEncode(docs, merges)
+  /** Frozen d33b merge table, trained at most once per (JVM, dir) — the
+    * a10Memo discipline (ADVICE r14): d33b and d48 both consume the
+    * artifact, and a second training would re-persist it AFTER the first
+    * query's results were recorded. The ≤K-row collect is the LmOps
+    * merge-table precedent. */
+  private val mergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Seq[(String, String)])]()
+
+  private[graft] def d33bMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val hit = mergesMemo.get(dir)
+    if (hit != null && (hit._1 eq spark)) hit._2
+    else {
+      import spark.implicits._
+      // freeze the trained merge table (the tokenizer artifact a real
+      // pipeline ships); encode consumes the PERSISTED rows in rank
+      // order, and the oracles replay the same encode from the file
+      val frozen = Models.save(
+        bpeTrain(spark, Tables.documents(spark, dir), BpeMerges),
+        dir, "d33b_merges")
+      val merges = frozen.orderBy(col("rank"))
+        .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+      mergesMemo.put(dir, (spark, merges))
+      merges
+    }
   }
+
+  def d33bBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, dir), d33bMerges(spark, dir))
 
   /** Per-doc token counts under a merge table: (doc_id, n_words,
     * n_bpe_tokens). Words beyond the learned vocabulary still encode —
@@ -745,6 +762,91 @@ object LmOps {
        |       CAST(SUM(f.n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM toks t JOIN fin f USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d48 — TOKENIZER-FIT census per source: chars-per-token (compression),
+  // fertility (tokens per word), and the unmerged-word share under the
+  // frozen d33b merge table. The question a mixture designer asks before
+  // billing a source against a token budget: a domain the tokenizer
+  // compresses poorly (low chars/token, high unmerged share) costs more
+  // tokens per byte of signal — SentencePiece/BPE papers report exactly
+  // these numbers per language/domain.
+  //
+  // Scale: identical to d33b — the K merge folds run over the DISTINCT
+  // WORD vocabulary, the corpus-sized word stream meets the encoded
+  // vocab through one broadcast join, and the census is one source-keyed
+  // aggregate (map-side partials; COUNT(DISTINCT doc_id) expands to the
+  // standard two-phase distinct — still keyed on source). Contract: a
+  // zero-token doc has no word rows and is absent from every count
+  // (d28's absence contract).
+  // ---------------------------------------------------------------------
+  def d48TokenEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val merges = d33bMerges(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+    val vocab0 = words.select(col("word")).distinct()
+      .withColumn("syms", expr("concat(split(word, ''), array('</w>'))"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("syms", expr(applyMergeExpr(l, r)))
+    }.select(col("word"), size(col("syms")).cast(LongType).as("n_sym"),
+      length(col("word")).cast(LongType).as("n_char"))
+    words.join(broadcast(encoded), Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("n_char")).as("n_chars"),
+        sum(when(col("n_sym") === col("n_char") + 1L, 1L).otherwise(0L))
+          .as("n_unmerged"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        (col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("chars_per_token"),
+        (col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"),
+        (col("n_unmerged").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("unmerged_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** d33bSql's encode CTEs re-grouped at the SOURCE grain; every ratio is
+    * a single both-sides-cast-to-double division (exact long inputs →
+    * bit-identical quotients). */
+  def d48Sql: String =
+    s"""WITH RECURSIVE merges AS (
+       |  SELECT rank, "left", "right", merged FROM ${Models.sqlRef("d33b_merges")}),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT word FROM toks),
+       |enc AS (
+       |  SELECT word,
+       |         ' ' || array_to_string(list_append(string_split_regex(word, ''), '</w>'), '  ') || ' ' AS s,
+       |         0 AS rk
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.word,
+       |         replace(e.s, ' ' || m."left" || '  ' || m."right" || ' ',
+       |                 ' ' || m.merged || ' '),
+       |         e.rk + 1
+       |  FROM enc e JOIN merges m ON m.rank = e.rk + 1),
+       |fin AS (
+       |  SELECT word, len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_sym
+       |  FROM enc WHERE rk = (SELECT COALESCE(MAX(rank), 0) FROM merges))
+       |SELECT t.source,
+       |       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(f.n_sym) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(len(t.word)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(len(t.word)) AS DOUBLE) / CAST(SUM(f.n_sym) AS DOUBLE) AS chars_per_token,
+       |       CAST(SUM(f.n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       |       CAST(SUM(CASE WHEN f.n_sym = len(t.word) + 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS unmerged_frac
+       |FROM toks t JOIN fin f USING (word)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
   // ---------------------------------------------------------------------
   // d37 — frozen hashed-linear quality classifier: inference for the

@@ -327,6 +327,30 @@ class LmOpsSpec extends SparkSpec {
     assert(w.exists(_._2 < 0) && w.exists(_._2 > 0))
   }
 
+  test("d48: source sums reconcile with d33b's per-doc counts; ratios bounded") {
+    val eff = LmOps.d48TokenEfficiency(spark, sfDir).cache()
+    val enc = LmOps.d33bBpeEncode(spark, sfDir)
+    // the census is d33b's encode re-grouped: corpus totals must agree
+    val (effW, effT) = {
+      val r = eff.agg(sum(col("n_words")), sum(col("n_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (encW, encT) = {
+      val r = enc.agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(effW == encW && effT == encT,
+      s"census totals ($effW, $effT) != d33b totals ($encW, $encT)")
+    // every word encodes to 1..len+1 symbols → per-source bounds
+    val bad = eff.filter(
+      col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_chars") + col("n_words") ||
+      col("fertility") < 1.0 ||
+      col("unmerged_frac") < 0.0 || col("unmerged_frac") > 1.0)
+    assert(bad.isEmpty)
+    eff.unpersist()
+  }
+
   test("d37: fixture scores are consistent (prob inverts score, kept matches threshold)") {
     val r = LmOps.d37QualityClassifier(spark, sfDir).cache()
     assert(r.count() > 0)
