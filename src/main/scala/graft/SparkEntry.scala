@@ -172,6 +172,7 @@ object SparkEntry {
     "a10b_ann_drift" -> (graft.llm.VectorOps.a10bAnnDrift _),
     "a10c_ann_compacted" -> (graft.llm.VectorOps.a10cAnnCompacted _), // retrain-and-fold; oracle serves from the folded artifact
     "a11_diversity_prune" -> (graft.llm.VectorOps.a11DiversityPrune _), // D4 prototypicality pruning over the frozen a10 lists
+    "a12_mmr_rerank" -> (graft.llm.VectorOps.a12MmrRerank _), // MMR diversity re-ranking; K greedy steps unrolled in the oracle
 
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "a10b_ann_drift" -> graft.llm.VectorOps.a10bSql,
     "a10c_ann_compacted" -> graft.llm.VectorOps.a10cSql,
     "a11_diversity_prune" -> graft.llm.VectorOps.a11Sql,
+    "a12_mmr_rerank" -> graft.llm.VectorOps.a12Sql,
     "a07_ann_pq" -> graft.llm.VectorOps.a07Sql,
     "a08_ann_ivf_pq" -> graft.llm.VectorOps.a08Sql,
     "d33b_bpe_encode" -> graft.llm.LmOps.d33bSql,

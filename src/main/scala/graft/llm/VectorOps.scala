@@ -1555,4 +1555,124 @@ object VectorOps {
        |SELECT vec_id, centroid_id, cos_to_centroid, proto_rank, cluster_n,
        |       proto_rank > (cluster_n * $DiversityDropNum + ${DiversityDropDen - 1}) // $DiversityDropDen AS kept
        |FROM r ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // a12 — MMR diversity RE-RANKING (Carbonell & Goldstein 1998): the
+  // serving-side counterpart of a11's corpus-side pruning. Per query,
+  // take the top-C relevance candidates, then greedily pick K results
+  // maximizing λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s) — the dedup-at-
+  // retrieval step a RAG training-data builder runs so one near-dup
+  // cluster can't fill the whole context window.
+  //
+  // Determinism contract: λ and (1−λ) are both DECIMAL-LITERAL pinned
+  // (0.7 / 0.3 — a Scala `1 - 0.7` is 0.30000000000000004, NOT DuckDB's
+  // 0.3; the constants below are what both engines parse). Each greedy
+  // step is pick-by-argmax with neighbor_id tie-break, so the K unrolled
+  // steps replay bit-for-bit as chained CTEs (q51's unrolling pattern).
+  //
+  // Scale shape: every frame after candidate generation is bounded by
+  // |Q|·C (queries × fixed candidate count) — the greedy loop never
+  // touches the corpus. Candidate generation here is the a01 brute-force
+  // shape over the bounded query set; a deployment swaps in an ANN tier
+  // (a04b/a08/a09b) without touching the MMR algebra.
+  // ---------------------------------------------------------------------
+  private val MmrLambda = 0.7
+  private val MmrComp = 0.3 // 1−λ as its own pinned literal (see header)
+  private val MmrCands = 20
+
+  def a12MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__norm", norm(col("embedding")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("__norm").as("qn"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("__norm").as("nn"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val cand = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ne"), col("nn"),
+        cosinePre(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("rel"))
+      .withColumn("__crk", row_number().over(wRel))
+      .filter(col("__crk") <= MmrCands).drop("__crk")
+      .localCheckpoint() // |Q|·C rows, consumed K times
+    var selected = cand.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("mmr_score", lit(MmrLambda) * col("rel"))
+      .withColumn("mmr_rank", lit(1))
+      .localCheckpoint()
+    for (t <- 2 to K) {
+      val s = selected.select(col("query_id"), col("ne").as("__se"),
+        col("nn").as("__sn"))
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val msim = remaining.join(s, Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(cosinePre(dot(col("ne"), col("__se")), col("nn"), col("__sn")))
+          .as("__msim"))
+      val wm = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_score").desc, col("neighbor_id"))
+      val pick = remaining.join(msim, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_score",
+          lit(MmrLambda) * col("rel") - lit(MmrComp) * col("__msim"))
+        .withColumn("__rn", row_number().over(wm))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("ne"), col("nn"),
+          col("rel"), col("mmr_score"), lit(t).as("mmr_rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+      col("rel").as("relevance"), col("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** The K greedy picks unrolled as chained CTEs (q51's pattern): each
+    * step anti-filters the picked set, maxes pairwise cosine against it,
+    * and argmaxes the pinned-literal MMR score. */
+  val a12Sql: String = {
+    val steps = (2 to K).map { t =>
+      val p = t - 1
+      s"""ms$t AS (
+         |  SELECT c.query_id, c.neighbor_id, MAX(${cosSql("c.ne", "s.ne")}) AS msim
+         |  FROM cand c JOIN prev$p s USING (query_id)
+         |  GROUP BY c.query_id, c.neighbor_id),
+         |sc$t AS (
+         |  SELECT c.query_id, c.neighbor_id, c.ne, c.rel,
+         |         $MmrLambda * c.rel - $MmrComp * m.msim AS mmr
+         |  FROM cand c JOIN ms$t m
+         |    ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM prev$p p
+         |    WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id)),
+         |sel$t AS (
+         |  SELECT query_id, neighbor_id, ne, rel, mmr AS mmr_score, $t AS mmr_rank FROM (
+         |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY mmr DESC, neighbor_id) AS rn FROM sc$t s)
+         |  WHERE rn = 1),
+         |prev$t AS (SELECT * FROM prev$p UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, ne, rel FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.embedding AS ne,
+       |           ${cosSql("q.embedding", "n.embedding")} AS rel,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id) AS crk
+       |    FROM e q JOIN e n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < $NQueries)
+       |  WHERE crk <= $MmrCands),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, ne, rel, $MmrLambda * rel AS mmr_score, 1 AS mmr_rank FROM (
+       |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand c)
+       |  WHERE rn = 1),
+       |prev1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       |       rel AS relevance, mmr_score
+       |FROM prev$K ORDER BY query_id, mmr_rank""".stripMargin
+  }
 }

@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkSpec {
     "a10b_ann_drift", // same k-row centroid broadcast into assignment + drift join
     "a10c_ann_compacted", // k-row FOLDED-centroid broadcasts (a10's serving shape on the retrained artifact)
     "a11_diversity_prune", // k-row frozen-centroid broadcast inside a10's assignment (rank itself is range-partitioned, no per-cluster window)
+    "a12_mmr_rerank", // bounded-query-set non-equi candidate join (a01's shape); every later frame is |Q|·C
     "d28_token_rarity", // 1-row mean-token-frequency threshold
     "d28b_token_rarity_topk", // same 1-row threshold, over the K-row table
     "d31_lm_score", // 1-row vocabulary-size |V| broadcast into the model table
