@@ -251,13 +251,50 @@ object RecallBench {
         s""","d40b_boundary":${sect(rows40)},"d44_boundary":${sect(rows44)}"""
       }.getOrElse("")
 
+    // ---- a12 MMR diversity vs plain top-K (round 15): what λ=0.7 buys.
+    // Per query, mean pairwise cosine AMONG the 5 picks (redundancy) and
+    // mean relevance (what the diversity trade costs) — MMR vs a01's
+    // pure-relevance top-5. Driver-side exact: ≤ |Q|·K ids involved. ----
+    val a12Sect = {
+      import graft.llm.VectorOps
+      def picks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSeq }
+      val mmr = picks(VectorOps.a12MmrRerank(spark, sfDir))
+      val topk = picks(VectorOps.a01AnnBruteForce(spark, sfDir))
+      val ids = (mmr.values.flatten ++ topk.values.flatten ++ mmr.keys).toSeq.distinct
+      val vecs = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }; s
+      }
+      def cs(x: Array[Float], y: Array[Float]): Double =
+        dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+      def stats(sel: Map[Long, Seq[Long]]): (Double, Double) = {
+        val pairCos = for {
+          (_, ps) <- sel.toSeq; i <- ps.indices; j <- (i + 1) until ps.size
+        } yield cs(vecs(ps(i)), vecs(ps(j)))
+        val rel = for ((q, ps) <- sel.toSeq; p <- ps) yield cs(vecs(q), vecs(p))
+        (pairCos.sum / pairCos.size, rel.sum / rel.size)
+      }
+      val (mCos, mRel) = stats(mmr)
+      val (tCos, tRel) = stats(topk)
+      f""","a12_diversity":{"queries":${mmr.size},""" +
+        f""""mmr_mean_pairwise_cos":$mCos%.4f,"topk_mean_pairwise_cos":$tCos%.4f,""" +
+        f""""mmr_mean_rel":$mRel%.4f,"topk_mean_rel":$tRel%.4f}"""
+    }
+
     val wall = f"${(System.nanoTime() - t0) / 1e9}%.1f"
     val line = s"""{"metric":"recall_census","sf":"$sfDir","wall_sec":$wall,""" +
       s""""d11_lsh_neardup":${sect(lshRows)},""" +
       s""""d08b_simhash_banded":${sect(simRows)},""" +
       s""""d40b_containment_kmv":${sect(kmvRows)},""" +
       s""""d44_cross_source_gate":${sect(d44Rows)},""" +
-      s""""a09_knn_join_bucket":${sect(knnRows)}$plantedSect$boundary}"""
+      s""""a09_knn_join_bucket":${sect(knnRows)}$a12Sect$plantedSect$boundary}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")
