@@ -722,7 +722,10 @@ object OlapQueries {
   private[graft] def weightedPageRank(pairs: DataFrame): DataFrame = {
     val edges0 = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    // node-sized; pinned so the final rank⋈wtot join reads the
+    // materialized frame instead of re-scanning the corpus for edges0
     val wt = edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint()
     val edges = edges0.join(wt, Seq("src")).localCheckpoint()
     var ranks = wt.select(col("src").as("node"), lit(1000000L).as("r"))
       .localCheckpoint()
