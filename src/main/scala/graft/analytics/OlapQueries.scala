@@ -759,27 +759,30 @@ object OlapQueries {
   /** The 10 iterations unroll as chained CTEs (recursive CTEs cannot
     * aggregate in the recursive term); DuckDB SUMs over BIGINT promote
     * to HUGEINT, so every aggregated column is re-CAST (the
-    * audit_oracle_types rule). */
+    * audit_oracle_types rule). Every multiply-referenced CTE is
+    * AS MATERIALIZED: inlined, DuckDB recomputes the pair self-join
+    * once per iteration reference — measured at sf1 as >79 GB of temp
+    * spill before ENOSPC killed the check. */
   val q51Sql: String = {
     val iters = (1 to PrIters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |         CAST(150000 + SUM((((p.r * 850) // 1000) * e.w) // e.wtot) AS BIGINT) AS r
          |  FROM edges e JOIN r${i - 1} p ON e.src = p.node GROUP BY e.dst)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |pairs AS (
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS MATERIALIZED (
        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
        |  FROM items a JOIN items b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2),
-       |edges0 AS (
+       |edges0 AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst, w FROM pairs
        |  UNION ALL SELECT pb, pa, w FROM pairs),
-       |wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM edges0 GROUP BY src),
-       |edges AS (SELECT e.src, e.dst, e.w, t.wtot FROM edges0 e JOIN wt t ON e.src = t.src),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM wt),
+       |wt AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM edges0 GROUP BY src),
+       |edges AS MATERIALIZED (SELECT e.src, e.dst, e.w, t.wtot FROM edges0 e JOIN wt t ON e.src = t.src),
+       |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM wt),
        |$iters
        |SELECT p.node AS part_id, p.r AS rank_micro, t.wtot AS w_out
        |FROM r$PrIters p JOIN wt t ON p.node = t.src

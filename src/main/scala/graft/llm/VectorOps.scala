@@ -717,7 +717,7 @@ object VectorOps {
        |  FROM codes c JOIN tabs t ON c.m = t.m AND c.code = t.code
        |  WHERE t.query_id <> c.vec_id
        |  GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -902,7 +902,7 @@ object VectorOps {
        |    ON c.nc = t.pc AND c.m = t.m AND c.code = t.code
        |  WHERE t.query_id <> c.vec_id
        |  GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1086,7 +1086,7 @@ object VectorOps {
        |b AS (SELECT vec_id AS right_id, embedding AS re, band AS rband,
        |             bucket AS rbucket
        |      FROM bands WHERE vec_id % 2 = 1),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT left_id, right_id, MAX(${cosSql("le", "re")}) AS cos_sim,
        |         COUNT(*) AS n_bands
        |  FROM a JOIN b ON band = rband AND bucket = rbucket
@@ -1635,27 +1635,27 @@ object VectorOps {
   val a12Sql: String = {
     val steps = (2 to K).map { t =>
       val p = t - 1
-      s"""ms$t AS (
+      s"""ms$t AS MATERIALIZED (
          |  SELECT c.query_id, c.neighbor_id, MAX(${cosSql("c.ne", "s.ne")}) AS msim
          |  FROM cand c JOIN prev$p s USING (query_id)
          |  GROUP BY c.query_id, c.neighbor_id),
-         |sc$t AS (
+         |sc$t AS MATERIALIZED (
          |  SELECT c.query_id, c.neighbor_id, c.ne, c.rel,
          |         $MmrLambda * c.rel - $MmrComp * m.msim AS mmr
          |  FROM cand c JOIN ms$t m
          |    ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
          |  WHERE NOT EXISTS (SELECT 1 FROM prev$p p
          |    WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id)),
-         |sel$t AS (
+         |sel$t AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, ne, rel, mmr AS mmr_score, $t AS mmr_rank FROM (
          |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY mmr DESC, neighbor_id) AS rn FROM sc$t s)
          |  WHERE rn = 1),
-         |prev$t AS (SELECT * FROM prev$p UNION ALL SELECT * FROM sel$t)"""
+         |prev$t AS MATERIALIZED (SELECT * FROM prev$p UNION ALL SELECT * FROM sel$t)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, ne, rel FROM (
        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.embedding AS ne,
        |           ${cosSql("q.embedding", "n.embedding")} AS rel,
@@ -1664,12 +1664,12 @@ object VectorOps {
        |    FROM e q JOIN e n ON q.vec_id <> n.vec_id
        |    WHERE q.vec_id < $NQueries)
        |  WHERE crk <= $MmrCands),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, ne, rel, $MmrLambda * rel AS mmr_score, 1 AS mmr_rank FROM (
        |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand c)
        |  WHERE rn = 1),
-       |prev1 AS (SELECT * FROM sel1),
+       |prev1 AS MATERIALIZED (SELECT * FROM sel1),
        |$steps
        |SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
        |       rel AS relevance, mmr_score
