@@ -94,21 +94,75 @@ object LayoutBench {
 
     def nFiles(path: String): Int = spark.read.parquet(path).inputFiles.length
 
-    // warmup: touch both copies' footers so neither side pays first-read
+    // warmup: touch every copy's footers so no side pays first-read
     serve(spark.read.parquet(basePath)).write.format("noop").mode("overwrite").save()
     serve(Layout.servingScan(spark, clusteredPath).drop("len_band"))
       .write.format("noop").mode("overwrite").save()
+
+    // z-order copy (round 15): the same corpus Morton-clustered on
+    // (length band, lang rank) — measured under BOTH single-column
+    // predicates, against the linear layout which can only serve one
+    val zorderPath = {
+      val t0 = System.nanoTime()
+      val out = Layout.writeZordered(spark, sfDir)
+      System.err.println(f"[layout] z-order rewrite: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
+    def serveLang(df: DataFrame): DataFrame = df
+      .filter(col("lang") === Layout.ZLang)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+    serve(spark.read.parquet(zorderPath)).write.format("noop").mode("overwrite").save()
+    serveLang(spark.read.parquet(zorderPath)).write.format("noop").mode("overwrite").save()
+    serveLang(spark.read.parquet(clusteredPath)).write.format("noop").mode("overwrite").save()
 
     val rows = Seq(
       measure("unclustered",
         () => serve(spark.read.parquet(basePath)), nFiles(basePath)),
       measure("clustered",
         () => serve(Layout.servingScan(spark, clusteredPath).drop("len_band")),
-        nFiles(clusteredPath)))
+        nFiles(clusteredPath)),
+      measure("zorder_len",
+        () => serve(spark.read.parquet(zorderPath)), nFiles(zorderPath)),
+      // the cross-dimension rows: the linear layout has no lang locality,
+      // the z-order one does — same table, same predicate, only layout
+      measure("clustered_lang",
+        () => serveLang(spark.read.parquet(clusteredPath)), nFiles(clusteredPath)),
+      measure("zorder_lang",
+        () => serveLang(spark.read.parquet(zorderPath)), nFiles(zorderPath)))
+
+    // copy-on-write purge economics (round 15): what fraction of the
+    // lake a takedown actually rewrites when the partition grain aligns
+    // with the request grain
+    val purgeRow = {
+      val lake = Layout.writeSourceLake(spark, sfDir)
+      def lakeFiles() = {
+        val base = java.nio.file.Paths.get(lake)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toVector
+      }
+      val before = lakeFiles()
+      val t0 = System.nanoTime()
+      val hit = Layout.purgeLake(spark, lake, Layout.purgePredicate, "source")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = lakeFiles()
+      val beforeSet = before.toSet
+      val rewritten = after.filterNot(beforeSet)
+      f""""purge":{"wall_sec":$wall%.3f,"partitions_hit":${hit.size},""" +
+        f""""files_total":${before.size},"files_rewritten":${rewritten.size},""" +
+        f""""bytes_total":${before.map(_._2).sum},"bytes_rewritten":${rewritten.map(_._2).sum}}"""
+    }
 
     val json = s"""{"metric":"layout_census","sf":"$sfDir","cpus":$cpus,""" +
       s""""band_width":${Layout.BandWidth},"predicate":"n_chars BETWEEN ${Layout.LoChars} AND ${Layout.HiChars}",""" +
-      rows.mkString("", ",", "}")
+      s""""lang_predicate":"lang = '${Layout.ZLang}'",""" +
+      (rows :+ purgeRow).mkString("", ",", "}")
     println(json)
     val out = sys.env.get("SPARK_GRAFT_LAYOUT_OUT")
     out.foreach { p =>

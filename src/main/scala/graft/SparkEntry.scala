@@ -101,6 +101,8 @@ object SparkEntry {
     "q49_nation_share_of_region" -> (graft.analytics.OlapQueries.q49NationShareOfRegion _),
     "q50_retained_buyers" -> (graft.analytics.OlapQueries.q50RetainedBuyers _),
     "q51_copurchase_rank" -> (graft.analytics.OlapQueries.q51CopurchaseRank _), // fixed-point weighted PageRank; GraphRankSpec pins the arithmetic
+    "q52_scd2_history" -> (graft.analytics.OlapQueries.q52ScdHistory _), // type-2 dimension history (q44's SCD-1 keeps latest; this keeps intervals)
+    "q53_small_qty_revenue" -> (graft.analytics.OlapQueries.q53SmallQtyRevenue _), // correlated scalar subquery, decorrelated (TPC-H Q17 shape)
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -176,6 +178,8 @@ object SparkEntry {
 
     "d46_inverted_index" -> (graft.llm.QualityOps.d46InvertedIndex _),
     "d47_layout_cluster" -> (graft.sources.Layout.d47LayoutCluster _),
+    "d47b_layout_zorder" -> (graft.sources.Layout.d47bLayoutZorder _), // 2-D Morton clustering; either predicate row-group-skips
+    "d49_purge_lake" -> (graft.sources.Layout.d49PurgeLake _), // copy-on-write takedown; only the hit partition is rewritten
     "d48_token_efficiency" -> (graft.llm.LmOps.d48TokenEfficiency _), // tokenizer-fit census from the frozen d33b merges
     "m01_decode_features" -> (graft.llm.Multimodal.m01DecodeFeatures _),
     "m02_frame_sample" -> (graft.llm.Multimodal.m02FrameSample _),
@@ -244,6 +248,8 @@ object SparkEntry {
     "q49_nation_share_of_region" -> graft.analytics.OlapQueries.q49Sql,
     "q50_retained_buyers" -> graft.analytics.OlapQueries.q50Sql,
     "q51_copurchase_rank" -> graft.analytics.OlapQueries.q51Sql,
+    "q52_scd2_history" -> graft.analytics.OlapQueries.q52Sql,
+    "q53_small_qty_revenue" -> graft.analytics.OlapQueries.q53Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,
@@ -307,6 +313,8 @@ object SparkEntry {
     "a09c_knn_join_salted" -> graft.llm.VectorOps.a09Sql, // salted twin: same rows as a09 by construction
     "d46_inverted_index" -> graft.llm.QualityOps.d46Sql,
     "d47_layout_cluster" -> graft.sources.Layout.d47Sql,
+    "d47b_layout_zorder" -> graft.sources.Layout.d47bSql,
+    "d49_purge_lake" -> graft.sources.Layout.d49Sql,
     "d48_token_efficiency" -> graft.llm.LmOps.d48Sql,
     // frozen-model inference oracles (defs — the SQL bakes in the
     // artifact path the query persisted for THIS run's data dir; Verify

@@ -789,4 +789,131 @@ object OlapQueries {
        |ORDER BY rank_micro DESC, part_id
        |LIMIT 30""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q52 — SCD TYPE-2 history build: the versioned-dimension op q44's
+  // SCD-1 upsert deliberately is not. Given a change log (here: each
+  // customer's orders as a stream of o_orderpriority re-statements), emit
+  // one row per VALUE RUN with [valid_from, valid_to) intervals, a
+  // version number, and an is_current flag — the table every "as of
+  // date X" dimension lookup joins against, and the missing half of the
+  // warehouse-write family (q44 keeps latest; this keeps history).
+  //
+  // Determinism: several orders can land on one day, so the per-day
+  // winner is pinned FIRST (max_by on the unique o_orderkey — a
+  // partial-aggregable groupBy, not a window), then runs collapse via
+  // lag and intervals close via lead. valid_to of the open row is the
+  // conventional high-date 9999-12-31 rather than NULL so the interval
+  // join predicate stays a plain BETWEEN.
+  //
+  // Scale shape: one keyed shuffle for the per-day argmax (map-side
+  // combine on (custkey, day)), one keyed shuffle into the custkey
+  // window — lag, the run filter, row_number, and lead all share the
+  // (custkey, valid_from) partitioning+ordering, so Catalyst plans a
+  // single Window exchange and the filter between the two window
+  // operators re-sorts nothing. Per-key row counts are bounded by
+  // per-customer order counts — no global window, no skew cliff.
+  // ---------------------------------------------------------------------
+  private[graft] val ScdHighDate = "9999-12-31 00:00:00"
+
+  /** The interval builder alone: `changes` carries one pinned change per
+    * (o_custkey, o_orderdate) with the new value in `prio`. Extracted so
+    * the spec can drive a hand-checkable change log through the exact
+    * production window algebra. */
+  private[graft] def scd2Intervals(changes: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val runs = changes
+      .withColumn("prev", lag(col("prio"), 1).over(byCust))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+    runs.select(
+        col("o_custkey").as("customer_id"),
+        row_number().over(byCust).cast("bigint").as("version_no"),
+        col("prio").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        coalesce(lead(col("o_orderdate"), 1).over(byCust),
+          lit(ScdHighDate).cast("timestamp")).as("valid_to"),
+        when(lead(col("o_orderdate"), 1).over(byCust).isNull, 1L)
+          .otherwise(0L).as("is_current"))
+      .orderBy(col("customer_id"), col("version_no"))
+  }
+
+  def q52ScdHistory(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio")))
+
+  // ---------------------------------------------------------------------
+  // q53 — correlated SCALAR subquery in a filter (the TPC-H Q17 shape):
+  // small-quantity line items, where "small" is relative to THAT part's
+  // own average quantity — the remaining correlated-subquery class after
+  // q45's EXISTS (semi-join). Decorrelated the way Catalyst itself
+  // would: the per-part average is a groupBy aggregate re-joined on the
+  // key, so the "subquery per outer row" never executes row-at-a-time.
+  //
+  // Numeric contract: quantities are integer-valued doubles (≤50), so
+  // their double SUM is exact and partition-order-free; avg = exact sum
+  // / count and 0.2·avg are then bit-identical IEEE in both engines.
+  // Revenue goes through the money(decimal) lift before summing.
+  //
+  // Scale shape: lineitem shuffles ONCE on l_partkey and the exchange is
+  // reused for both sides of the self-join (aggregate + probe); the part
+  // dim attaches by keyed join after the filter has cut the frame; final
+  // rollup is a 25-row brand aggregate with map-side partials.
+  // ---------------------------------------------------------------------
+  def q53SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
+    val small = l.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+    small
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        (Queries.moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q53Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey,
+      |         SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p.p_brand,
+      |       COUNT(*) AS n_small,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly
+      |FROM lineitem l
+      |JOIN pa ON l.l_partkey = pa.l_partkey
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < 0.2 * pa.avg_qty
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  val q52Sql: String =
+    s"""WITH per_day AS (
+       |  SELECT o_custkey, o_orderdate,
+       |         max_by(o_orderpriority, o_orderkey) AS prio
+       |  FROM orders GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_orderdate, prio,
+       |           LAG(prio) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+       |    FROM per_day)
+       |  WHERE prev IS NULL OR prev <> prio)
+       |SELECT o_custkey AS customer_id,
+       |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+       |       prio AS priority,
+       |       o_orderdate AS valid_from,
+       |       COALESCE(LEAD(o_orderdate) OVER w,
+       |                TIMESTAMP '$ScdHighDate') AS valid_to,
+       |       CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+       |            AS BIGINT) AS is_current
+       |FROM runs
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+       |ORDER BY customer_id, version_no""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,4 +124,207 @@ object Layout {
     spark.read.parquet(out)
       .filter(col("doc_band").between(loDoc / DocBandWidth, hiDoc / DocBandWidth)
         && col("doc_id").between(loDoc, hiDoc))
+
+  // ---------------------------------------------------------------------
+  // d47b — Z-ORDER (multi-dimensional) clustering: d47's linear layout
+  // serves ONE predicate column; a serving lake usually has two (here:
+  // length bands for loader sharding AND language for mixture slicing).
+  // A linear sort on either column leaves the other scattered across
+  // every file, so the other predicate reads the whole table. Z-order
+  // interleaves the bits of both dimensions' RANKS into one key and
+  // range-writes on it: each output file then covers a small rectangle
+  // of (length, language) space, so row-group min/max stats skip on
+  // EITHER predicate.
+  //
+  // The language dimension is rank-encoded (lexicographic position via
+  // the distributed Ranks.withGlobalRank, k-row frame), NOT hashed: the
+  // parquet stats that do the skipping are min/max over the lang STRING,
+  // and only a rank that agrees with the string order makes a zkey-
+  // contiguous file also string-contiguous — a hashed id would cluster
+  // physically but leave every file's (min,max) spanning the alphabet,
+  // skipping nothing. Bit widths clamp (band at 31, lang rank at 7):
+  // clamping degrades layout locality for out-of-range values, never
+  // correctness — the oracle runs against the ORIGINAL table, so value
+  // invariance of the rewrite is re-proven on every gate run, exactly as
+  // d47.
+  // ---------------------------------------------------------------------
+  private[graft] val ZBandBits = 5 // len_band ≤ 31 (n_chars < 2048 at BandWidth 64)
+  private[graft] val ZLangBits = 3 // lang rank ≤ 7
+  private[graft] val ZLang = "es"
+
+  /** 2-D Morton (Z-curve) key as pure integer arithmetic (codegen-
+    * friendly, engine-reproducible). Bits interleave MSB-FIRST,
+    * alternating dimensions — z = a₄ b₂ a₃ b₁ a₂ b₀ a₁ a₀ for (5,3) —
+    * so BOTH dimensions contribute to the key's top bits and file-count
+    * splits alternate between them; an LSB interleave of unequal widths
+    * would hand the wider dimension the entire high order and degrade to
+    * a linear sort. Leftover low bits of the wider dimension trail. */
+  private[graft] def zInterleave(a: Column, aBits: Int,
+      b: Column, bBits: Int): Column = {
+    val msbFirst: Seq[(Column, Int)] =
+      (0 until math.max(aBits, bBits)).flatMap { i =>
+        (if (aBits - 1 - i >= 0) Seq((a, aBits - 1 - i)) else Nil) ++
+          (if (bBits - 1 - i >= 0) Seq((b, bBits - 1 - i)) else Nil)
+      }
+    val total = aBits + bBits
+    msbFirst.zipWithIndex.map { case ((c, srcBit), idx) =>
+      shiftleft(shiftright(c, srcBit).bitwiseAND(lit(1L)), total - 1 - idx)
+    }.reduce(_ + _)
+  }
+
+  /** The Z-ordered rewrite alone (shared by d47b, LayoutBench, and the
+    * spec). Helper columns are physical-only — dropped before write, so
+    * the table's logical schema is unchanged. */
+  private[graft] def writeZordered(spark: SparkSession, dir: String): String = {
+    val out = layoutPath(dir, "d47b_docs_zorder")
+    val docs = Tables.documents(spark, dir)
+    val langRank = graft.operators.Ranks
+      .withGlobalRank(docs.select(col("lang")).distinct(), Seq(col("lang")), "__lr")
+      .select(col("lang"),
+        least(col("__lr") - 1, lit((1 << ZLangBits) - 1)).cast(LongType).as("__lang_id"))
+    // explicit partition count: file sizing is THE layout knob (a
+    // deployment targets ~1 GB files), and an explicit N also opts the
+    // range shuffle out of AQE coalescing — letting AQE fold the tiny
+    // fixture into one file would erase the multi-file locality the
+    // rewrite exists to produce
+    val nFiles = spark.sessionState.conf.numShufflePartitions
+    docs.join(broadcast(langRank), Seq("lang"))
+      .withColumn("__band",
+        least(floor(col("n_chars") / BandWidth), lit((1 << ZBandBits) - 1))
+          .cast(LongType))
+      .withColumn("__zkey",
+        zInterleave(col("__band"), ZBandBits, col("__lang_id"), ZLangBits))
+      .repartitionByRange(nFiles, col("__zkey"), col("doc_id"))
+      .sortWithinPartitions(col("__zkey"), col("doc_id"))
+      .drop("__band", "__lang_id", "__zkey")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  def d47bLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val out = writeZordered(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("lang") === ZLang
+        && col("n_chars").between(LoChars, HiChars))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
+  val d47bSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM documents
+       |WHERE lang = '$ZLang' AND n_chars BETWEEN $LoChars AND $HiChars
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d49 — COPY-ON-WRITE targeted purge (the takedown / right-to-be-
+  // forgotten seam): delete a keyed subset from the lake by rewriting
+  // ONLY the partition directories that hold matching rows, leaving
+  // every other file physically untouched. At 100 TB this is the
+  // difference between a job sized by the purge's blast radius (one
+  // source's directory) and a full-table rewrite; the partition column
+  // is chosen to align with the dominant purge predicate (source — the
+  // unit takedown requests arrive in), exactly how a real lake picks its
+  // partitioning for GDPR economics.
+  //
+  // Mechanics: matching rows' partition VALUES are collected (bounded by
+  // the partition-value cardinality, never row count), the affected
+  // directories are re-read (directory-pruned scan), survivors are
+  // materialized via localCheckpoint — the staged-commit buffer that
+  // both breaks the read-from-overwritten-path cycle and pins the bytes
+  // before anything is replaced — and written back under DYNAMIC
+  // partition overwrite, which replaces only the directories present in
+  // the written frame. A production lake does the same dance through a
+  // table format's staged commit (Delta/Iceberg); the buffer here is
+  // blast-radius-sized, not table-sized.
+  //
+  // The oracle runs the anti-predicate over the ORIGINAL table, so every
+  // gate run re-proves the purge removed EXACTLY the requested rows and
+  // damaged nothing else. LayoutSpec additionally pins the physical
+  // claim: untouched directories' files are byte-identical after the
+  // purge, and only the hit partition was rewritten.
+  // ---------------------------------------------------------------------
+  private[graft] val PurgeSource = "src7"
+  private[graft] val PurgeBucketLimit = 40L
+
+  private[graft] def purgePredicate: Column =
+    col("source") === PurgeSource &&
+      graft.llm.TextOps.hashBucket(col("doc_id")) < PurgeBucketLimit
+
+  /** Fresh source-partitioned lake copy of `documents` (one directory
+    * per source — the takedown-request grain). Rebuilt on every call so
+    * the registered query is deterministic run-over-run. */
+  private[graft] def writeSourceLake(spark: SparkSession, dir: String): String = {
+    val out = layoutPath(dir, "d49_docs_by_source")
+    Tables.documents(spark, dir)
+      .repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    out
+  }
+
+  /** Copy-on-write delete: rewrite only the `partCol` directories holding
+    * rows matching `pred`. Returns the rewritten partition values. */
+  private[graft] def purgeLake(spark: SparkSession, lake: String,
+      pred: Column, partCol: String): Seq[String] = {
+    // bounded collect: distinct PARTITION VALUES of matching rows — the
+    // blast radius, never the row set
+    val hit = spark.read.parquet(lake).filter(pred)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (hit.nonEmpty) {
+      val survivors = spark.read.parquet(lake)
+        .filter(col(partCol).isin(hit: _*)) // directory-pruned read
+        .filter(!pred)
+        .localCheckpoint() // staged-commit buffer, blast-radius-sized
+      // dynamic overwrite replaces only partitions PRESENT in the written
+      // frame — a fully-purged partition would survive untouched, so any
+      // hit value with zero survivors is dropped by directory delete
+      // (bounded: partition values, checked AFTER the buffer is pinned)
+      val kept = survivors.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "STATIC")
+      try {
+        spark.conf.set(key, "dynamic")
+        if (kept.nonEmpty)
+          survivors.write.mode("overwrite").partitionBy(partCol).parquet(lake)
+      } finally spark.conf.set(key, prev)
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hit.filterNot(kept).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(lake, s"$partCol=$v"), true)
+      }
+    }
+    hit
+  }
+
+  def d49PurgeLake(spark: SparkSession, dir: String): DataFrame = {
+    val lake = writeSourceLake(spark, dir)
+    purgeLake(spark, lake, purgePredicate, "source")
+    spark.read.parquet(lake)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val d49Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM documents
+       |WHERE NOT (source = '$PurgeSource'
+       |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 < $PurgeBucketLimit)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

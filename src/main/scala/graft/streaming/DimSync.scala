@@ -60,6 +60,51 @@ object DimSync {
   def snapshot(spark: SparkSession, dimPath: String, like: DataFrame): DataFrame =
     readVersion(spark, dimPath, latestVersion(spark, dimPath), like)
 
+  /** Time-travel read: the snapshot as of a specific COMPLETE version.
+    * Fails loudly on an incomplete or absent slot rather than serving a
+    * dead writer's partial directory. */
+  def snapshotAt(spark: SparkSession, dimPath: String, version: Int): DataFrame = {
+    val p = new Path(s"$dimPath/v$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"version v$version at $dimPath is absent or incomplete")
+    spark.read.parquet(p.toString)
+  }
+
+  /** VACUUM: the retention sweep the merge path's contract defers to.
+    * Deletes (a) COMPLETE versions older than the newest `keep` (time
+    * travel shrinks to the retained window) and (b) incomplete version
+    * dirs BELOW the latest complete version — those writers are provably
+    * dead, something committed past them. An incomplete dir ABOVE the
+    * latest complete version is left alone: that slot may be an
+    * in-flight writer, and sweeping it would turn the optimistic-commit
+    * protocol into lost work (a real lake ages those out by wall-clock;
+    * version order is the crash-proof signal available here).
+    * Returns the swept directory names. Bounded driver work throughout:
+    * one directory listing, never data reads. */
+  def vacuum(spark: SparkSession, dimPath: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the current version")
+    val p = new Path(dimPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val slots = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) =>
+          Some((n.toInt, s.getPath,
+            fs.exists(new Path(s.getPath, "_SUCCESS"))))
+        case _ => None
+      }).sortBy(_._1)
+    val complete = slots.collect { case (n, _, true) => n }
+    if (complete.isEmpty) return Nil
+    val latest = complete.max
+    val keepFloor = complete.sorted.takeRight(keep).head
+    val sweep = slots.filter { case (n, _, ok) =>
+      (ok && n < keepFloor) || (!ok && n < latest)
+    }
+    sweep.foreach { case (_, path, _) => fs.delete(path, true) }
+    sweep.map(_._2.getName)
+  }
+
   /** Apply one upsert batch: full-outer merge on `key`, batch values win
     * column-wise, result lands as the next version. Usable directly as a
     * `foreachBatch` body.

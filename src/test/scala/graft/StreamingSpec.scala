@@ -256,6 +256,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DimSync: vacuum retains the newest versions, sweeps dead writers, spares in-flight slots") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimvac").toString
+    // four complete versions v0..v3
+    (0 to 3).foreach { i =>
+      graft.streaming.DimSync.merge(spark,
+        dir, Seq((1L, s"n$i", i.toDouble)).toDF("k", "name", "acctbal"), "k")
+    }
+    // time travel works on a retained complete version
+    assert(graft.streaming.DimSync.snapshotAt(spark, dir, 2)
+      .head.getAs[String]("name") == "n2")
+    // plant a dead writer BELOW latest (v1-era partial, _SUCCESS removed)
+    // and an in-flight writer ABOVE latest (v4 without _SUCCESS)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v1/_SUCCESS"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v4"))
+    val swept = graft.streaming.DimSync.vacuum(spark, dir, keep = 2)
+    // keep=2 retains {v2, v3}; v0 ages out, v1 is a dead writer, v4 may
+    // be an in-flight commit and must survive
+    assert(swept.toSet == Set("v0", "v1"), s"unexpected sweep set: $swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v4")))
+    // the current snapshot is untouched and still the latest merge
+    assert(graft.streaming.DimSync.latestVersion(spark, dir).contains(3))
+    assert(graft.streaming.DimSync.snapshotAt(spark, dir, 3)
+      .head.getAs[String]("name") == "n3")
+    // an aged-out version no longer time-travels, loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.DimSync.snapshotAt(spark, dir, 0)
+    }
+    // vacuum is idempotent once converged
+    assert(graft.streaming.DimSync.vacuum(spark, dir, keep = 2).isEmpty)
+  }
+
   test("DimSync: duplicate keys within one batch collapse to one row, last-wins by batchOrder") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dimdup").toString
