@@ -100,8 +100,13 @@ object LayoutBench {
       .write.format("noop").mode("overwrite").save()
 
     // z-order copy (round 15): the same corpus Morton-clustered on
-    // (length band, lang rank) — measured under BOTH single-column
-    // predicates, against the linear layout which can only serve one
+    // (length band, lang rank). The serving aggregate here READS THE
+    // TEXT COLUMN (the realistic corpus-lake pattern — a loader pulls
+    // documents, not metadata), because that is what row-group skipping
+    // monetizes: a metadata-only aggregate over a fixture-sized table is
+    // footer-bound and cannot show the byte win. Measured under BOTH
+    // single-column predicates on all three layouts — the linear layout
+    // can only serve one.
     val zorderPath = {
       val t0 = System.nanoTime()
       val out = Layout.writeZordered(spark, sfDir)
@@ -113,9 +118,12 @@ object LayoutBench {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
-    serve(spark.read.parquet(zorderPath)).write.format("noop").mode("overwrite").save()
-    serveLang(spark.read.parquet(zorderPath)).write.format("noop").mode("overwrite").save()
-    serveLang(spark.read.parquet(clusteredPath)).write.format("noop").mode("overwrite").save()
+    def zread(p: String) = spark.read.parquet(p)
+    Seq[DataFrame => DataFrame](serve, serveLang).foreach { s =>
+      Seq(basePath, clusteredPath, zorderPath).foreach { p =>
+        s(zread(p).drop("len_band")).write.format("noop").mode("overwrite").save()
+      }
+    }
 
     val rows = Seq(
       measure("unclustered",
@@ -124,13 +132,76 @@ object LayoutBench {
         () => serve(Layout.servingScan(spark, clusteredPath).drop("len_band")),
         nFiles(clusteredPath)),
       measure("zorder_len",
-        () => serve(spark.read.parquet(zorderPath)), nFiles(zorderPath)),
-      // the cross-dimension rows: the linear layout has no lang locality,
-      // the z-order one does — same table, same predicate, only layout
+        () => serve(zread(zorderPath)), nFiles(zorderPath)),
       measure("clustered_lang",
-        () => serveLang(spark.read.parquet(clusteredPath)), nFiles(clusteredPath)),
+        () => serveLang(zread(clusteredPath).drop("len_band")),
+        nFiles(clusteredPath)),
       measure("zorder_lang",
-        () => serveLang(spark.read.parquet(zorderPath)), nFiles(zorderPath)))
+        () => serveLang(zread(zorderPath)), nFiles(zorderPath)))
+
+    // ------------------------------------------------------------------
+    // Deterministic row-group skipping census, straight from the parquet
+    // FOOTERS (min/max stats per group — the exact inputs the reader's
+    // skip decision uses). This is THE layout number a 100 TB lake sizes
+    // by: what fraction of row groups (and their data bytes) a predicate
+    // touches under each layout. Task-level byte counters are useless
+    // for this on a local fs at fixture scale — they are dominated by
+    // footer/metadata reads (measured: a full 5.9 MB table scan reports
+    // 152 KB) — while the footer census is exact and reproducible.
+    // ------------------------------------------------------------------
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.hadoop.metadata.BlockMetaData
+    import scala.jdk.CollectionConverters._
+
+    def blocks(dir: String): Seq[BlockMetaData] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      val out = Seq.newBuilder[BlockMetaData]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+          try out ++= rd.getFooter.getBlocks.asScala
+          finally rd.close()
+        }
+      }
+      out.result()
+    }
+    def stats(b: BlockMetaData, name: String) =
+      b.getColumns.asScala.find(_.getPath.toDotString == name)
+        .map(_.getStatistics).filter(s => s != null && !s.isEmpty)
+    // conservative: a group with no usable stats SURVIVES (is read)
+    def lenSurvives(b: BlockMetaData): Boolean =
+      stats(b, "n_chars").forall { s =>
+        val mn = s.genericGetMin.asInstanceOf[java.lang.Long].longValue
+        val mx = s.genericGetMax.asInstanceOf[java.lang.Long].longValue
+        mx >= Layout.LoChars && mn <= Layout.HiChars
+      }
+    def langSurvives(b: BlockMetaData): Boolean =
+      stats(b, "lang").forall { s =>
+        val mn = s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8
+        val mx = s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8
+        mn <= Layout.ZLang && mx >= Layout.ZLang
+      }
+    def skipRow(dir: String, pred: BlockMetaData => Boolean): String = {
+      val bs = blocks(dir)
+      val sel = bs.filter(pred)
+      s"""{"rg_selected":${sel.size},"rg_total":${bs.size},""" +
+        s""""bytes_selected":${sel.map(_.getTotalByteSize).sum},""" +
+        s""""bytes_total":${bs.map(_.getTotalByteSize).sum}}"""
+    }
+    val skipping =
+      s""""skipping":{"len":{"unclustered":${skipRow(basePath, lenSurvives)},""" +
+        s""""linear":${skipRow(clusteredPath, lenSurvives)},""" +
+        s""""zorder":${skipRow(zorderPath, lenSurvives)}},""" +
+        s""""lang":{"unclustered":${skipRow(basePath, langSurvives)},""" +
+        s""""linear":${skipRow(clusteredPath, langSurvives)},""" +
+        s""""zorder":${skipRow(zorderPath, langSurvives)}}}"""
 
     // copy-on-write purge economics (round 15): what fraction of the
     // lake a takedown actually rewrites when the partition grain aligns
@@ -162,7 +233,7 @@ object LayoutBench {
     val json = s"""{"metric":"layout_census","sf":"$sfDir","cpus":$cpus,""" +
       s""""band_width":${Layout.BandWidth},"predicate":"n_chars BETWEEN ${Layout.LoChars} AND ${Layout.HiChars}",""" +
       s""""lang_predicate":"lang = '${Layout.ZLang}'",""" +
-      (rows :+ purgeRow).mkString("", ",", "}")
+      (rows ++ Seq(skipping, purgeRow)).mkString("", ",", "}")
     println(json)
     val out = sys.env.get("SPARK_GRAFT_LAYOUT_OUT")
     out.foreach { p =>

@@ -152,6 +152,16 @@ object Layout {
   private[graft] val ZLangBits = 3 // lang rank ≤ 7
   private[graft] val ZLang = "es"
 
+  /** Parquet row-group size for the z-ordered write. The skipping
+    * mechanism z-order monetizes is ROW-GROUP min/max stats, so the
+    * group size must be well below the file size or skipping degrades
+    * to all-or-nothing per file (observed: one group per file at
+    * fixture scale, where footer overhead then dominates task bytes).
+    * 256 KB is the fixture-proportional analogue of the 128 MB default a
+    * 100 TB lake would keep — the same reason make_sf.py pins 32k-row
+    * groups in its stretch fixtures. */
+  private[graft] val ZRowGroupBytes = 256 * 1024
+
   /** 2-D Morton (Z-curve) key as pure integer arithmetic (codegen-
     * friendly, engine-reproducible). Bits interleave MSB-FIRST,
     * alternating dimensions — z = a₄ b₂ a₃ b₁ a₂ b₀ a₁ a₀ for (5,3) —
@@ -197,7 +207,10 @@ object Layout {
       .repartitionByRange(nFiles, col("__zkey"), col("doc_id"))
       .sortWithinPartitions(col("__zkey"), col("doc_id"))
       .drop("__band", "__lang_id", "__zkey")
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite")
+      .option("parquet.block.size", ZRowGroupBytes)
+      .option("parquet.page.size", ZRowGroupBytes / 4)
+      .parquet(out)
     out
   }
 
