@@ -103,6 +103,7 @@ object SparkEntry {
     "q51_copurchase_rank" -> (graft.analytics.OlapQueries.q51CopurchaseRank _), // fixed-point weighted PageRank; GraphRankSpec pins the arithmetic
     "q52_scd2_history" -> (graft.analytics.OlapQueries.q52ScdHistory _), // type-2 dimension history (q44's SCD-1 keeps latest; this keeps intervals)
     "q53_small_qty_revenue" -> (graft.analytics.OlapQueries.q53SmallQtyRevenue _), // correlated scalar subquery, decorrelated (TPC-H Q17 shape)
+    "q54_asof_dimension" -> (graft.analytics.OlapQueries.q54AsOfDimension _), // point-in-time lookup against q52's SCD-2 intervals
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
     "d02_token_stats" -> (graft.llm.TextOps.d02TokenStats _),
     "d03_lang_id" -> (graft.llm.TextOps.d03LangId _),
@@ -250,6 +251,7 @@ object SparkEntry {
     "q51_copurchase_rank" -> graft.analytics.OlapQueries.q51Sql,
     "q52_scd2_history" -> graft.analytics.OlapQueries.q52Sql,
     "q53_small_qty_revenue" -> graft.analytics.OlapQueries.q53Sql,
+    "q54_asof_dimension" -> graft.analytics.OlapQueries.q54Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,
     "d02_token_stats" -> graft.llm.TextOps.d02Sql,
     "d03_lang_id" -> graft.llm.TextOps.d03Sql,

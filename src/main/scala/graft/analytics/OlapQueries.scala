@@ -879,6 +879,80 @@ object OlapQueries {
       .orderBy(col("p_brand"))
   }
 
+  // ---------------------------------------------------------------------
+  // q54 — POINT-IN-TIME lookup against the SCD-2 dimension (q52's
+  // consumer): re-join every order to the priority interval that was
+  // CURRENT at its order date — the "dimension as of event time" join
+  // every type-2 warehouse exists to serve, and the read-side proof that
+  // q52's intervals tile correctly (every order must land in exactly one
+  // interval, including each run's FIRST order on the interval-opening
+  // date, and the matched value must equal that day's pinned change).
+  //
+  // Join shape: equi-join on customer_id with the interval predicate as
+  // a join-level range filter. Both sides hash-partition on the key; per
+  // key the dimension carries only that customer's version rows (bounded
+  // by their change count), so the per-key interval probe is a few-row
+  // scan — the reason a type-2 dim join never needs the bucket-explode
+  // machinery q31 uses for arbitrary interval overlap. The final rollup
+  // compares looked-up state to the order's own restated priority:
+  // is_current_match counts orders whose priority equals the interval
+  // value (diagnostic for late-arriving re-statements).
+  // ---------------------------------------------------------------------
+  def q54AsOfDimension(spark: SparkSession, dir: String): DataFrame = {
+    val hist = q52ScdHistory(spark, dir)
+      .select(col("customer_id"), col("version_no"), col("priority"),
+        col("valid_from"), col("valid_to"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_totalprice"))
+    o.join(hist,
+        col("o_custkey") === col("customer_id")
+          && col("o_orderdate") >= col("valid_from")
+          && col("o_orderdate") < col("valid_to"))
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === col("priority"), 1L)
+          .otherwise(0L)).as("n_matching"),
+        Queries.moneySum(col("o_totalprice")).as("revenue"),
+        max(col("version_no")).as("max_version"))
+      .orderBy(col("priority"))
+  }
+
+  val q54Sql: String =
+    s"""WITH per_day AS (
+       |  SELECT o_custkey, o_orderdate,
+       |         max_by(o_orderpriority, o_orderkey) AS prio
+       |  FROM orders GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_orderdate, prio,
+       |           LAG(prio) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+       |    FROM per_day)
+       |  WHERE prev IS NULL OR prev <> prio),
+       |hist AS (
+       |  SELECT o_custkey AS customer_id,
+       |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+       |         prio AS priority,
+       |         o_orderdate AS valid_from,
+       |         COALESCE(LEAD(o_orderdate) OVER w,
+       |                  TIMESTAMP '$ScdHighDate') AS valid_to
+       |  FROM runs
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+       |SELECT h.priority,
+       |       COUNT(*) AS n_orders,
+       |       CAST(SUM(CASE WHEN o.o_orderpriority = h.priority
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+       |       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+       |            AS DOUBLE) AS revenue,
+       |       MAX(h.version_no) AS max_version
+       |FROM orders o
+       |JOIN hist h
+       |  ON o.o_custkey = h.customer_id
+       | AND o.o_orderdate >= h.valid_from
+       | AND o.o_orderdate <  h.valid_to
+       |GROUP BY h.priority ORDER BY h.priority""".stripMargin
+
   val q53Sql: String =
     """WITH pa AS (
       |  SELECT l_partkey,

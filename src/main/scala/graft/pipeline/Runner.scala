@@ -306,6 +306,20 @@ object Runner {
   def runMaintenance(spark: SparkSession, outDir: String): Unit = {
     val out = graft.sources.Layout.optimizeChunks(spark, outDir)
     println(s"[runner] maintenance: corpus/chunks clustered at $out")
+    // Takedown queue (round 15 cont.): copy-on-write purge of one doc's
+    // chunks from the SERVING table — d49's seam running on the live
+    // lake, after OPTIMIZE so the request lands on the band-partitioned
+    // layout and the rewrite touches only that doc's band directory.
+    // The fixture's "queue" is deterministic: the minimum doc id (1-row
+    // aggregate; a deployment reads its takedown table here).
+    val victim = spark.read.parquet(out)
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0)
+    val hit = graft.sources.Layout.purgeLake(spark, out,
+      org.apache.spark.sql.functions.col("doc_id") === victim, "doc_band")
+    println(s"[runner] maintenance: takedown purged doc $victim " +
+      s"from band dir(s) ${hit.mkString(",")} of " +
+      s"${spark.read.parquet(out).inputFiles.length} serving files")
   }
 
   def main(args: Array[String]): Unit = {

@@ -130,11 +130,19 @@ class PipelineSpec extends SparkSpec {
     val allFiles = spark.read.parquet(clustered).inputFiles.length
     assert(readFiles < allFiles,
       s"maintenance read $readFiles of $allFiles files — nothing pruned")
+    // the maintenance stage also processed the takedown queue: the
+    // victim (deterministically the min doc id) is purged from the
+    // SERVING table only — the ingest table keeps it, so parity is
+    // against (unclustered MINUS the takedown set)
+    val victim = ids.getLong(0)
+    assert(spark.read.parquet(clustered)
+      .filter(col("doc_id") === victim).isEmpty,
+      "takedown victim must be gone from the serving table")
     val want = spark.read.parquet(s"$out/corpus/chunks")
-      .filter(col("doc_id").between(lo, hi))
+      .filter(col("doc_id").between(lo, hi) && col("doc_id") =!= victim)
     assert(shard.drop("doc_band").exceptAll(want).isEmpty
       && want.exceptAll(shard.drop("doc_band")).isEmpty,
-      "clustered shard must be value-identical to the unclustered table")
+      "clustered shard must be value-identical to the unclustered table minus the takedown")
   }
 
   test("CSV source roundtrip with pinned schema (S1/S4)") {

@@ -69,4 +69,18 @@ class ScdSpec extends SparkSpec {
         col("next_prio") === col("priority")).isEmpty)
     } finally hist.unpersist()
   }
+
+  test("q54: every order lands in exactly ONE interval (the tiling proof, read side)") {
+    val n = OlapQueries.q54AsOfDimension(spark, sfDir)
+      .agg(sum(col("n_orders"))).head.getLong(0)
+    val orders = Tables.orders(spark, sfDir).count()
+    assert(n === orders,
+      s"as-of join produced $n rows for $orders orders — intervals must tile")
+    // and the interval-opening order matches its own interval's value:
+    // each version's first day is the pinned change itself, so orders on
+    // valid_from with the winning key must match
+    val matched = OlapQueries.q54AsOfDimension(spark, sfDir)
+      .agg(sum(col("n_matching"))).head.getLong(0)
+    assert(matched > 0 && matched <= n)
+  }
 }
