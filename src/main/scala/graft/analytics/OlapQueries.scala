@@ -802,9 +802,14 @@ object OlapQueries {
   // Determinism: several orders can land on one day, so the per-day
   // winner is pinned FIRST (max_by on the unique o_orderkey — a
   // partial-aggregable groupBy, not a window), then runs collapse via
-  // lag and intervals close via lead. valid_to of the open row is the
-  // conventional high-date 9999-12-31 rather than NULL so the interval
-  // join predicate stays a plain BETWEEN.
+  // lag and intervals close via lead. valid_to of the open row is a
+  // conventional high-date rather than NULL so the interval join
+  // predicate stays a plain BETWEEN. The sentinel is 2262-01-01, NOT
+  // the folklore 9999-12-31: any verifier that canonicalizes
+  // timestamps through nanoseconds (pandas datetime64[ns] tops out at
+  // 2262-04-11) overflows on the folklore value, so no compared column
+  // may ever carry a timestamp past that horizon (enforced statically
+  // by tools/audit_oracle_types.py).
   //
   // Scale shape: one keyed shuffle for the per-day argmax (map-side
   // combine on (custkey, day)), one keyed shuffle into the custkey
@@ -814,7 +819,7 @@ object OlapQueries {
   // operators re-sorts nothing. Per-key row counts are bounded by
   // per-customer order counts — no global window, no skew cliff.
   // ---------------------------------------------------------------------
-  private[graft] val ScdHighDate = "9999-12-31 00:00:00"
+  private[graft] val ScdHighDate = "2262-01-01 00:00:00"
 
   /** The interval builder alone: `changes` carries one pinned change per
     * (o_custkey, o_orderdate) with the new value in `prio`. Extracted so

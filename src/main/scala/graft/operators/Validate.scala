@@ -54,7 +54,13 @@ object Validate {
         r("missing_custkey", "o_custkey IS NULL"),
         r("missing_orderdate", "o_orderdate IS NULL"),
         r("bad_status", "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')"),
-        r("negative_totalprice", "o_totalprice < 0"))),
+        r("negative_totalprice", "o_totalprice < 0"),
+        // nanosecond-horizon sanity: pandas datetime64[ns] (and any
+        // ns-resolution consumer) tops out at 2262-04-11, so a date past
+        // it is corruption that would silently diverge downstream hash /
+        // arrow paths (the q52 round-15 class) — quarantine at ingest
+        r("ts_past_ns_horizon",
+          "o_orderdate > TIMESTAMP '2262-04-11 23:47:16'"))),
     TableRules("lineitem", Seq("l_orderkey", "l_linenumber"),
       Seq("l_shipdate", "l_partkey", "l_suppkey"), Seq(
         r("missing_key", "l_orderkey IS NULL OR l_linenumber IS NULL"),

@@ -294,7 +294,12 @@ object Layout {
     if (hit.nonEmpty) {
       val survivors = spark.read.parquet(lake)
         .filter(col(partCol).isin(hit: _*)) // directory-pruned read
-        .filter(!pred)
+        // keep every row whose predicate is NOT TRUE: under SQL
+        // three-valued logic a NULL-evaluating predicate satisfies
+        // neither pred nor !pred, so a bare .filter(!pred) would
+        // silently drop such rows from the rewritten partition —
+        // data loss beyond the requested purge
+        .filter(coalesce(!pred, lit(true)))
         .localCheckpoint() // staged-commit buffer, blast-radius-sized
       // dynamic overwrite replaces only partitions PRESENT in the written
       // frame — a fully-purged partition would survive untouched, so any

@@ -150,6 +150,30 @@ class LayoutSpec extends SparkSpec {
       after.filter(_._1.startsWith(hitDir)))
   }
 
+  test("purge predicate evaluating to NULL keeps the row (three-valued logic)") {
+    import spark.implicits._
+    // a lake whose predicate column is nullable: rows where the
+    // predicate is NULL satisfy neither pred nor !pred, so a naive
+    // .filter(!pred) rewrite would silently drop them from the hit
+    // partition — they must survive the copy-on-write
+    val lake = java.nio.file.Files
+      .createTempDirectory("purge_null_lake").toString
+    Seq(
+      ("a", "hot", Some(5L)),   // matches → purged
+      ("b", "hot", None),       // pred NULL → MUST survive
+      ("c", "hot", Some(99L)),  // pred false → survives
+      ("d", "cold", Some(5L))   // other partition, untouched
+    ).toDF("id", "part", "score")
+      .write.mode("overwrite").partitionBy("part").parquet(lake)
+    val pred = col("part") === "hot" && col("score") < 10L
+    val rewritten = Layout.purgeLake(spark, lake, pred, "part")
+    assert(rewritten === Seq("hot"))
+    val left = spark.read.parquet(lake).select(col("id"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(left === Seq("b", "c", "d"),
+      s"NULL-predicate row must survive the rewrite, got $left")
+  }
+
   test("purging an entire partition deletes its directory") {
     val lake = Layout.writeSourceLake(spark, sfDir)
     val rewritten = Layout.purgeLake(spark, lake, col("source") === "src3", "source")

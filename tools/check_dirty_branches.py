@@ -318,6 +318,26 @@ def main():
                f"source {'REJECTED' if n_a == 0 else 'SURVIVED (!)'} by the "
                f"streaming gate, container {'kept' if n_b == 1 else 'LOST (!)'}")
 
+    # --- ts_past_ns_horizon: planted over-horizon order dates are -------
+    #     quarantined by the validation layer (the q52 round-15
+    #     driver-vs-local divergence class, now a fired ingest rule)
+    if man.get("ns_horizon_orders"):
+        ids = man["ns_horizon_orders"]
+        # the plant really is past the horizon, and is the ONLY orders dirt
+        n_bad = con.execute(
+            f"""SELECT COUNT(*) FROM '{dirty}/orders.parquet'
+                WHERE o_orderdate > TIMESTAMP '2262-04-11 23:47:16'""").fetchone()[0]
+        row = con.execute(
+            f"""SELECT invalid, duplicate
+                FROM {load(con, vout, 'q22b_validation_all')}
+                WHERE table_name = 'orders'""").fetchone()
+        inv, dup = row if row else (None, None)
+        branch("q22_ns_horizon_quarantine",
+               n_bad == len(ids) and inv == len(ids) and dup == 0,
+               f"{n_bad} planted over-horizon order dates; validation "
+               f"report shows orders invalid={inv} (want {len(ids)}), "
+               f"duplicate={dup} — the ts_past_ns_horizon rule fired")
+
     artifact = {"dirty_dir": dirty, "branches": report}
     if check_json:
         artifact["gate"] = json.load(open(check_json))

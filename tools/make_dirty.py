@@ -311,6 +311,36 @@ def dirty_customer(src, dst, manifest):
     return len(rows)
 
 
+def dirty_orders(src, dst, manifest):
+    """Plant orders whose o_orderdate sits PAST the pandas datetime64[ns]
+    horizon (2262-04-11) — the round-15 q52 driver-vs-local divergence
+    class, now a validation rule (ts_past_ns_horizon): the ingest layer
+    must quarantine these before any warehouse write. Every other field
+    is valid so ONLY the horizon rule can tag them. NOTE: the planted
+    dates deliberately propagate into interval-building queries' dirty
+    outputs — the local us-resolution gate (check.py/duckdb) handles
+    them by design; tools/audit_oracle_types.py applies to CLEAN runs."""
+    t = pq.read_table(os.path.join(src, "orders.parquet"))
+    next_key = max(t.column("o_orderkey").to_pylist()) + 1
+    custkeys = sorted(set(t.column("o_custkey").to_pylist()))
+    rows, ids = [], []
+    for i in range(8):
+        key = next_key + i
+        rows.append({"o_orderkey": key,
+                     "o_custkey": custkeys[i % len(custkeys)],
+                     "o_orderstatus": "O",
+                     "o_totalprice": 1000.0 + i,
+                     # well past 2262-04-11 23:47:16 (ns int64 overflow)
+                     "o_orderdate": __import__("datetime").datetime(
+                         9999, 1, 1 + i),
+                     "o_orderpriority": "3-MEDIUM"})
+        ids.append(key)
+    manifest["ns_horizon_orders"] = ids
+    append_rows(os.path.join(src, "orders.parquet"),
+                os.path.join(dst, "orders.parquet"), rows)
+    return len(rows)
+
+
 def dirty_events(src, dst, manifest):
     t = pq.read_table(os.path.join(src, "events.parquet"))
     next_eid = max(t.column("event_id").to_pylist()) + 1
@@ -349,16 +379,17 @@ def main():
     os.makedirs(dst, exist_ok=True)
     manifest = {"src": src}
     for tbl in TABLES:
-        if tbl not in ("documents", "customer", "events"):
+        if tbl not in ("documents", "customer", "events", "orders"):
             shutil.copyfile(os.path.join(src, f"{tbl}.parquet"),
                             os.path.join(dst, f"{tbl}.parquet"))
     nd = dirty_documents(src, dst, manifest)
     nc = dirty_customer(src, dst, manifest)
     ne = dirty_events(src, dst, manifest)
+    no = dirty_orders(src, dst, manifest)
     with open(os.path.join(dst, "dirty_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"dirty dir at {dst}: +{nd} documents, +{nc} customers, "
-          f"+{ne} events")
+          f"+{ne} events, +{no} orders")
 
 
 if __name__ == "__main__":
