@@ -30,7 +30,13 @@ object SkewBench {
     // r15: a09 vs its salted twin on the ORGANIC embeddings (this
     // fixture's copy is unskewed) — the side-by-side wall showing what
     // the structural R-way salt premium costs when there is no skew
-    "a09_knn_join", "a09c_knn_join_salted")
+    "a09_knn_join", "a09c_knn_join_salted",
+    // r16: q53's decorrelated per-part average + self-join both shuffle
+    // on l_partkey — this fixture's planted hot key (TPC-H Q17's part
+    // distribution is the textbook skew case). Absorbers on the plan:
+    // map-side partial aggregation for the per-part average, AQE skew
+    // split for the probe-side join.
+    "q53_small_qty_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1_skew")

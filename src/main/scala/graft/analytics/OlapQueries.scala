@@ -715,27 +715,46 @@ object OlapQueries {
   private val PrIters = 10
   private val PrStep = "(((r * 850) div 1000) * w) div wtot"
 
+  /** Conf key for the checkpoint CADENCE of iterative operators.
+    * Default 0 = `localCheckpoint` every iteration: flat lineage, no
+    * IO, but blocks are PINNED ON EXECUTORS — on a real cluster, losing
+    * an executor fails the job (the scaladoc'd trade). Setting N > 0
+    * switches to RELIABLE checkpoints (requires
+    * `sparkContext.setCheckpointDir` on shared storage) every N
+    * iterations, with plain lineage in between: executor loss recomputes
+    * at most N iterations from the last durable snapshot instead of
+    * failing, at the cost of a checkpoint-dir write per N rounds.
+    * A 1000-executor deployment sets N≈3 and a DFS checkpoint dir; the
+    * local gate keeps the default. */
+  private[graft] val CkptEveryKey = "graft.iter.checkpointEvery"
+
   /** 10-iteration damped weighted PageRank over undirected pairs
     * (pa, pb, w): returns (node, r, wtot) in micro-units. Extracted so
     * the spec can drive a hand-checkable graph through the exact
-    * production arithmetic. */
+    * production arithmetic. Iteration pinning follows [[CkptEveryKey]];
+    * GraphRankSpec proves both modes bit-identical. */
   private[graft] def weightedPageRank(pairs: DataFrame): DataFrame = {
+    val every = pairs.sparkSession.conf.get(CkptEveryKey, "0").toInt
+    def pinBase(df: DataFrame): DataFrame =
+      if (every > 0) df.checkpoint() else df.localCheckpoint()
+    def pinIter(df: DataFrame, i: Int): DataFrame =
+      if (every == 0) df.localCheckpoint()
+      else if (i % every == 0) df.checkpoint()
+      else df // lineage depth bounded by the cadence
     val edges0 = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     // node-sized; pinned so the final rank⋈wtot join reads the
     // materialized frame instead of re-scanning the corpus for edges0
-    val wt = edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-      .localCheckpoint()
-    val edges = edges0.join(wt, Seq("src")).localCheckpoint()
-    var ranks = wt.select(col("src").as("node"), lit(1000000L).as("r"))
-      .localCheckpoint()
-    for (_ <- 1 to PrIters) {
-      ranks = edges.join(ranks, col("src") === col("node"))
+    val wt = pinBase(edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot")))
+    val edges = pinBase(edges0.join(wt, Seq("src")))
+    var ranks = pinBase(
+      wt.select(col("src").as("node"), lit(1000000L).as("r")))
+    for (i <- 1 to PrIters) {
+      ranks = pinIter(edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr(PrStep).as("c"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), col("r")), i)
     }
     ranks.join(wt, col("node") === col("src"))
       .select(col("node"), col("r"), col("wtot"))
@@ -847,6 +866,65 @@ object OlapQueries {
       Tables.orders(spark, dir)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio")))
+
+  // ---------------------------------------------------------------------
+  // q52b — INCREMENTAL SCD-2 merge (q52's production seam): q52 rebuilds
+  // the whole history each run; a warehouse ingests a CHANGE BATCH —
+  // close the affected open rows, insert the new versions, and leave
+  // untouched keys alone. The algebraic key: an interval row IS a change
+  // record at its valid_from (scd2Intervals keeps exactly the run
+  // starts), so merging a batch = re-running the interval builder over
+  // (touched keys' history re-read as changes) ∪ (the batch), unioned
+  // with the untouched history verbatim. Same-value changes across the
+  // batch boundary are absorbed by the lag filter (the open run
+  // continues — no spurious version), differing values close the open
+  // row at the new change date, and brand-new keys open at version 1.
+  //
+  // Contract: APPEND-ONLY in event time per key — every batch change
+  // must postdate the key's open valid_from (date-split batches satisfy
+  // this globally). A restatement INTO the past needs the from-scratch
+  // rebuild: collapsed history has discarded same-value repeats that an
+  // interloper could re-split, so replaying it is lossy for that case
+  // (ScdSpec pins the law's boundary).
+  //
+  // Scale shape: per merge, ONLY the touched keys' history rows enter
+  // the window (semi-join on the batch's key set, broadcast when the
+  // batch is small); untouched rows pass through with no shuffle and —
+  // in the bucketed-lake twin (DimSync.mergeScd2) — are never read at
+  // all (directory pruning on the key bucket). The registered query
+  // folds date-split batches and must hash-equal q52's from-scratch
+  // SQL, so fold parity is proven BY the driver gate itself.
+  // ---------------------------------------------------------------------
+  private[graft] def scd2Merge(history: DataFrame, batch: DataFrame): DataFrame = {
+    val touched = batch.select(col("o_custkey")).distinct()
+    val untouched = history.join(touched,
+      history("customer_id") === touched("o_custkey"), "left_anti")
+    val replay = history.join(touched,
+        history("customer_id") === touched("o_custkey"), "left_semi")
+      .select(col("customer_id").as("o_custkey"),
+        col("valid_from").as("o_orderdate"), col("priority").as("prio"))
+    scd2Intervals(replay.unionByName(batch)).unionByName(untouched)
+  }
+
+  def q52bScdMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // bounded collect: the distinct calendar years (a handful) — the
+    // deterministic date-split batch schedule. A day never straddles a
+    // batch, so the per-day argmax pin inside each batch equals the
+    // global pin.
+    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val folded = years.foldLeft(Option.empty[DataFrame]) { (hist, y) =>
+      val batch = o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      // localCheckpoint truncates the fold's growing lineage (the q51
+      // discipline); one batch per year keeps the chain short
+      Some(hist.fold(scd2Intervals(batch))(h =>
+        scd2Merge(h, batch)).localCheckpoint())
+    }
+    folded.get.orderBy(col("customer_id"), col("version_no"))
+  }
 
   // ---------------------------------------------------------------------
   // q53 — correlated SCALAR subquery in a filter (the TPC-H Q17 shape):

@@ -144,4 +144,72 @@ object DimSync {
     merged.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$dimPath/v${base.getOrElse(-1) + 1}")
   }
+
+  /** SCD-2 lake merge — the TYPE-2 twin of [[merge]] and the persistence
+    * seam of `OlapQueries.scd2Merge`: fold one change batch
+    * (`o_custkey`, `o_orderdate`, `prio`) into an interval table stored
+    * as a key-BUCKETED parquet lake (`bucket = pmod(customer_id, n)`).
+    *
+    * Blast-radius discipline (d49): the batch's key set decides the
+    * touched buckets; ONLY those directories are read (partition
+    * pruning — untouched keys are genuinely unread, not merely
+    * pass-through) and only they are rewritten (dynamic partition
+    * overwrite). Untouched bucket files stay byte-identical — asserted
+    * in ScdSpec the way LayoutSpec pins d49.
+    *
+    * Same append-only-per-key contract as `scd2Merge`. Returns the
+    * touched bucket ids (the measured blast radius). */
+  def mergeScd2(spark: SparkSession, lakePath: String, batch: DataFrame,
+      nBuckets: Int): Seq[Int] = {
+    import graft.analytics.OlapQueries
+    val p = new Path(lakePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bounded collect: distinct bucket ids of the batch's keys (<= n)
+    val touched = batch
+      .select(pmod(col("o_custkey"), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val hist =
+      if (fs.exists(p))
+        spark.read.parquet(lakePath)
+          .filter(col("bucket").isin(touched: _*)) // directory-pruned read
+          .drop("bucket")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        OlapQueries.scd2Intervals(batch).schema)
+    val merged = OlapQueries.scd2Merge(hist, batch)
+      .withColumn("bucket", pmod(col("customer_id"), lit(nBuckets)).cast("int"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    try {
+      spark.conf.set(key, "dynamic")
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(lakePath)
+    } finally spark.conf.set(key, prev)
+    touched
+  }
+
+  /** The SCD-2 lake as an interval frame (bucket column dropped). */
+  def scd2Snapshot(spark: SparkSession, lakePath: String): DataFrame =
+    spark.read.parquet(lakePath).drop("bucket")
+
+  /** Point-in-time lookup against an SCD-2 interval table — the
+    * STREAM-side consumer of q52's history (q54 is the batch twin):
+    * each incoming row joins the version whose [valid_from, valid_to)
+    * interval covers its event time, so late-arriving events resolve
+    * against the dimension AS OF when they happened, not as of arrival.
+    *
+    * Works directly as a stream-static join (`events` streaming, `hist`
+    * static — Structured Streaming plans the equi-join on the key with
+    * the interval predicate as a join filter, append mode, no watermark
+    * needed) or inside a foreachBatch body against a versioned snapshot
+    * ([[snapshotAt]]/[[scd2Snapshot]]).
+    *
+    * Scale: per key the dimension carries only that key's version rows
+    * (bounded by its change count), so the per-row interval probe is a
+    * few-row scan — same shape as q54's batch join. */
+  def asOfScd2(events: DataFrame, hist: DataFrame,
+      key: Column, at: Column): DataFrame =
+    events.join(hist,
+      key === hist("customer_id")
+        && at >= hist("valid_from") && at < hist("valid_to"))
 }

@@ -60,4 +60,29 @@ class GraphRankSpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sortBy { case (r, id) => (-r, id) }),
       "rows must arrive rank-desc, part_id tie-broken asc")
   }
+
+  test("reliable-checkpoint cadence (cluster mode) is bit-identical to local pinning") {
+    // the cluster knob: durable checkpoints every 3 iterations instead of
+    // executor-pinned blocks every iteration — results must not depend on
+    // the resilience mode
+    val pairs = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 4L, 5L),
+      (4L, 5L, 1L), (1L, 5L, 2L)).toDF("pa", "pb", "w")
+    val local = OlapQueries.weightedPageRank(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("pr_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(OlapQueries.CkptEveryKey, "3")
+    try {
+      val durable = OlapQueries.weightedPageRank(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(durable === local)
+      // the durable mode really wrote checkpoints
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .iterator()
+      assert(Iterator.continually(wrote).takeWhile(_.hasNext)
+        .map(_.next()).count(java.nio.file.Files.isRegularFile(_)) > 0,
+        "cadence > 0 must produce durable checkpoint files")
+    } finally spark.conf.unset(OlapQueries.CkptEveryKey)
+  }
 }

@@ -83,4 +83,87 @@ class ScdSpec extends SparkSpec {
       .agg(sum(col("n_matching"))).head.getLong(0)
     assert(matched > 0 && matched <= n)
   }
+
+  test("q52b hand merge: absorption, close-and-insert, and new-key open") {
+    import spark.implicits._
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    val hist = OlapQueries.scd2Intervals(changes(
+      (1L, ts("1995-01-01"), "A"),
+      (1L, ts("1995-03-01"), "B"),
+      (2L, ts("1995-02-01"), "C")))
+    val merged = OlapQueries.scd2Merge(hist, changes(
+      (1L, ts("1995-05-01"), "B"), // same as cust 1's open value → absorbed
+      (2L, ts("1995-06-01"), "D"), // differs → close open row, version 2
+      (3L, ts("1995-07-01"), "E")  // brand-new key → version 1, open
+    )).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSeq.sorted
+    val high = Timestamp.valueOf(OlapQueries.ScdHighDate)
+    assert(merged === Seq(
+      (1L, 1L, "A", ts("1995-01-01"), ts("1995-03-01"), 0L),
+      (1L, 2L, "B", ts("1995-03-01"), high, 1L), // NOT split at 05-01
+      (2L, 1L, "C", ts("1995-02-01"), ts("1995-06-01"), 0L),
+      (2L, 2L, "D", ts("1995-06-01"), high, 1L),
+      (3L, 1L, "E", ts("1995-07-01"), high, 1L)))
+  }
+
+  test("q52b fold parity: date-split incremental merges == from-scratch q52") {
+    val inc = OlapQueries.q52bScdMerge(spark, sfDir)
+    val full = OlapQueries.q52ScdHistory(spark, sfDir)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(inc.count() === full.count())
+  }
+
+  test("DimSync.mergeScd2: touched-bucket blast radius, untouched files byte-identical, lake == from-scratch") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_lake").toString + "/hist"
+    val o = Tables.orders(spark, sfDir)
+    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    def batchOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    val nBuckets = 8
+    // seed with every year but the last
+    years.init.foreach(y => DimSync.mergeScd2(spark, lake, batchOf(y), nBuckets))
+    def fileMap(): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(lake)
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (base.relativize(p).toString,
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    // final batch restricted to a FEW keys → bounded blast radius
+    val fewKeys = batchOf(years.last).select(col("o_custkey"))
+      .distinct().orderBy(col("o_custkey")).limit(2)
+      .collect().map(_.getLong(0))
+    assert(fewKeys.nonEmpty, "fixture must have orders in the last year")
+    val lastBatch = batchOf(years.last).filter(col("o_custkey").isin(fewKeys: _*))
+    val before = fileMap()
+    val touched = DimSync.mergeScd2(spark, lake, lastBatch, nBuckets)
+    val expectBuckets = lastBatch
+      .select(pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(touched === expectBuckets && touched.size < nBuckets,
+      s"blast radius $touched should be exactly the batch's buckets ($expectBuckets)")
+    val after = fileMap()
+    val touchedDirs = touched.map(b => s"bucket=$b/").toSet
+    val untouchedBefore = before.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
+    val untouchedAfter = after.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
+    assert(untouchedAfter === untouchedBefore,
+      "untouched buckets must stay byte-identical (d49 discipline)")
+    // the lake equals the from-scratch build over the same ingested changes
+    val ingested = o.filter(year(col("o_orderdate")) < years.last
+        || col("o_custkey").isin(fewKeys: _*))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    val want = OlapQueries.scd2Intervals(ingested)
+    val got = DimSync.scd2Snapshot(spark, lake)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }

@@ -17,6 +17,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Up(k: Long, name: String, acctbal: Double)
 
+case class Ord(o_custkey: Long, o_orderkey: Long, o_orderdate: Timestamp,
+    o_orderpriority: String, o_totalprice: Double)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -338,6 +341,46 @@ class StreamingSpec extends SparkSpec {
     val snap = spark.read.parquet(s"$dir/v2")
     assert(snap.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       == Map(1L -> 99.0, 2L -> 20.0))
+  }
+
+  test("stream as-of SCD-2 lookup == q54 batch on the same replay (late arrivals resolve by event time)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.OlapQueries
+    val hist = OlapQueries.q52ScdHistory(spark, sfDir).cache()
+    try {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .as[Ord].collect().toSeq // bounded: sf0.001 test fixture
+      // replay NEWEST-FIRST in three chunks: every chunk after the first
+      // is a late arrival relative to what's already been processed —
+      // the lookup must still resolve each order against the version
+      // current AT ITS ORDER DATE, not at arrival
+      val chunks = orders.sortBy(-_.o_orderdate.getTime).grouped(
+        (orders.size + 2) / 3).toSeq
+      val stream = MemoryStream[Ord]
+      val joined = graft.streaming.DimSync.asOfScd2(
+        stream.toDF(), hist, col("o_custkey"), col("o_orderdate"))
+      // default trigger (not AvailableNow): each chunk lands as its own
+      // micro-batch so the late chunks really arrive after earlier ones
+      val q = joined.writeStream.format("memory").queryName("t_asof")
+        .outputMode("append").start()
+      chunks.foreach { ch => stream.addData(ch); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("t_asof")
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderpriority") === col("priority"), 1L)
+            .otherwise(0L)).as("n_matching"),
+          graft.analytics.Queries.moneySum(col("o_totalprice")).as("revenue"),
+          max(col("version_no")).as("max_version"))
+        .orderBy(col("priority")).collect().toSeq
+      val want = OlapQueries.q54AsOfDimension(spark, sfDir)
+        .orderBy(col("priority")).collect().toSeq
+      assert(got === want)
+      // and nothing was dropped or duplicated by the replay
+      assert(spark.table("t_asof").count() === orders.size.toLong)
+    } finally hist.unpersist()
   }
 
   test("stream-stream interval join == batch join (purchase-view attribution)") {
