@@ -230,10 +230,57 @@ object LayoutBench {
         f""""bytes_total":${before.map(_._2).sum},"bytes_rewritten":${rewritten.map(_._2).sum}}"""
     }
 
+    // incremental SCD-2 merge economics (round 16): what fraction of the
+    // bucketed interval lake one change batch actually reads + rewrites —
+    // the write amplification a daily dimension ingest pays at 100 TB
+    val scd2Row = {
+      import org.apache.spark.sql.functions._
+      val lake = Layout.layoutPath(sfDir, "scd2_bench_lake")
+      val fsPath = new org.apache.hadoop.fs.Path(lake)
+      fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(fsPath, true)
+      val o = Tables.orders(spark, sfDir)
+      val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      def batchOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      val nBuckets = 64
+      years.init.foreach(y =>
+        graft.streaming.DimSync.mergeScd2(spark, lake, batchOf(y), nBuckets))
+      def lakeFiles() = {
+        val base = java.nio.file.Paths.get(lake)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toVector
+      }
+      // the day's change batch: the last year's 50 lowest keys
+      val keys = batchOf(years.last).select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(50).collect().map(_.getLong(0))
+      val lastBatch = batchOf(years.last)
+        .filter(col("o_custkey").isin(keys: _*)).localCheckpoint()
+      val before = lakeFiles()
+      val t0 = System.nanoTime()
+      val touched = graft.streaming.DimSync.mergeScd2(
+        spark, lake, lastBatch, nBuckets)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = lakeFiles()
+      val beforeSet = before.toSet
+      val rewritten = after.filterNot(beforeSet)
+      f""""scd2_merge":{"wall_sec":$wall%.3f,"batch_keys":${keys.length},""" +
+        f""""buckets_total":$nBuckets,"buckets_touched":${touched.size},""" +
+        f""""files_total":${before.size},"files_rewritten":${rewritten.size},""" +
+        f""""bytes_total":${before.map(_._2).sum},"bytes_rewritten":${rewritten.map(_._2).sum}}"""
+    }
+
     val json = s"""{"metric":"layout_census","sf":"$sfDir","cpus":$cpus,""" +
       s""""band_width":${Layout.BandWidth},"predicate":"n_chars BETWEEN ${Layout.LoChars} AND ${Layout.HiChars}",""" +
       s""""lang_predicate":"lang = '${Layout.ZLang}'",""" +
-      (rows ++ Seq(skipping, purgeRow)).mkString("", ",", "}")
+      (rows ++ Seq(skipping, purgeRow, scd2Row)).mkString("", ",", "}")
     println(json)
     val out = sys.env.get("SPARK_GRAFT_LAYOUT_OUT")
     out.foreach { p =>

@@ -103,6 +103,7 @@ object SparkEntry {
     "q51_copurchase_rank" -> (graft.analytics.OlapQueries.q51CopurchaseRank _), // fixed-point weighted PageRank; GraphRankSpec pins the arithmetic
     "q52_scd2_history" -> (graft.analytics.OlapQueries.q52ScdHistory _), // type-2 dimension history (q44's SCD-1 keeps latest; this keeps intervals)
     "q52b_scd2_merge" -> (graft.analytics.OlapQueries.q52bScdMerge _), // incremental SCD-2 merge folded over date-split batches; oracle = the from-scratch SQL, so the gate itself proves fold parity
+    "q52c_scd2_lake" -> (graft.analytics.OlapQueries.q52cScdLake _), // the persisted twin: same fold through DimSync.mergeScd2's bucketed lake, gated on what a consumer reads back
     "q53_small_qty_revenue" -> (graft.analytics.OlapQueries.q53SmallQtyRevenue _), // correlated scalar subquery, decorrelated (TPC-H Q17 shape)
     "q54_asof_dimension" -> (graft.analytics.OlapQueries.q54AsOfDimension _), // point-in-time lookup against q52's SCD-2 intervals
     "d01_dedup_exact" -> (graft.llm.TextOps.d01DedupExact _),
@@ -252,6 +253,7 @@ object SparkEntry {
     "q51_copurchase_rank" -> graft.analytics.OlapQueries.q51Sql,
     "q52_scd2_history" -> graft.analytics.OlapQueries.q52Sql,
     "q52b_scd2_merge" -> graft.analytics.OlapQueries.q52Sql,
+    "q52c_scd2_lake" -> graft.analytics.OlapQueries.q52Sql,
     "q53_small_qty_revenue" -> graft.analytics.OlapQueries.q53Sql,
     "q54_asof_dimension" -> graft.analytics.OlapQueries.q54Sql,
     "d01_dedup_exact" -> graft.llm.TextOps.d01Sql,

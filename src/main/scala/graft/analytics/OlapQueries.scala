@@ -926,6 +926,31 @@ object OlapQueries {
     folded.get.orderBy(col("customer_id"), col("version_no"))
   }
 
+  /** q52c — the PERSISTED twin of q52b: the same date-split fold, but
+    * every merge goes through `DimSync.mergeScd2`'s bucketed parquet
+    * lake (touched-bucket reads, dynamic-overwrite rewrites), and the
+    * gated result is what a CONSUMER reads back from the lake. Oracle is
+    * again q52's from-scratch SQL, so the driver gate proves the whole
+    * persistence seam — bucketing, directory pruning, parquet round-trip
+    * of the interval schema — not just the in-memory algebra. Lake is
+    * rebuilt per run (the d49 determinism discipline). */
+  def q52cScdLake(spark: SparkSession, dir: String): DataFrame = {
+    val lake = graft.sources.Layout.layoutPath(dir, "q52c_scd2_lake")
+    val p = new org.apache.hadoop.fs.Path(lake)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(spark, dir)
+    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    years.foreach { y =>
+      val batch = o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      graft.streaming.DimSync.mergeScd2(spark, lake, batch, nBuckets = 16)
+    }
+    graft.streaming.DimSync.scd2Snapshot(spark, lake)
+      .orderBy(col("customer_id"), col("version_no"))
+  }
+
   // ---------------------------------------------------------------------
   // q53 — correlated SCALAR subquery in a filter (the TPC-H Q17 shape):
   // small-quantity line items, where "small" is relative to THAT part's
