@@ -178,6 +178,12 @@ object DimSync {
         OlapQueries.scd2Intervals(batch).schema)
     val merged = OlapQueries.scd2Merge(hist, batch)
       .withColumn("bucket", pmod(col("customer_id"), lit(nBuckets)).cast("int"))
+      // co-locate each bucket in one task: without this every shuffle
+      // task writes its own file into every bucket dir (tasks × buckets
+      // small files per version), and the NEXT merge pays the listing +
+      // footer cost — one extra keyed shuffle of a dimension-sized frame
+      // buys one file per bucket
+      .repartition(col("bucket"))
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "STATIC")
     try {

@@ -114,6 +114,24 @@ class ScdSpec extends SparkSpec {
     assert(inc.count() === full.count())
   }
 
+  test("scd2Merge plan: custkey window exchange, no cartesian, bounded shuffle count") {
+    val o = Tables.orders(spark, sfDir)
+    def batchOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    val hist = OlapQueries.scd2Intervals(batchOf(1995)).localCheckpoint()
+    val plan = OlapQueries.scd2Merge(hist, batchOf(1996))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      "the rebuilt-interval window must partition on the key")
+    assert(!plan.contains("CartesianProduct"))
+    // shuffles: batch argmax, touched-key distinct, the window, and the
+    // anti/semi key-set splits (AQE broadcasts these at runtime when the
+    // batch key set is small) — anything beyond that is a regression
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 7, s"merge plan grew to $n keyed exchanges:\n$plan")
+  }
+
   test("DimSync.mergeScd2: touched-bucket blast radius, untouched files byte-identical, lake == from-scratch") {
     import scala.jdk.CollectionConverters._
     import graft.streaming.DimSync
