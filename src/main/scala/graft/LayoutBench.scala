@@ -230,57 +230,79 @@ object LayoutBench {
         f""""bytes_total":${before.map(_._2).sum},"bytes_rewritten":${rewritten.map(_._2).sum}}"""
     }
 
-    // incremental SCD-2 merge economics (round 16): what fraction of the
-    // bucketed interval lake one change batch actually reads + rewrites —
-    // the write amplification a daily dimension ingest pays at 100 TB
-    val scd2Row = {
+    // incremental SCD-2 merge economics (round 16; round 17: versioned
+    // protocol + bucket-count sensitivity): what fraction of the bucketed
+    // interval lake one change batch reads + writes — the write
+    // amplification a daily dimension ingest pays at 100 TB. Under the
+    // manifested protocol nothing is rewritten in place: "written" = the
+    // new version's files, and the amplification question becomes how
+    // fast bytes_written/bytes_total converges to the batch's key
+    // fraction as bucket count grows past the birthday bound
+    // (SPARK_GRAFT_SCD2_BUCKETS, default "64"; the census runs 64,1024,8192).
+    val scd2Rows = {
       import org.apache.spark.sql.functions._
-      val lake = Layout.layoutPath(sfDir, "scd2_bench_lake")
-      val fsPath = new org.apache.hadoop.fs.Path(lake)
-      fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(fsPath, true)
+      val bucketCounts = sys.env.getOrElse("SPARK_GRAFT_SCD2_BUCKETS", "64")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
       val o = Tables.orders(spark, sfDir)
       val years = o.select(year(col("o_orderdate")).as("y")).distinct()
         .collect().map(_.getInt(0)).sorted
       def batchOf(y: Int) = o.filter(year(col("o_orderdate")) === y)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
-      val nBuckets = 64
-      years.init.foreach(y =>
-        graft.streaming.DimSync.mergeScd2(spark, lake, batchOf(y), nBuckets))
-      def lakeFiles() = {
-        val base = java.nio.file.Paths.get(lake)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p)
-            && p.getFileName.toString.endsWith(".parquet"))
-          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-          .toVector
-      }
+      // seed in ONE merge (scd2Intervals handles multi-change batches):
+      // the measurement is the incremental merge against a built lake,
+      // not the seed's shape
+      val seed = o.filter(year(col("o_orderdate")) < years.last)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+        .localCheckpoint()
+      val totalKeys = seed.select(col("o_custkey")).distinct().count()
       // the day's change batch: the last year's 50 lowest keys
       val keys = batchOf(years.last).select(col("o_custkey")).distinct()
         .orderBy(col("o_custkey")).limit(50).collect().map(_.getLong(0))
       val lastBatch = batchOf(years.last)
         .filter(col("o_custkey").isin(keys: _*)).localCheckpoint()
-      val before = lakeFiles()
-      val t0 = System.nanoTime()
-      val touched = graft.streaming.DimSync.mergeScd2(
-        spark, lake, lastBatch, nBuckets)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val after = lakeFiles()
-      val beforeSet = before.toSet
-      val rewritten = after.filterNot(beforeSet)
-      f""""scd2_merge":{"wall_sec":$wall%.3f,"batch_keys":${keys.length},""" +
-        f""""buckets_total":$nBuckets,"buckets_touched":${touched.size},""" +
-        f""""files_total":${before.size},"files_rewritten":${rewritten.size},""" +
-        f""""bytes_total":${before.map(_._2).sum},"bytes_rewritten":${rewritten.map(_._2).sum}}"""
+      def lakeFiles(lake: String) = {
+        val base = java.nio.file.Paths.get(lake)
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+          .toVector
+        finally walk.close()
+      }
+      val rows = bucketCounts.map { nBuckets =>
+        val lake = Layout.layoutPath(sfDir, s"scd2_bench_lake_$nBuckets")
+        val fsPath = new org.apache.hadoop.fs.Path(lake)
+        fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(fsPath, true)
+        graft.streaming.DimSync.mergeScd2(spark, lake, seed, nBuckets)
+        val before = lakeFiles(lake)
+        val t0 = System.nanoTime()
+        val touched = graft.streaming.DimSync.mergeScd2(spark, lake, lastBatch)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val after = lakeFiles(lake)
+        val beforeKeys = before.map(_._1).toSet
+        val written = after.filterNot(f => beforeKeys(f._1))
+        val bytesTotal = before.map(_._2).sum
+        val bytesWritten = written.map(_._2).sum
+        f"""{"buckets_total":$nBuckets,"wall_sec":$wall%.3f,""" +
+          f""""batch_keys":${keys.length},"total_keys":$totalKeys,""" +
+          f""""buckets_touched":${touched.size},""" +
+          f""""files_total":${before.size},"files_written":${written.size},""" +
+          f""""bytes_total":$bytesTotal,"bytes_written":$bytesWritten,""" +
+          f""""written_frac":${bytesWritten.toDouble / math.max(1L, bytesTotal)}%.4f,""" +
+          f""""key_frac":${keys.length.toDouble / math.max(1L, totalKeys)}%.4f}"""
+      }
+      s""""scd2_merge":${rows.mkString("[", ",", "]")}"""
     }
 
     val json = s"""{"metric":"layout_census","sf":"$sfDir","cpus":$cpus,""" +
       s""""band_width":${Layout.BandWidth},"predicate":"n_chars BETWEEN ${Layout.LoChars} AND ${Layout.HiChars}",""" +
       s""""lang_predicate":"lang = '${Layout.ZLang}'",""" +
-      (rows ++ Seq(skipping, purgeRow, scd2Row)).mkString("", ",", "}")
+      (rows ++ Seq(skipping, purgeRow, scd2Rows)).mkString("", ",", "}")
     println(json)
     val out = sys.env.get("SPARK_GRAFT_LAYOUT_OUT")
     out.foreach { p =>

@@ -145,58 +145,245 @@ object DimSync {
       .parquet(s"$dimPath/v${base.getOrElse(-1) + 1}")
   }
 
+  // -------------------------------------------------------------------
+  // SCD-2 lake: versioned + manifested
+  // -------------------------------------------------------------------
+
+  /** Per-version manifest of the SCD-2 lake: where each bucket's CURRENT
+    * data lives (`buckets(b) = version whose v<k>/bucket=b dir serves b`).
+    * `batchId` is the CDC batch that produced the version — the
+    * replay-idempotency token for streaming ingest. */
+  private[graft] case class Scd2Manifest(
+      nBuckets: Int, batchId: Option[Long], buckets: Map[Int, Int])
+
+  private val Scd2ManifestFile = "_MANIFEST"
+
+  /** Conf knob for [[mergeScd2]]'s append-only runtime guard (default
+    * on). The guard is one small extra job over already-pruned data;
+    * disable only for benchmarks that measure the raw merge. */
+  private[graft] val Scd2GuardKey = "graft.scd2.guard"
+
+  /** Highest SCD-2 lake version whose manifest exists. The manifest is
+    * written LAST (after the parquet job's own `_SUCCESS`), via
+    * create-temp-then-rename, so its presence is the commit point: a
+    * crash anywhere earlier leaves the previous version serving. */
+  def latestScd2Version(spark: SparkSession, lakePath: String): Option[Int] = {
+    val p = new Path(lakePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) if fs.exists(new Path(s.getPath, Scd2ManifestFile)) =>
+          Some(n.toInt)
+        case _ => None
+      })
+      .sorted.lastOption
+  }
+
+  private def readScd2Manifest(spark: SparkSession, lakePath: String,
+      version: Int): Scd2Manifest = {
+    val p = new Path(s"$lakePath/v$version/$Scd2ManifestFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+    Scd2Manifest(
+      kv("nBuckets").toInt,
+      kv.get("batchId").map(_.toLong),
+      kv.collect { case (k, v) if k.startsWith("bucket.") =>
+        k.stripPrefix("bucket.").toInt -> v.toInt })
+  }
+
+  private def writeScd2Manifest(spark: SparkSession, lakePath: String,
+      version: Int, m: Scd2Manifest): Unit = {
+    val dir = new Path(s"$lakePath/v$version")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".$Scd2ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val lines = Seq(s"nBuckets=${m.nBuckets}") ++
+        m.batchId.map(id => s"batchId=$id") ++
+        m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"bucket.$b=$v" }
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } finally out.close()
+    // rename within one directory: atomic on HDFS and local FS — readers
+    // see either no manifest (version invisible) or the whole manifest
+    require(fs.rename(tmp, new Path(dir, Scd2ManifestFile)),
+      s"could not commit manifest for v$version at $lakePath")
+  }
+
+  /** Default bucket sizing when a lake is created without an explicit
+    * count: ~1k keys per bucket from the FIRST batch's key cardinality,
+    * power of two, clamped to [16, 65536]. Rationale (LAYOUT_CENSUS
+    * `scd2_merge`): a K-key change batch touches ≈ n(1−(1−1/n)^K)
+    * buckets, so per-merge write amplification converges to the
+    * batch-key fraction only once n ≫ typical K — size n from the KEY
+    * DOMAIN, not the batch; a first full-dimension load is the best
+    * available proxy. At 100 TB (~1e9 keys) this rule lands at the
+    * 65536 clamp; bump the clamp (or pass nBuckets) for larger domains. */
+  private def autoBuckets(batch: DataFrame): Int = {
+    val keys = batch.select(col("o_custkey")).distinct().count()
+    var n = 16
+    while (n < keys / 1024 && n < 65536) n *= 2
+    n
+  }
+
   /** SCD-2 lake merge — the TYPE-2 twin of [[merge]] and the persistence
     * seam of `OlapQueries.scd2Merge`: fold one change batch
     * (`o_custkey`, `o_orderdate`, `prio`) into an interval table stored
-    * as a key-BUCKETED parquet lake (`bucket = pmod(customer_id, n)`).
+    * as a key-BUCKETED (`bucket = pmod(customer_id, n)`), VERSIONED
+    * parquet lake. The same optimistic-commit protocol as [[merge]],
+    * extended with a per-version bucket MANIFEST so untouched buckets
+    * are carried BY REFERENCE instead of rewritten:
+    *
+    *   - each merge writes ONLY the touched buckets into a fresh
+    *     `v<N+1>/bucket=*` (`ErrorIfExists` — a racing writer fails
+    *     loudly instead of silently losing a commit; retry re-reads);
+    *   - `v<N+1>/_MANIFEST` (written last, temp+rename) maps every
+    *     bucket to the version that serves it: touched → N+1, untouched
+    *     → carried forward verbatim. Manifest presence is the commit
+    *     point — a crash before it leaves v<N> serving, intact;
+    *   - readers ([[scd2Snapshot]]/[[scd2SnapshotAt]]) resolve through
+    *     the manifest; old versions remain for time travel until
+    *     [[vacuumScd2]] sweeps the unreferenced ones.
     *
     * Blast-radius discipline (d49): the batch's key set decides the
-    * touched buckets; ONLY those directories are read (partition
-    * pruning — untouched keys are genuinely unread, not merely
-    * pass-through) and only they are rewritten (dynamic partition
-    * overwrite). Untouched bucket files stay byte-identical — asserted
-    * in ScdSpec the way LayoutSpec pins d49.
+    * touched buckets; ONLY those directories are read (manifest-routed
+    * pruning — untouched keys are genuinely unread) and only they are
+    * written. Untouched bucket files are never opened, let alone
+    * rewritten — asserted in ScdSpec the way LayoutSpec pins d49.
     *
-    * Same append-only-per-key contract as `scd2Merge`. Returns the
-    * touched bucket ids (the measured blast radius). */
+    * Same append-only-per-key contract as `scd2Merge`, now ENFORCED at
+    * runtime (conf [[Scd2GuardKey]], default on): a batch change that
+    * does not postdate its key's open `valid_from` fails the merge
+    * loudly instead of silently planting wrong history (a restatement
+    * into the past needs the from-scratch rebuild — q52's path).
+    *
+    * `nBuckets = 0` auto-sizes a NEW lake from the first batch's key
+    * cardinality ([[autoBuckets]]); an existing lake always keeps its
+    * manifest's count (a non-zero argument must agree). `batchId` makes
+    * replays idempotent: a batch whose id equals the committed head's is
+    * skipped (the foreachBatch redelivery case).
+    *
+    * Returns the touched bucket ids (the measured blast radius); empty
+    * for an empty batch or an idempotent replay. */
   def mergeScd2(spark: SparkSession, lakePath: String, batch: DataFrame,
-      nBuckets: Int): Seq[Int] = {
+      nBuckets: Int = 0, batchId: Option[Long] = None): Seq[Int] = {
     import graft.analytics.OlapQueries
-    val p = new Path(lakePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = latestScd2Version(spark, lakePath)
+    val baseMan = base.map(readScd2Manifest(spark, lakePath, _))
+    if (batchId.isDefined && baseMan.exists(_.batchId == batchId))
+      return Nil // replay of the committed head — already applied
+    val n = baseMan.map(_.nBuckets).getOrElse(
+      if (nBuckets > 0) nBuckets else autoBuckets(batch))
+    require(nBuckets == 0 || baseMan.forall(_.nBuckets == nBuckets),
+      s"lake at $lakePath is bucketed ${baseMan.get.nBuckets}-way; " +
+        s"got nBuckets=$nBuckets (re-bucketing needs a rebuild)")
     // bounded collect: distinct bucket ids of the batch's keys (<= n)
     val touched = batch
-      .select(pmod(col("o_custkey"), lit(nBuckets)).cast("int").as("b"))
+      .select(pmod(col("o_custkey"), lit(n)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val histPaths = baseMan.toSeq.flatMap(m =>
+      touched.flatMap(b => m.buckets.get(b)
+        .map(v => s"$lakePath/v$v/bucket=$b")))
     val hist =
-      if (fs.exists(p))
-        spark.read.parquet(lakePath)
-          .filter(col("bucket").isin(touched: _*)) // directory-pruned read
-          .drop("bucket")
+      if (histPaths.nonEmpty) spark.read.parquet(histPaths: _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         OlapQueries.scd2Intervals(batch).schema)
+    if (histPaths.nonEmpty &&
+        spark.conf.get(Scd2GuardKey, "true").toBoolean) {
+      // append-only guard: both sides are touched-keys-only (pruned
+      // history + the batch), so this is one small extra job per merge
+      val bad = hist.groupBy(col("customer_id"))
+        .agg(max(col("valid_from")).as("open_from"))
+        .join(batch.groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("first_change")),
+          col("customer_id") === col("o_custkey"))
+        .filter(col("first_change") <= col("open_from"))
+        .limit(1).collect()
+      require(bad.isEmpty, {
+        val r = bad.head
+        s"SCD-2 append-only contract violated: key ${r.get(0)} has a " +
+          s"batch change at ${r.get(3)} that does not postdate its open " +
+          s"valid_from ${r.get(1)} — restatements into the past need the " +
+          "from-scratch rebuild (q52 path), not the incremental merge"
+      })
+    }
+    val next = base.getOrElse(-1) + 1
     val merged = OlapQueries.scd2Merge(hist, batch)
-      .withColumn("bucket", pmod(col("customer_id"), lit(nBuckets)).cast("int"))
+      .withColumn("bucket", pmod(col("customer_id"), lit(n)).cast("int"))
       // co-locate each bucket in one task: without this every shuffle
       // task writes its own file into every bucket dir (tasks × buckets
       // small files per version), and the NEXT merge pays the listing +
       // footer cost — one extra keyed shuffle of a dimension-sized frame
       // buys one file per bucket
       .repartition(col("bucket"))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "STATIC")
-    try {
-      spark.conf.set(key, "dynamic")
-      merged.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(lakePath)
-    } finally spark.conf.set(key, prev)
+    merged.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("bucket").parquet(s"$lakePath/v$next")
+    writeScd2Manifest(spark, lakePath, next, Scd2Manifest(n, batchId,
+      baseMan.map(_.buckets).getOrElse(Map.empty) ++ touched.map(_ -> next)))
     touched
   }
 
-  /** The SCD-2 lake as an interval frame (bucket column dropped). */
+  /** The SCD-2 lake as an interval frame — the latest COMPLETE version,
+    * resolved bucket-by-bucket through its manifest. */
   def scd2Snapshot(spark: SparkSession, lakePath: String): DataFrame =
-    spark.read.parquet(lakePath).drop("bucket")
+    scd2SnapshotAt(spark, lakePath,
+      latestScd2Version(spark, lakePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"no complete SCD-2 version at $lakePath")))
+
+  /** Time-travel read of the SCD-2 lake at a COMPLETE version. Fails
+    * loudly on an incomplete or absent slot. */
+  def scd2SnapshotAt(spark: SparkSession, lakePath: String,
+      version: Int): DataFrame = {
+    val p = new Path(s"$lakePath/v$version/$Scd2ManifestFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"SCD-2 version v$version at $lakePath is absent or incomplete")
+    val m = readScd2Manifest(spark, lakePath, version)
+    val paths = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$lakePath/v$v/bucket=$b" }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** VACUUM for the manifested SCD-2 lake. Retains the newest `keep`
+    * COMPLETE versions as time-travel points; sweeps (a) complete
+    * version dirs referenced by NONE of the retained manifests (an old
+    * version whose buckets have all been superseded) and (b) incomplete
+    * dirs BELOW the latest complete version (provably dead writers).
+    * An incomplete dir ABOVE the latest complete version is spared —
+    * same in-flight-writer stance as [[vacuum]]. Note the reference
+    * semantics: a version dir stays alive as long as ANY retained
+    * manifest still serves a bucket from it, regardless of age. */
+  def vacuumScd2(spark: SparkSession, lakePath: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the current version")
+    val p = new Path(lakePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val slots = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) => Some((n.toInt, s.getPath,
+          fs.exists(new Path(s.getPath, Scd2ManifestFile))))
+        case _ => None
+      }).sortBy(_._1)
+    val complete = slots.collect { case (n, _, true) => n }.sorted
+    if (complete.isEmpty) return Nil
+    val latest = complete.max
+    val retained = complete.takeRight(keep)
+    val referenced = retained.toSet ++ retained.flatMap(v =>
+      readScd2Manifest(spark, lakePath, v).buckets.values)
+    val sweep = slots.filter { case (n, _, ok) =>
+      (ok && !referenced(n)) || (!ok && n < latest)
+    }
+    sweep.foreach { case (_, path, _) => fs.delete(path, true) }
+    sweep.map(_._2.getName)
+  }
 
   /** Point-in-time lookup against an SCD-2 interval table — the
     * STREAM-side consumer of q52's history (q54 is the batch twin):

@@ -132,8 +132,21 @@ class ScdSpec extends SparkSpec {
     assert(n <= 7, s"merge plan grew to $n keyed exchanges:\n$plan")
   }
 
-  test("DimSync.mergeScd2: touched-bucket blast radius, untouched files byte-identical, lake == from-scratch") {
+  private def lakeFileMap(lake: String): Map[String, (Long, Long)] = {
     import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(lake)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p)
+        && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (base.relativize(p).toString,
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+    finally walk.close()
+  }
+
+  test("DimSync.mergeScd2: touched-bucket blast radius, untouched files untouched, lake == from-scratch") {
     import graft.streaming.DimSync
     val lake = java.nio.file.Files
       .createTempDirectory("scd2_lake").toString + "/hist"
@@ -146,35 +159,33 @@ class ScdSpec extends SparkSpec {
     val nBuckets = 8
     // seed with every year but the last
     years.init.foreach(y => DimSync.mergeScd2(spark, lake, batchOf(y), nBuckets))
-    def fileMap(): Map[String, (Long, Long)] = {
-      val base = java.nio.file.Paths.get(lake)
-      java.nio.file.Files.walk(base).iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p)
-          && p.getFileName.toString.endsWith(".parquet"))
-        .map(p => (base.relativize(p).toString,
-          (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
-        .toMap
-    }
     // final batch restricted to a FEW keys → bounded blast radius
     val fewKeys = batchOf(years.last).select(col("o_custkey"))
       .distinct().orderBy(col("o_custkey")).limit(2)
       .collect().map(_.getLong(0))
     assert(fewKeys.nonEmpty, "fixture must have orders in the last year")
     val lastBatch = batchOf(years.last).filter(col("o_custkey").isin(fewKeys: _*))
-    val before = fileMap()
+    val baseVer = DimSync.latestScd2Version(spark, lake).get
+    val before = lakeFileMap(lake)
     val touched = DimSync.mergeScd2(spark, lake, lastBatch, nBuckets)
     val expectBuckets = lastBatch
       .select(pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     assert(touched === expectBuckets && touched.size < nBuckets,
       s"blast radius $touched should be exactly the batch's buckets ($expectBuckets)")
-    val after = fileMap()
-    val touchedDirs = touched.map(b => s"bucket=$b/").toSet
-    val untouchedBefore = before.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
-    val untouchedAfter = after.filterNot { case (f, _) => touchedDirs.exists(f.startsWith) }
-    assert(untouchedAfter === untouchedBefore,
-      "untouched buckets must stay byte-identical (d49 discipline)")
+    val after = lakeFileMap(lake)
+    // versioned protocol: NOTHING pre-existing is rewritten — every file
+    // present before the merge survives byte-identical (untouched buckets
+    // carry by manifest reference), and every new file lives under the
+    // new version's touched-bucket dirs (d49 discipline, strengthened)
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "a pre-existing lake file was rewritten — versioned commits must only add")
+    val newVer = DimSync.latestScd2Version(spark, lake).get
+    assert(newVer === baseVer + 1)
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    val allowed = touched.map(b => s"v$newVer/bucket=$b/").toSet
+    assert(newFiles.nonEmpty && newFiles.forall(f => allowed.exists(f.startsWith)),
+      s"new files must land only in v$newVer's touched buckets: $newFiles")
     // the lake equals the from-scratch build over the same ingested changes
     val ingested = o.filter(year(col("o_orderdate")) < years.last
         || col("o_custkey").isin(fewKeys: _*))
@@ -183,5 +194,128 @@ class ScdSpec extends SparkSpec {
     val want = OlapQueries.scd2Intervals(ingested)
     val got = DimSync.scd2Snapshot(spark, lake)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and time travel resolves the PRE-merge state through its manifest
+    val travel = DimSync.scd2SnapshotAt(spark, lake, baseVer)
+    val wantBase = OlapQueries.scd2Intervals(
+      o.filter(year(col("o_orderdate")) < years.last)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio")))
+    assert(travel.exceptAll(wantBase).isEmpty && wantBase.exceptAll(travel).isEmpty)
+  }
+
+  test("mergeScd2 crash atomicity: a dead writer's partial version never serves; sweep + re-run converges") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_crash").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    val b0 = changes((1L, ts("1995-01-01"), "A"), (2L, ts("1995-01-01"), "C"))
+    val b1 = changes((1L, ts("1996-01-01"), "B"))
+    DimSync.mergeScd2(spark, lake, b0, nBuckets = 4)
+    val served = DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString)
+    // simulate a writer that crashed MID-COMMIT on v1: parquet job done
+    // (_SUCCESS present) but the manifest — the commit point — never
+    // landed. The old dynamic-overwrite path would have torn bucket dirs
+    // here; the versioned path must keep v0 serving, untouched.
+    val deadData = OlapQueries.scd2Intervals(b1)
+      .withColumn("bucket", pmod(col("customer_id"), lit(4)).cast("int"))
+    deadData.write.partitionBy("bucket").parquet(s"$lake/v1")
+    assert(DimSync.latestScd2Version(spark, lake).contains(0),
+      "a manifest-less version slot must stay invisible")
+    val afterCrash = DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString)
+    assert(afterCrash === served, "the previous version must keep serving after a crash")
+    // a retry collides with the dead slot LOUDLY (optimistic concurrency:
+    // ErrorIfExists cannot distinguish a dead writer from an in-flight one)
+    intercept[Exception] { DimSync.mergeScd2(spark, lake, b1, nBuckets = 4) }
+    // the retention job's wall-clock call: the slot is dead — sweep it,
+    // and the re-run converges to the from-scratch build
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/v1"), true)
+    DimSync.mergeScd2(spark, lake, b1, nBuckets = 4)
+    val got = DimSync.scd2Snapshot(spark, lake)
+    val want = OlapQueries.scd2Intervals(b0.unionByName(b1))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("mergeScd2 idempotent replay by batchId, vacuumScd2 spares referenced + in-flight dirs") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_vac").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    // v0 seeds keys 1..4 (buckets 1,2,3,0); later merges touch only key 1
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1995-01-01"), "A"), (2L, ts("1995-01-01"), "B"),
+        (3L, ts("1995-01-01"), "C"), (4L, ts("1995-01-01"), "D")),
+      nBuckets = 4, batchId = Some(0L))
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1996-01-01"), "E")), batchId = Some(1L))
+    // replay of the committed head is a no-op: no touched buckets, no
+    // new version (the foreachBatch redelivery case)
+    assert(DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1996-01-01"), "E")), batchId = Some(1L)) === Nil)
+    assert(DimSync.latestScd2Version(spark, lake).contains(1))
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1997-01-01"), "F")), batchId = Some(2L))
+    // plant an in-flight slot above the head
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lake/v3"))
+    // keep=1 retains only v2's manifest — but v2 still SERVES buckets
+    // from v0 (keys 2..4 never changed), so v0 must survive the sweep;
+    // v1 is superseded (its only bucket was rewritten by v2) and goes;
+    // the in-flight v3 is spared
+    val swept = DimSync.vacuumScd2(spark, lake, keep = 1)
+    assert(swept === Seq("v1"), s"expected only v1 swept, got $swept")
+    val got = DimSync.scd2Snapshot(spark, lake)
+    val want = OlapQueries.scd2Intervals(changes(
+      (1L, ts("1995-01-01"), "A"), (2L, ts("1995-01-01"), "B"),
+      (3L, ts("1995-01-01"), "C"), (4L, ts("1995-01-01"), "D"),
+      (1L, ts("1996-01-01"), "E"), (1L, ts("1997-01-01"), "F")))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("mergeScd2 append-only guard: a restatement into the past fails loudly") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_guard").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1995-01-01"), "A"), (1L, ts("1996-01-01"), "B")),
+      nBuckets = 4)
+    val past = changes((1L, ts("1995-06-01"), "X")) // inside closed history
+    val e = intercept[IllegalArgumentException] {
+      DimSync.mergeScd2(spark, lake, past)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // the failed merge committed nothing
+    assert(DimSync.latestScd2Version(spark, lake).contains(0))
+  }
+
+  test("scd2Merge law boundary: a restated-past batch DIVERGES from the from-scratch rebuild") {
+    import spark.implicits._
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    // collapsed history discards the Mar same-value repeat of A …
+    val hist = OlapQueries.scd2Intervals(changes(
+      (1L, ts("1995-01-01"), "A"), (1L, ts("1995-03-01"), "A")))
+    // … so replaying it with a PAST interloper cannot re-split the run:
+    val interloper = changes((1L, ts("1995-02-01"), "B"))
+    val merged = OlapQueries.scd2Merge(hist, interloper)
+    val scratch = OlapQueries.scd2Intervals(changes(
+      (1L, ts("1995-01-01"), "A"), (1L, ts("1995-02-01"), "B"),
+      (1L, ts("1995-03-01"), "A")))
+    // from-scratch: A[Jan,Feb) B[Feb,Mar) A[Mar,∞) — 3 versions; the
+    // merge can only see A[Jan,…) + B[Feb,…) — 2. This is WHY the
+    // incremental contract is append-only per key (and why mergeScd2
+    // now enforces it at runtime).
+    assert(scratch.count() === 3L && merged.count() === 2L)
+    assert(merged.exceptAll(scratch).count() > 0,
+      "the boundary case must diverge — otherwise the guard is dead weight")
   }
 }
