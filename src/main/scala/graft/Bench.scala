@@ -140,21 +140,48 @@ object Bench {
 
     sentinel() // untimed: the sentinel's own codegen/JIT warmup —
                // pre/post must differ only by machine load
-    val (sentPre, loadPre) = sentinel()
 
-    // (time, flaky): flaky = one of the two passes threw. The surviving
-    // time still counts, but the query is named in "flaky" so an
-    // intermittent OOM/regression can't hide behind best-of-2 (ADVICE r2).
-    val results: Seq[(String, Option[(Double, Boolean)])] = queries.map {
-      case (name, fn) =>
-        val best = (runOnce(name, fn), runOnce(name, fn)) match {
-          case (Some(a), Some(b)) => Some((math.min(a, b), false))
-          case (a, b)             => a.orElse(b).map((_, true))
-        }
-        name -> best
+    // One full measured sweep, sentinel-bracketed. (time, flaky):
+    // flaky = one of the two passes threw. The surviving time still
+    // counts, but the query is named in "flaky" so an intermittent
+    // OOM/regression can't hide behind best-of-2 (ADVICE r2).
+    def sweep(): (Seq[(String, Option[(Double, Boolean)])],
+        Double, Double, Double, Double) = {
+      val (pre, loadP) = sentinel()
+      val rs: Seq[(String, Option[(Double, Boolean)])] = queries.map {
+        case (name, fn) =>
+          val best = (runOnce(name, fn), runOnce(name, fn)) match {
+            case (Some(a), Some(b)) => Some((math.min(a, b), false))
+            case (a, b)             => a.orElse(b).map((_, true))
+          }
+          name -> best
+      }
+      val (post, loadQ) = sentinel()
+      (rs, pre, post, loadP, loadQ)
     }
 
-    val (sentPost, loadPost) = sentinel()
+    // Self-defense (r16 verdict #4): BENCH_r16 shipped with its own
+    // sentinel outside the trust band — the mechanism detected the
+    // poison but still published it as the round's board. Now a sweep
+    // whose sentinel walls drift past the 1.2× band (either direction),
+    // or that STARTS on a loaded machine (load_avg_pre > cores/4),
+    // retries ONCE; a retry that still violates publishes with
+    // "trusted": false so no reader can miss it.
+    val loadCap = cpus.toInt / 4.0
+    def violated(pre: Double, post: Double, loadP: Double): Boolean =
+      math.max(pre, post) / math.max(1e-9, math.min(pre, post)) > 1.2 ||
+        loadP > loadCap
+    var (results, sentPre, sentPost, loadPre, loadPost) = sweep()
+    var retried = false
+    if (violated(sentPre, sentPost, loadPre)) {
+      System.err.println(f"[bench] sentinel violation (pre=$sentPre%.3f " +
+        f"post=$sentPost%.3f load_pre=$loadPre%.2f) — retrying the sweep once")
+      retried = true
+      val r2 = sweep()
+      results = r2._1; sentPre = r2._2; sentPost = r2._3
+      loadPre = r2._4; loadPost = r2._5
+    }
+    val trusted = !violated(sentPre, sentPost, loadPre)
 
     val ok = results.collect { case (k, Some((v, _))) => k -> v }
     val errors = results.collect { case (k, None) => k }
@@ -164,7 +191,8 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val sent = f""""sentinel":{"pre_sec":$sentPre%.3f,"post_sec":$sentPost%.3f,""" +
-      f""""load_avg_pre":$loadPre%.2f,"load_avg_post":$loadPost%.2f}"""
+      f""""load_avg_pre":$loadPre%.2f,"load_avg_post":$loadPost%.2f},""" +
+      s""""retried":$retried,"trusted":$trusted"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},$sent,"sf":"$sfDir"}"""
     // The round driver stores only a bounded TAIL of this process's
     // output before parsing, and the full line (~3.4 KB at 100 queries)

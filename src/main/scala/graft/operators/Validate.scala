@@ -56,11 +56,15 @@ object Validate {
         r("bad_status", "o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')"),
         r("negative_totalprice", "o_totalprice < 0"),
         // nanosecond-horizon sanity: pandas datetime64[ns] (and any
-        // ns-resolution consumer) tops out at 2262-04-11, so a date past
-        // it is corruption that would silently diverge downstream hash /
-        // arrow paths (the q52 round-15 class) — quarantine at ingest
+        // ns-resolution consumer) tops out at 2262-04-11 23:47:16.854775807,
+        // so a timestamp past it is corruption that would silently diverge
+        // downstream hash / arrow paths (the q52 round-15 class) —
+        // quarantine at ingest. The threshold is Timestamp.max truncated
+        // to Spark's microsecond precision: .854775 is the largest µs
+        // value still representable in ns (ADVICE r16 — the old
+        // second-truncated bound over-quarantined the final 0.85 s).
         r("ts_past_ns_horizon",
-          "o_orderdate > TIMESTAMP '2262-04-11 23:47:16'"))),
+          "o_orderdate > TIMESTAMP '2262-04-11 23:47:16.854775'"))),
     TableRules("lineitem", Seq("l_orderkey", "l_linenumber"),
       Seq("l_shipdate", "l_partkey", "l_suppkey"), Seq(
         r("missing_key", "l_orderkey IS NULL OR l_linenumber IS NULL"),

@@ -69,20 +69,64 @@ class GraphRankSpec extends SparkSpec {
       (4L, 5L, 1L), (1L, 5L, 2L)).toDF("pa", "pb", "w")
     val local = OlapQueries.weightedPageRank(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("pr_ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
-    spark.conf.set(OlapQueries.CkptEveryKey, "3")
+    val ckptPath = java.nio.file.Files.createTempDirectory("pr_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
+      spark.conf.set(OlapQueries.CkptEveryKey, "3")
       val durable = OlapQueries.weightedPageRank(pairs)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
       assert(durable === local)
       // the durable mode really wrote checkpoints
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-        .iterator()
-      assert(Iterator.continually(wrote).takeWhile(_.hasNext)
-        .map(_.next()).count(java.nio.file.Files.isRegularFile(_)) > 0,
-        "cadence > 0 must produce durable checkpoint files")
-    } finally spark.conf.unset(OlapQueries.CkptEveryKey)
+      val walk = java.nio.file.Files.walk(ckptPath)
+      val wroteFiles =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
+      assert(wroteFiles > 0, "cadence > 0 must produce durable checkpoint files")
+    } finally {
+      spark.conf.unset(OlapQueries.CkptEveryKey)
+      // don't leave the temp checkpoint dir on disk for the session
+      val sweep = java.nio.file.Files.walk(ckptPath)
+      try sweep.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally sweep.close()
+    }
+  }
+
+  test("ε-exit, ε=0 (exact stationarity): a regular graph converges in 2 rounds, bit-identical to the full count") {
+    // triangle with equal weights: every node's update reproduces 1e6
+    // exactly, so the rank vector is stationary from round 1 and the
+    // early exit is provably equal to the 10-iteration run
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)).toDF("pa", "pb", "w")
+    val full = OlapQueries.weightedPageRank(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.conf.set(OlapQueries.ConvergeEpsKey, "0")
+    try {
+      val (df, iters) = OlapQueries.weightedPageRankConverged(pairs)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got === full, "ε=0 exit must be bit-identical to the fixed count")
+      assert(iters < 10 && iters >= 1,
+        s"the stationary graph must exit early (ran $iters)")
+    } finally spark.conf.unset(OlapQueries.ConvergeEpsKey)
+  }
+
+  test("ε-exit, ε>0: result equals the fixed run at exactly the converged iteration") {
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L),
+      (2L, 4L, 5L), (5L, 2L, 1L)).toDF("pa", "pb", "w")
+    // deltas on this graph: 184152 at round 8, 137685 at round 9 — the
+    // 0.15 tolerance exits at exactly round 9, one before the cap
+    spark.conf.set(OlapQueries.ConvergeEpsKey, "150000")
+    val (df, iters) = try OlapQueries.weightedPageRankConverged(pairs)
+      finally spark.conf.unset(OlapQueries.ConvergeEpsKey)
+    assert(iters === 9, s"ε=150000 must stop at round 9 (ran $iters)")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // the contract: an ε-exited run IS the fixed run of `iters` rounds —
+    // that is the count its oracle must be generated at
+    val fixed = OlapQueries.weightedPageRank(pairs, maxIters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === fixed)
+    // and the simulation agrees at that count
+    val sim = simulate(Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L),
+      (2L, 4L, 5L), (5L, 2L, 1L)), iters)
+    assert(got.toMap === sim)
   }
 }

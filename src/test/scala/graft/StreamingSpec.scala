@@ -295,6 +295,62 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.DimSync.vacuum(spark, dir, keep = 2).isEmpty)
   }
 
+  test("streaming SCD-2 ingest: three-chunk CDC log with a mid-stream restart converges to the from-scratch history") {
+    import graft.streaming.DimSync
+    import graft.analytics.OlapQueries
+    // write-side twin of asOfScd2: DimSync.mergeScd2 driven from a
+    // foreachBatch CDC stream, replay-idempotent by version-gated batchId
+    val root = java.nio.file.Files.createTempDirectory("scd2_stream").toString
+    val lake = s"$root/lake"
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val o = Tables.orders(spark, sfDir)
+    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // three DATE-ORDERED chunks (the append-only contract date-split
+    // batches satisfy globally), each pinned per-day inside its chunk —
+    // a day never straddles a chunk, so the per-chunk argmax == global
+    val groups = years.grouped(math.max(1, (years.length + 2) / 3)).toSeq
+    def chunkOf(ys: Seq[Int]) = o.filter(year(col("o_orderdate")).isin(ys: _*))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    def publish(i: Int): Unit = // one file per chunk = one micro-batch
+      chunkOf(groups(i)).coalesce(1).write.parquet(s"$srcDir/chunk$i")
+    val srcSchema = chunkOf(groups.head).schema
+    def startIngest() = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/chunk*")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+        DimSync.mergeScd2(spark, lake, b, nBuckets = 8, batchId = Some(id)); ()
+      })
+      .option("checkpointLocation", ckpt)
+      .start()
+    publish(0)
+    val q1 = startIngest()
+    q1.processAllAvailable()
+    publish(1)
+    q1.processAllAvailable()
+    q1.stop() // mid-stream shutdown after two committed batches
+    assert(DimSync.latestScd2Version(spark, lake).contains(1))
+    // at-least-once redelivery (foreachBatch re-runs the last batch id
+    // after a crash between lake write and checkpoint commit): the
+    // manifest's batchId gates it to a no-op — no torn double-merge
+    assert(DimSync.mergeScd2(spark, lake,
+      chunkOf(groups(1)), batchId = Some(1L)) === Nil)
+    assert(DimSync.latestScd2Version(spark, lake).contains(1))
+    publish(2)
+    val q2 = startIngest() // restart from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DimSync.latestScd2Version(spark, lake).contains(2),
+      "one version per distinct committed batch")
+    // the streamed lake equals q52's from-scratch build over ALL changes
+    val want = OlapQueries.scd2Intervals(chunkOf(years.toSeq))
+    val got = DimSync.scd2Snapshot(spark, lake)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("DimSync: duplicate keys within one batch collapse to one row, last-wins by batchOrder") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dimdup").toString

@@ -44,8 +44,12 @@ BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
 # pandas pd.Timestamp.max == 2262-04-11 23:47:16.854775807; any literal
 # date past 2262-04-11 is over the horizon (the repo's sanctioned
-# open-interval sentinel 2262-01-01 sits safely below it).
-NS_HORIZON = "2262-04-11 23:47:16"
+# open-interval sentinel 2262-01-01 sits safely below it). The exact
+# max is the threshold (ADVICE r16): the lexical compare below stays
+# correct because every candidate shares the "YYYY-MM-DD HH:MM:SS"
+# prefix format — a second-granular value is a strict prefix (sorts
+# below), and anything truly past the horizon differs in that prefix.
+NS_HORIZON = "2262-04-11 23:47:16.854775807"
 NS_HORIZON_DATE = "2262-04-11"
 LITERAL_RE = re.compile(
     r"(?:TIMESTAMP|DATE)\s*'(\d{4}-\d{2}-\d{2})", re.IGNORECASE)

@@ -38,6 +38,7 @@ PRODUCERS = {
     "BENCH_COLD.json": ["src/main/scala/graft/Bench.scala"],
     "LAYOUT_CENSUS.json": ["src/main/scala/graft/LayoutBench.scala",
                            "src/main/scala/graft/sources/Layout.scala"],
+    "GRAPH_CENSUS.json": ["src/main/scala/graft/GraphBench.scala"],
 }
 # names that look like local census artifacts; driver-produced
 # per-round files (BENCH_r*, CORRECTNESS_r*, COPYCHECK, LEAKCHECK,

@@ -326,7 +326,7 @@ def main():
         # the plant really is past the horizon, and is the ONLY orders dirt
         n_bad = con.execute(
             f"""SELECT COUNT(*) FROM '{dirty}/orders.parquet'
-                WHERE o_orderdate > TIMESTAMP '2262-04-11 23:47:16'""").fetchone()[0]
+                WHERE o_orderdate > TIMESTAMP '2262-04-11 23:47:16.854775'""").fetchone()[0]
         row = con.execute(
             f"""SELECT invalid, duplicate
                 FROM {load(con, vout, 'q22b_validation_all')}
