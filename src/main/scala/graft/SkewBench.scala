@@ -272,7 +272,26 @@ object SkewBench {
           s""""off":{$aOff},"salted_off":{$aSalt}}"""
       }.getOrElse("")
 
-    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn}"""
+    // Pass 5 (r17, verdict #7) — the SCD-2 family under planted key skew
+    // (make_skewed.py --hot-custkey: one customer owns ~20% of all order
+    // change records). Everything here shuffles on o_custkey: q52's
+    // per-day argmax (map-side combinable — the hot key collapses to one
+    // row per (custkey, day) per map task), the custkey window (NOT
+    // combinable: the hot key's full run history lands in one window
+    // task — the straggler this pass measures), q52b's semi/anti key
+    // splits, and q52c's per-merge bucket containing the hot key.
+    // Defaults only: the per-key claim ("window rows bounded by change
+    // count") is exactly what the planted key violates, and the census
+    // documents what that costs.
+    val skewCust = sys.env.get("SPARK_GRAFT_SKEWCUST_DIR")
+      .filter(_.trim.nonEmpty).map { dir =>
+        val rows = Seq("q52_scd2_history", "q52b_scd2_merge",
+          "q52c_scd2_lake", "q54_asof_dimension")
+          .map(runCensusOn(_, dir)).mkString(",")
+        s""","scd2_hotcust":{"sf":"$dir",$rows}"""
+      }.getOrElse("")
+
+    val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn$skewCust}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_CENSUS.json")).getAbsoluteFile
     val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -192,11 +192,55 @@ def plant_neighbors(src, dst):
     return n
 
 
+def skew_custkey(src, dst):
+    """--hot-custkey mode (round 17): plant the hot key on the SCD-2
+    family's shuffle column (o_custkey — q52/q52b/q52c window and merge
+    on it), so one customer owns ~20% of all order change records. The
+    hot key is the smallest existing o_custkey, so every rewritten row
+    still references a real customer and the oracle gate stays the
+    correctness check (same data, both engines). This is the
+    one-dimension-changes-constantly shape: the hot key's interval
+    history is ~20% of the table, all of it in ONE window partition and
+    one lake bucket — what the per-key-bounded claim has to absorb."""
+    orders_keys = pq.read_table(os.path.join(src, "orders.parquet"),
+                                columns=["o_custkey"])
+    hot = pc.min(orders_keys.column("o_custkey")).as_py()
+    t = pq.read_table(os.path.join(src, "orders.parquet"))
+    t = t.replace_schema_metadata(None)
+    mask = hot_mask(t.num_rows)
+    cols = []
+    for field in t.schema:
+        c = t.column(field.name)
+        if field.name == "o_custkey":
+            c = pc.if_else(mask, pa.scalar(hot).cast(field.type),
+                           c.combine_chunks()).cast(field.type)
+        cols.append(c)
+    out = pa.table(dict(zip(t.schema.names, cols)), schema=t.schema)
+    # multi-row-group (see skew_embeddings note): keep hot rows spread
+    # across many scan units so map-side shapes match production
+    pq.write_table(out, os.path.join(dst, "orders.parquet"),
+                   row_group_size=32768)
+    return t.num_rows, hot
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     hot_orderkey = "--hot-orderkey" in sys.argv
     hot_bucket = "--hot-bucket" in sys.argv
+    hot_custkey = "--hot-custkey" in sys.argv
     planted = "--planted" in sys.argv
+    if hot_custkey:
+        src = argv[0] if len(argv) > 0 else "/tmp/sf1"
+        dst = argv[1] if len(argv) > 1 else "/tmp/sf1_skewcust"
+        os.makedirs(dst, exist_ok=True)
+        for name in TABLES:
+            p = os.path.join(src, f"{name}.parquet")
+            if os.path.exists(p) and name != "orders":
+                shutil.copyfile(p, os.path.join(dst, f"{name}.parquet"))
+        no, hot = skew_custkey(src, dst)
+        print(f"hot-custkey copy at {dst}: o_custkey={hot} holds "
+              f"~{100 // HOT_MOD}% of {no} orders")
+        return
     if planted:
         src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
         dst = argv[1] if len(argv) > 1 else "/tmp/sf01_planted"
