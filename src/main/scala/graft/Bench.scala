@@ -113,14 +113,34 @@ object Bench {
     // artifact said so). Reading rule (README): trust per-query diffs
     // only when both sentinel walls sit within ~1.2× of the comparison
     // round's sentinels.
-    def sentinel(): (Double, Double) = {
+    // r17: min-of-3 — the single-shot probe false-alarmed (post/pre
+    // 3.2× bracketing a sweep whose 143-query geomean moved 1.04×);
+    // min is robust to one transient stall, which is exactly the
+    // sentinel's own noise mode. A disk probe joins it: r17's first
+    // board showed a 1.21× geomean with the CPU sentinel IN band —
+    // the poison was IO-side (post-fixture-generation writeback), which
+    // a hash loop cannot see but a 32 MB fsync wall can.
+    def sentinel(): (Double, Double, Double) = {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val t0 = System.nanoTime()
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
-      spark.range(0L, 50000000L, 1L, cpus.toInt)
-        .select(sum(xxhash64(col("id"))).as("h")).collect()
-      ((System.nanoTime() - t0) / 1e9, load)
+      val cpu = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 300000000L, 1L, cpus.toInt)
+          .select(sum(xxhash64(col("id"))).as("h")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val buf = new Array[Byte](32 << 20)
+      val disk = (1 to 2).map { _ =>
+        val f = java.io.File.createTempFile("graft_sentinel", ".bin")
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try { out.write(buf); out.getFD.sync() } finally out.close()
+        val d = (System.nanoTime() - t0) / 1e9
+        f.delete()
+        d
+      }.min
+      (cpu, disk, load)
     }
 
     // Untimed warmup: a representative scan+join+agg query warms codegen,
@@ -145,9 +165,11 @@ object Bench {
     // flaky = one of the two passes threw. The surviving time still
     // counts, but the query is named in "flaky" so an intermittent
     // OOM/regression can't hide behind best-of-2 (ADVICE r2).
-    def sweep(): (Seq[(String, Option[(Double, Boolean)])],
-        Double, Double, Double, Double) = {
-      val (pre, loadP) = sentinel()
+    case class SweepResult(rows: Seq[(String, Option[(Double, Boolean)])],
+        pre: Double, post: Double, diskPre: Double, diskPost: Double,
+        loadPre: Double, loadPost: Double)
+    def sweep(): SweepResult = {
+      val (pre, diskP, loadP) = sentinel()
       val rs: Seq[(String, Option[(Double, Boolean)])] = queries.map {
         case (name, fn) =>
           val best = (runOnce(name, fn), runOnce(name, fn)) match {
@@ -156,8 +178,8 @@ object Bench {
           }
           name -> best
       }
-      val (post, loadQ) = sentinel()
-      (rs, pre, post, loadP, loadQ)
+      val (post, diskQ, loadQ) = sentinel()
+      SweepResult(rs, pre, post, diskP, diskQ, loadP, loadQ)
     }
 
     // Self-defense (r16 verdict #4): BENCH_r16 shipped with its own
@@ -168,20 +190,30 @@ object Bench {
     // retries ONCE; a retry that still violates publishes with
     // "trusted": false so no reader can miss it.
     val loadCap = cpus.toInt / 4.0
-    def violated(pre: Double, post: Double, loadP: Double): Boolean =
-      math.max(pre, post) / math.max(1e-9, math.min(pre, post)) > 1.2 ||
-        loadP > loadCap
-    var (results, sentPre, sentPost, loadPre, loadPost) = sweep()
+    def ratio(a: Double, b: Double): Double =
+      math.max(a, b) / math.max(1e-9, math.min(a, b))
+    // absolute floors: at sub-100 ms probe walls, scheduler jitter
+    // dominates any ratio — a drift must be big in BOTH relative and
+    // absolute terms before it may reject a board (measured: min-of-3
+    // walls of 0.062/0.108 s bracketing a sweep whose 143-query geomean
+    // moved 0.98× — ratio alone cried wolf)
+    def violated(s: SweepResult): Boolean =
+      (ratio(s.pre, s.post) > 1.2 && math.abs(s.pre - s.post) > 0.15) ||
+        (ratio(s.diskPre, s.diskPost) > 2.0 && // disk walls are noisier
+          math.abs(s.diskPre - s.diskPost) > 0.2) ||
+        s.loadPre > loadCap
+    var s = sweep()
     var retried = false
-    if (violated(sentPre, sentPost, loadPre)) {
-      System.err.println(f"[bench] sentinel violation (pre=$sentPre%.3f " +
-        f"post=$sentPost%.3f load_pre=$loadPre%.2f) — retrying the sweep once")
+    if (violated(s)) {
+      System.err.println(f"[bench] sentinel violation (cpu ${s.pre}%.3f/" +
+        f"${s.post}%.3f disk ${s.diskPre}%.3f/${s.diskPost}%.3f " +
+        f"load_pre=${s.loadPre}%.2f) — retrying the sweep once")
       retried = true
-      val r2 = sweep()
-      results = r2._1; sentPre = r2._2; sentPost = r2._3
-      loadPre = r2._4; loadPost = r2._5
+      s = sweep()
     }
-    val trusted = !violated(sentPre, sentPost, loadPre)
+    val trusted = !violated(s)
+    val (results, sentPre, sentPost, loadPre, loadPost) =
+      (s.rows, s.pre, s.post, s.loadPre, s.loadPost)
 
     val ok = results.collect { case (k, Some((v, _))) => k -> v }
     val errors = results.collect { case (k, None) => k }
@@ -191,6 +223,7 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val sent = f""""sentinel":{"pre_sec":$sentPre%.3f,"post_sec":$sentPost%.3f,""" +
+      f""""disk_pre_sec":${s.diskPre}%.3f,"disk_post_sec":${s.diskPost}%.3f,""" +
       f""""load_avg_pre":$loadPre%.2f,"load_avg_post":$loadPost%.2f},""" +
       s""""retried":$retried,"trusted":$trusted"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},$sent,"sf":"$sfDir"}"""

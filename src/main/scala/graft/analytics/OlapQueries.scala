@@ -984,9 +984,14 @@ object OlapQueries {
     val years = o.select(year(col("o_orderdate")).as("y")).distinct()
       .collect().map(_.getInt(0)).sorted
     years.foreach { y =>
+      // pinned: the batch feeds four subtrees per merge (touched-bucket
+      // collect, append-only guard, in-batch dedup, interval union) —
+      // one year's pinned changes are dimension-day-sized, and the pin
+      // stops the argmax shuffle re-running per subtree
       val batch = o.filter(year(col("o_orderdate")) === y)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+        .localCheckpoint()
       graft.streaming.DimSync.mergeScd2(spark, lake, batch, nBuckets = 16)
     }
     graft.streaming.DimSync.scd2Snapshot(spark, lake)

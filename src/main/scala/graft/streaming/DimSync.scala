@@ -295,12 +295,20 @@ object DimSync {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         OlapQueries.scd2Intervals(batch).schema)
+    // the pruned history feeds up to four subtrees per merge (guard,
+    // untouched anti-join, replay semi-join) — pin it once instead of
+    // re-reading the bucket dirs per subtree; MEMORY_AND_DISK, so a
+    // dimension-sized touched set spills rather than OOMs
+    if (histPaths.nonEmpty) hist.persist()
+    try {
     if (histPaths.nonEmpty &&
         spark.conf.get(Scd2GuardKey, "true").toBoolean) {
-      // append-only guard: both sides are touched-keys-only (pruned
-      // history + the batch), so this is one small extra job per merge
-      val bad = hist.groupBy(col("customer_id"))
-        .agg(max(col("valid_from")).as("open_from"))
+      // append-only guard: one small extra job per merge. The open row
+      // per key IS the is_current row (exactly one per key by the
+      // interval invariant), so the history side needs a filter, not a
+      // groupBy-max over the full version history
+      val bad = hist.filter(col("is_current") === 1L)
+        .select(col("customer_id"), col("valid_from").as("open_from"))
         .join(batch.groupBy(col("o_custkey"))
           .agg(min(col("o_orderdate")).as("first_change")),
           col("customer_id") === col("o_custkey"))
@@ -328,6 +336,7 @@ object DimSync {
     writeScd2Manifest(spark, lakePath, next, Scd2Manifest(n, batchId,
       baseMan.map(_.buckets).getOrElse(Map.empty) ++ touched.map(_ -> next)))
     touched
+    } finally if (histPaths.nonEmpty) hist.unpersist(false)
   }
 
   /** The SCD-2 lake as an interval frame — the latest COMPLETE version,

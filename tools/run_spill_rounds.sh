@@ -12,7 +12,7 @@ QUERIES=(d11_lsh_neardup d23_dedup_clusters d35_span_dedup
   d44_cross_source_containment q01_sales_overview q09_supplier_scorecard
   q18_dedup_map d45_syndication_ingest a09_knn_join d46_inverted_index
   a10_ann_incremental q51_copurchase_rank q52_scd2_history
-  q53_small_qty_revenue)
+  q53_small_qty_revenue q52b_scd2_merge q52c_scd2_lake a12_mmr_rerank)
 HEAP=8g tools/spill_census.sh /tmp/sf5 /tmp/spill_sf5_8g.json "${QUERIES[@]}" \
   > /tmp/spill_sf5_8g.log 2>&1 || exit 1
 HEAP=8g tools/spill_census.sh /tmp/sf10 /tmp/spill_sf10_8g.json "${QUERIES[@]}" \
