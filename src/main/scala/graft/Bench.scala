@@ -131,8 +131,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       val buf = new Array[Byte](32 << 20)
+      // Probe the filesystem the SPILLS live on (spark.local.dir), not
+      // blindly java.io.tmpdir: on hosts where /tmp is tmpfs the fsync
+      // would measure memory while shuffle/spill IO — the writeback-
+      // poison surface this probe exists to catch — goes to the disk
+      // spark.local.dir points at. SPARK_GRAFT_SENTINEL_DIR overrides
+      // (e.g. to probe the fixture volume when it differs). The testdata
+      // dir itself is read-only by contract, so it is never probed.
+      val probeDir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_SENTINEL_DIR",
+          spark.sparkContext.getConf.get("spark.local.dir",
+            System.getProperty("java.io.tmpdir"))))
       val disk = (1 to 2).map { _ =>
-        val f = java.io.File.createTempFile("graft_sentinel", ".bin")
+        val f = java.io.File.createTempFile("graft_sentinel", ".bin", probeDir)
         val t0 = System.nanoTime()
         val out = new java.io.FileOutputStream(f)
         try { out.write(buf); out.getFD.sync() } finally out.close()
@@ -167,8 +178,11 @@ object Bench {
     // OOM/regression can't hide behind best-of-2 (ADVICE r2).
     case class SweepResult(rows: Seq[(String, Option[(Double, Boolean)])],
         pre: Double, post: Double, diskPre: Double, diskPost: Double,
-        loadPre: Double, loadPost: Double)
+        loadPre: Double, loadPost: Double, rebuilds: Seq[String])
+    // each sweep owns its rebuild list (ADVICE r17: a discarded first
+    // sweep's rebuild names must not be published as the final board's)
     def sweep(): SweepResult = {
+      rebuilds.clear()
       val (pre, diskP, loadP) = sentinel()
       val rs: Seq[(String, Option[(Double, Boolean)])] = queries.map {
         case (name, fn) =>
@@ -179,7 +193,7 @@ object Bench {
           name -> best
       }
       val (post, diskQ, loadQ) = sentinel()
-      SweepResult(rs, pre, post, diskP, diskQ, loadP, loadQ)
+      SweepResult(rs, pre, post, diskP, diskQ, loadP, loadQ, rebuilds.toList)
     }
 
     // Self-defense (r16 verdict #4): BENCH_r16 shipped with its own
@@ -204,11 +218,24 @@ object Bench {
         s.loadPre > loadCap
     var s = sweep()
     var retried = false
+    var discardedRebuilds: Seq[String] = Nil
     if (violated(s)) {
       System.err.println(f"[bench] sentinel violation (cpu ${s.pre}%.3f/" +
         f"${s.post}%.3f disk ${s.diskPre}%.3f/${s.diskPost}%.3f " +
         f"load_pre=${s.loadPre}%.2f) — retrying the sweep once")
       retried = true
+      discardedRebuilds = s.rebuilds
+      // a clean retry, not a cache-warmed one: the discarded sweep left
+      // shared-stage memos and JIT state that would bias the retried
+      // board low vs a clean run — rebuild the session and re-run the
+      // same untimed warmups a clean run gets (ADVICE r17)
+      StageCache.clear(spark)
+      spark.stop()
+      spark = newSession()
+      queries.find(_._1 == "q03_daily_sales").orElse(queries.headOption)
+        .foreach { case (n, fn) => runOnce(n, fn) }
+      queries.find(_._1 == "q09b_scorecard_bucketed")
+        .foreach { case (n, fn) => runOnce(n, fn) }
       s = sweep()
     }
     val trusted = !violated(s)
@@ -225,8 +252,9 @@ object Bench {
     val sent = f""""sentinel":{"pre_sec":$sentPre%.3f,"post_sec":$sentPost%.3f,""" +
       f""""disk_pre_sec":${s.diskPre}%.3f,"disk_post_sec":${s.diskPost}%.3f,""" +
       f""""load_avg_pre":$loadPre%.2f,"load_avg_post":$loadPost%.2f},""" +
-      s""""retried":$retried,"trusted":$trusted"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},$sent,"sf":"$sfDir"}"""
+      s""""retried":$retried,"trusted":$trusted,""" +
+      s""""discarded_rebuilds":${arr(discardedRebuilds)}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(s.rebuilds)},$sent,"sf":"$sfDir"}"""
     // The round driver stores only a bounded TAIL of this process's
     // output before parsing, and the full line (~3.4 KB at 100 queries)
     // overflows it — BENCH_r07/r08 both landed as parsed:null with the
@@ -247,7 +275,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     println(full)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(rebuilds.toSeq)},"sf":"$sfDir","queries_file":"$outFile"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":${arr(errors)},"flaky":${arr(flaky)},"rebuilds":${arr(s.rebuilds)},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -288,7 +288,56 @@ object SkewBench {
         val rows = Seq("q52_scd2_history", "q52b_scd2_merge",
           "q52c_scd2_lake", "q54_asof_dimension")
           .map(runCensusOn(_, dir)).mkString(",")
-        s""","scd2_hotcust":{"sf":"$dir",$rows}"""
+        // r18 (r17 verdict #4): prove — not infer by analogy to the a09
+        // pass — that AQE's byte split absorbs q54's PROBE-side
+        // straggler (the orders shuffle carrying the 20%-hot customer
+        // into one as-of-join partition). Same local-scale
+        // preconditions as passes 3/4, each one necessary:
+        //  - broadcast off: at 100 TB neither as-of side broadcasts
+        //    (orders is fact-sized, the full interval history is
+        //    dimension-history-sized); locally AQE would broadcast the
+        //    dim and the probe would never shuffle at all;
+        //  - skew thresholds lowered (1m/1m/2) so the fixture's hot
+        //    partition qualifies the way a multi-GB one would;
+        //  - partition coalescing off: OptimizeSkewedJoin only matches
+        //    1:1 shuffle reads (the pass-4 finding).
+        val q54 = "q54_asof_dimension"
+        def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val skewThresh = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        val advisory = spark.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val skewFactor = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        val skewEnabled = spark.conf.get(
+          "spark.sql.adaptive.skewJoin.enabled")
+        val coalesce = spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        val (q54On, q54Off) =
+          try {
+            conf("spark.sql.adaptive.skewJoin.enabled", "true")
+            val on = runCensusOn(q54, dir)
+            conf("spark.sql.adaptive.skewJoin.enabled", "false")
+            val off = runCensusOn(q54, dir)
+            (on, off)
+          } finally {
+            conf("spark.sql.adaptive.skewJoin.enabled", skewEnabled)
+            conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", skewFactor)
+            conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", skewThresh)
+            conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+            conf("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+            conf("spark.sql.autoBroadcastJoinThreshold", bcast)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
+        s""","scd2_hotcust":{"sf":"$dir",$rows,""" +
+          s""""aqe_q54":{"on":{$q54On},"off":{$q54Off}}}"""
       }.getOrElse("")
 
     val line = s"""{"metric":"skew_census","sf":"$sfDir","defaults":$defaults,"no_window_group_limit":$noWgl$skewJoin$skewAnn$skewCust}"""

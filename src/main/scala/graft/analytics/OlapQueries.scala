@@ -362,7 +362,7 @@ object OlapQueries {
       val c = Tables.customer(spark, dir)
       val n = Tables.nation(spark, dir)
       val statuses = Seq("F", "O", "P")
-      val pivoted = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val pivoted = o.join(Tables.dim(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name").as("nation"))
         .pivot("o_orderstatus", statuses)
@@ -534,7 +534,7 @@ object OlapQueries {
       .select(col("part_id"), col("best.unit_price").as("min_unit_price"),
         col("best.l_suppkey").as("supplier_id"))
       .join(p, col("part_id") === col("p_partkey"))
-      .join(broadcast(s), col("supplier_id") === col("s_suppkey"))
+      .join(Tables.dim(s), col("supplier_id") === col("s_suppkey"))
       .select(col("part_id"), col("p_name").as("part_name"),
         col("supplier_id"), col("s_name").as("supplier_name"),
         col("min_unit_price"))
@@ -786,10 +786,12 @@ object OlapQueries {
         // node-sized join of two pinned frames — no edge re-shuffle.
         // Node sets are identical by construction (every node of the
         // undirected graph receives base mass each round).
-        val delta = next.as("n")
+        val row = next.as("n")
           .join(ranks.select(col("node"), col("r").as("rp")), Seq("node"))
-          .agg(max(abs(col("r") - col("rp")))).head.getLong(0)
-        converged = delta <= eps
+          .agg(max(abs(col("r") - col("rp")))).head
+        // an empty graph aggregates max() to one NULL row — an empty
+        // node set is converged by definition, not an NPE (ADVICE r17)
+        converged = row.isNullAt(0) || row.getLong(0) <= eps
       }
       ranks = next
       i += 1
@@ -969,9 +971,11 @@ object OlapQueries {
   }
 
   /** q52c — the PERSISTED twin of q52b: the same date-split fold, but
-    * every merge goes through `DimSync.mergeScd2`'s bucketed parquet
-    * lake (touched-bucket reads, dynamic-overwrite rewrites), and the
-    * gated result is what a CONSUMER reads back from the lake. Oracle is
+    * every merge goes through `DimSync.mergeScd2`'s bucketed, VERSIONED
+    * parquet lake (manifest-routed touched-bucket reads; untouched
+    * buckets carried by reference across versions; staging+rename
+    * commit), and the gated result is what a CONSUMER reads back from
+    * the lake via its manifest. Oracle is
     * again q52's from-scratch SQL, so the driver gate proves the whole
     * persistence seam — bucketing, directory pruning, parquet round-trip
     * of the interval schema — not just the in-memory algebra. Lake is

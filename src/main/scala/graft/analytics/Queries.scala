@@ -60,9 +60,17 @@ object Queries {
   // Catalyst is free to push it because it proves the join inner — the
   // same rewrite the reference gets from Snowflake).
   //
-  // Scale: customer/part/supplier/nation are bounded dimensions →
-  // broadcast; orders⋈lineitem is the one genuine shuffle (sort-merge at
-  // 100 TB, co-partitioned on orderkey if both sides are bucketed).
+  // Scale: nation is a CONSTANT dimension (25 rows at every sf) →
+  // always broadcast. Customer/part/supplier GROW with the scale factor
+  // — billions of rows at 100 TB — so they carry no broadcast hint: AQE
+  // converts each join to broadcast at runtime whenever the dim actually
+  // fits (it does at every test sf) and falls back to sort-merge when it
+  // doesn't, instead of OOMing on a forced executor-resident hash map
+  // (the sf10 spill census caught exactly that at the 128 MB/core rung).
+  // `graft.join.forceBroadcastDims=true` restores the static hints for
+  // deployments that KNOW their dims are small. orders⋈lineitem is the
+  // one genuine shuffle (sort-merge at 100 TB, co-partitioned on
+  // orderkey if both sides are bucketed).
   // ---------------------------------------------------------------------
   /** Q1 body without the final presentation sort — Q2 aggregates this
     * directly (sorting 18 columns globally just to immediately aggregate
@@ -83,9 +91,9 @@ object Queries {
     val n = Tables.nation(spark, dir)
 
     o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
+      .join(Tables.dim(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(Tables.dim(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(Tables.dim(s), l("l_suppkey") === s("s_suppkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .filter(l("l_extendedprice").isNotNull && o("o_orderdate").isNotNull)
       .select(
@@ -535,7 +543,7 @@ object Queries {
   def q09Joined(orders: DataFrame, lineitem: DataFrame,
       supplier: DataFrame): DataFrame =
     orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
-      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(Tables.dim(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
       .na.drop(Seq("l_shipdate", "o_orderdate", "l_discount"))
       .withColumn("__delay",
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
@@ -643,7 +651,7 @@ object Queries {
   def q12BrandDiscountExtremes(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    val byBrand = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val byBrand = l.join(Tables.dim(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(moneyAvg(col("l_discount")).as("avg_discount"))
     val top = byBrand.orderBy(col("avg_discount").desc, col("brand")).limit(5)
@@ -675,7 +683,7 @@ object Queries {
   def q13TopBrandsByRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(Tables.dim(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))
         .cast(DoubleType).as("total_revenue"))
@@ -698,7 +706,7 @@ object Queries {
     val l = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
-    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+    l.join(Tables.dim(s), l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(sum(netRevenueDec(col("l_extendedprice"), col("l_discount")))

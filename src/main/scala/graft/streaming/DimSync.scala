@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * reads. A version is "complete" only when Spark's `_SUCCESS` marker
   * exists, so a crash mid-write leaves the previous version current
   * (re-applying an upsert batch is a no-op by construction — SCD-1 sets
-  * values, it does not accumulate). A partial directory left by a crash
-  * does occupy its version slot (`ErrorIfExists` cannot distinguish a
-  * dead writer from an in-flight one); sweeping `v<N>` dirs without
-  * `_SUCCESS` older than the write timeout is the retention job's call,
-  * not the merge path's.
+  * values, it does not accumulate). The next version is STAGED under a
+  * writer-unique hidden dir (`.staging_v<N+1>_<uuid>`) and renamed into
+  * its slot only once fully written, so a crashed writer never occupies
+  * a version slot — it leaves only staging junk, invisible to readers
+  * and swept by [[vacuum]]. A `v<k>` dir WITHOUT `_SUCCESS` is therefore
+  * provably dead under this protocol (the rename source always contains
+  * the marker), and a retry sweeps it in place of the old manual-delete
+  * wedge; a `v<k>` dir WITH the marker is a racing writer's committed
+  * version — the rename is refused and the merge fails loudly (retry
+  * re-reads the new snapshot).
   * This is the optimistic-commit protocol of a lake table format (Delta/
   * Iceberg) reduced to its parquet essentials; swapping the version
   * listing for a real table catalog changes nothing upstream.
@@ -31,6 +36,50 @@ import org.apache.spark.sql.functions._
 object DimSync {
 
   private val VersionRe = "v(\\d+)".r
+  private val StagingRe = "\\.staging_v(\\d+)_.*".r
+
+  /** Writer-unique staging dir for version `n` under `root`. Hidden
+    * (leading dot) so it is invisible to both the version listing and
+    * Spark's file-source listing; uuid-suffixed so concurrent writers
+    * never collide on the staging path itself. */
+  private def stagingDir(root: Path, n: Int): Path = new Path(root,
+    s".staging_v${n}_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Commit a fully-staged version dir into its slot with one rename.
+    * An occupying dir that `isComplete` is a racing writer's committed
+    * version — refuse loudly (optimistic concurrency; the caller's
+    * retry re-reads the new snapshot). An occupying dir that is NOT
+    * complete is provably dead: no writer under the staging protocol
+    * ever puts an incomplete dir in a version slot (the rename source
+    * is complete before the rename), so it can only be a crash artifact
+    * of the pre-staging protocol — sweep it and take the slot, healing
+    * the wedge that used to need a manual delete. */
+  private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, dst: Path, isComplete: Path => Boolean): Unit = {
+    if (fs.exists(dst)) {
+      if (isComplete(dst)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(s"version ${dst.getName} was " +
+          "committed concurrently; retry the merge against the new snapshot")
+      }
+      fs.delete(dst, true) // dead pre-staging slot — self-heal
+    }
+    require(fs.rename(staging, dst),
+      s"could not commit ${dst.getName}: rename failed (staging left at $staging)")
+  }
+
+  /** Staging dirs that can no longer commit: their target slot sits at
+    * or below the latest complete version, so their rename would land on
+    * a committed dir and be refused — provably dead regardless of
+    * whether the writer still runs. A staging dir targeting a slot ABOVE
+    * the latest complete version may be in flight and is spared. */
+  private def deadStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, latestComplete: Int): Seq[Path] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap(s =>
+      s.getPath.getName match {
+        case StagingRe(n) if n.toInt <= latestComplete => Some(s.getPath)
+        case _ => None
+      })
 
   /** Highest version directory with a `_SUCCESS` marker, if any. */
   def latestVersion(spark: SparkSession, dimPath: String): Option[Int] = {
@@ -79,9 +128,19 @@ object DimSync {
     * latest complete version is left alone: that slot may be an
     * in-flight writer, and sweeping it would turn the optimistic-commit
     * protocol into lost work (a real lake ages those out by wall-clock;
-    * version order is the crash-proof signal available here).
+    * version order is the crash-proof signal available here). Staging
+    * dirs whose target slot is at or below the latest complete version
+    * are swept too — their commit rename can only be refused, so they
+    * are dead no matter what their writer is doing.
     * Returns the swept directory names. Bounded driver work throughout:
-    * one directory listing, never data reads. */
+    * one directory listing, never data reads.
+    *
+    * Reader isolation: a DataFrame resolved from [[snapshot]]/
+    * [[snapshotAt]] holds concrete file paths, not the version listing —
+    * a vacuum that sweeps that version out from under a still-running
+    * reader fails the reader's scan (the classic lake-format isolation
+    * window). Contract: consume snapshot frames before vacuuming, or
+    * size `keep` to at least the longest reader horizon. */
   def vacuum(spark: SparkSession, dimPath: String, keep: Int): Seq[String] = {
     require(keep >= 1, "must keep at least the current version")
     val p = new Path(dimPath)
@@ -100,9 +159,9 @@ object DimSync {
     val keepFloor = complete.sorted.takeRight(keep).head
     val sweep = slots.filter { case (n, _, ok) =>
       (ok && n < keepFloor) || (!ok && n < latest)
-    }
-    sweep.foreach { case (_, path, _) => fs.delete(path, true) }
-    sweep.map(_._2.getName)
+    }.map(_._2) ++ deadStaging(fs, p, latest)
+    sweep.foreach(fs.delete(_, true))
+    sweep.map(_.getName)
   }
 
   /** Apply one upsert batch: full-outer merge on `key`, batch values win
@@ -125,10 +184,14 @@ object DimSync {
     *     struct wins — but semantically arbitrary; pass the batch's real
     *     ordering column whenever it has one.
     *   - Optimistic concurrency: the base version is listed ONCE and the
-    *     output version derived from it, so a writer that raced us owns
-    *     v(base+1) and this write fails on `ErrorIfExists` instead of
-    *     silently discarding the concurrent commit. Retry the merge on
-    *     that failure (re-reads the new snapshot).
+    *     output version derived from it; the result is STAGED under a
+    *     writer-unique hidden dir and renamed into v(base+1) only once
+    *     complete. A writer that raced us owns the slot with a COMPLETE
+    *     version and this commit fails loudly instead of silently
+    *     discarding the concurrent commit — retry the merge on that
+    *     failure (re-reads the new snapshot). An INCOMPLETE occupant is
+    *     a provably-dead pre-staging crash artifact and is swept in
+    *     place (self-heal).
     */
   def merge(spark: SparkSession, dimPath: String, batch: DataFrame,
       key: String, batchOrder: Seq[Column] = Nil): Unit = {
@@ -141,8 +204,13 @@ object DimSync {
     val merged = cur.as("s").join(one.as("b"), Seq(key), "full_outer")
       .select(col(key) +: valueCols.map(c =>
         coalesce(col(s"b.$c"), col(s"s.$c")).as(c)): _*)
-    merged.write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"$dimPath/v${base.getOrElse(-1) + 1}")
+    val next = base.getOrElse(-1) + 1
+    val root = new Path(dimPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingDir(root, next)
+    merged.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    commitStaged(fs, staging, new Path(root, s"v$next"),
+      d => fs.exists(new Path(d, "_SUCCESS")))
   }
 
   // -------------------------------------------------------------------
@@ -197,9 +265,8 @@ object DimSync {
         k.stripPrefix("bucket.").toInt -> v.toInt })
   }
 
-  private def writeScd2Manifest(spark: SparkSession, lakePath: String,
-      version: Int, m: Scd2Manifest): Unit = {
-    val dir = new Path(s"$lakePath/v$version")
+  private def writeScd2Manifest(spark: SparkSession, dir: Path,
+      m: Scd2Manifest): Unit = {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, s".$Scd2ManifestFile.tmp")
     val out = fs.create(tmp, true)
@@ -212,22 +279,32 @@ object DimSync {
     // rename within one directory: atomic on HDFS and local FS — readers
     // see either no manifest (version invisible) or the whole manifest
     require(fs.rename(tmp, new Path(dir, Scd2ManifestFile)),
-      s"could not commit manifest for v$version at $lakePath")
+      s"could not write manifest into $dir")
   }
+
+  /** Conf knob for [[autoBuckets]]'s upper clamp (default 65536 — the
+    * one place the clamp and its rationale live). At the default, a
+    * 1e9-key domain lands ~15k keys per bucket; a larger key domain
+    * should raise the clamp (or pass nBuckets explicitly) so per-merge
+    * write amplification keeps converging to the batch-key fraction.
+    * LAYOUT_CENSUS `scd2_merge` anchors the extrapolation with measured
+    * amplification rows up to the clamp itself. */
+  private[graft] val Scd2MaxBucketsKey = "graft.scd2.maxBuckets"
 
   /** Default bucket sizing when a lake is created without an explicit
     * count: ~1k keys per bucket from the FIRST batch's key cardinality,
-    * power of two, clamped to [16, 65536]. Rationale (LAYOUT_CENSUS
-    * `scd2_merge`): a K-key change batch touches ≈ n(1−(1−1/n)^K)
-    * buckets, so per-merge write amplification converges to the
-    * batch-key fraction only once n ≫ typical K — size n from the KEY
-    * DOMAIN, not the batch; a first full-dimension load is the best
-    * available proxy. At 100 TB (~1e9 keys) this rule lands at the
-    * 65536 clamp; bump the clamp (or pass nBuckets) for larger domains. */
+    * power of two, clamped to [16, [[Scd2MaxBucketsKey]]]. Rationale
+    * (LAYOUT_CENSUS `scd2_merge`): a K-key change batch touches
+    * ≈ n(1−(1−1/n)^K) buckets, so per-merge write amplification
+    * converges to the batch-key fraction only once n ≫ typical K — size
+    * n from the KEY DOMAIN, not the batch; a first full-dimension load
+    * is the best available proxy. At 100 TB (~1e9 keys) this rule lands
+    * at the default clamp. */
   private def autoBuckets(batch: DataFrame): Int = {
+    val cap = batch.sparkSession.conf.get(Scd2MaxBucketsKey, "65536").toInt
     val keys = batch.select(col("o_custkey")).distinct().count()
     var n = 16
-    while (n < keys / 1024 && n < 65536) n *= 2
+    while (n < keys / 1024 && n < cap) n *= 2
     n
   }
 
@@ -239,13 +316,17 @@ object DimSync {
     * extended with a per-version bucket MANIFEST so untouched buckets
     * are carried BY REFERENCE instead of rewritten:
     *
-    *   - each merge writes ONLY the touched buckets into a fresh
-    *     `v<N+1>/bucket=*` (`ErrorIfExists` — a racing writer fails
-    *     loudly instead of silently losing a commit; retry re-reads);
-    *   - `v<N+1>/_MANIFEST` (written last, temp+rename) maps every
-    *     bucket to the version that serves it: touched → N+1, untouched
-    *     → carried forward verbatim. Manifest presence is the commit
-    *     point — a crash before it leaves v<N> serving, intact;
+    *   - each merge writes ONLY the touched buckets, STAGED under a
+    *     writer-unique hidden dir together with the version's
+    *     `_MANIFEST`, then renamed into `v<N+1>` as the single commit
+    *     point — a crash anywhere before the rename leaves v<N> serving
+    *     and only vacuum-sweepable staging junk behind (no dead version
+    *     slot to wedge a retry). A racing writer that committed the
+    *     slot first makes the rename fail loudly instead of silently
+    *     losing a commit (retry re-reads); an INCOMPLETE slot occupant
+    *     (pre-staging crash artifact) is swept in place — self-heal;
+    *   - `v<N+1>/_MANIFEST` maps every bucket to the version that
+    *     serves it: touched → N+1, untouched → carried forward verbatim;
     *   - readers ([[scd2Snapshot]]/[[scd2SnapshotAt]]) resolve through
     *     the manifest; old versions remain for time travel until
     *     [[vacuumScd2]] sweeps the unreferenced ones.
@@ -266,7 +347,10 @@ object DimSync {
     * cardinality ([[autoBuckets]]); an existing lake always keeps its
     * manifest's count (a non-zero argument must agree). `batchId` makes
     * replays idempotent: a batch whose id equals the committed head's is
-    * skipped (the foreachBatch redelivery case).
+    * skipped. That covers exactly the foreachBatch redelivery case —
+    * only the LAST batch is ever redelivered after a stream restart; a
+    * replay of an OLDER batch is not recognized and fails loudly via the
+    * append-only guard rather than corrupting history.
     *
     * Returns the touched bucket ids (the measured blast radius); empty
     * for an empty batch or an idempotent replay. */
@@ -274,6 +358,19 @@ object DimSync {
       nBuckets: Int = 0, batchId: Option[Long] = None): Seq[Int] = {
     import graft.analytics.OlapQueries
     val base = latestScd2Version(spark, lakePath)
+    if (base.isEmpty) {
+      // refuse to silently orphan a pre-versioned lake (the r16 dynamic-
+      // overwrite format kept bucket=* dirs at the lake root): starting
+      // a fresh v0 next to them would serve none of the legacy history
+      val p = new Path(lakePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket=")))
+        throw new IllegalStateException(s"lake at $lakePath holds a " +
+          "pre-versioned (dynamic-overwrite era) SCD-2 layout; rebuild it " +
+          "into the versioned format (read the legacy bucket=* dirs, " +
+          "mergeScd2 them into a fresh path as v0) before merging")
+    }
     val baseMan = base.map(readScd2Manifest(spark, lakePath, _))
     if (batchId.isDefined && baseMan.exists(_.batchId == batchId))
       return Nil // replay of the committed head — already applied
@@ -331,10 +428,15 @@ object DimSync {
       // footer cost — one extra keyed shuffle of a dimension-sized frame
       // buys one file per bucket
       .repartition(col("bucket"))
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingDir(root, next)
     merged.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy("bucket").parquet(s"$lakePath/v$next")
-    writeScd2Manifest(spark, lakePath, next, Scd2Manifest(n, batchId,
+      .partitionBy("bucket").parquet(staging.toString)
+    writeScd2Manifest(spark, staging, Scd2Manifest(n, batchId,
       baseMan.map(_.buckets).getOrElse(Map.empty) ++ touched.map(_ -> next)))
+    commitStaged(fs, staging, new Path(root, s"v$next"),
+      d => fs.exists(new Path(d, Scd2ManifestFile)))
     touched
     } finally if (histPaths.nonEmpty) hist.unpersist(false)
   }
@@ -367,9 +469,20 @@ object DimSync {
     * version whose buckets have all been superseded) and (b) incomplete
     * dirs BELOW the latest complete version (provably dead writers).
     * An incomplete dir ABOVE the latest complete version is spared —
-    * same in-flight-writer stance as [[vacuum]]. Note the reference
-    * semantics: a version dir stays alive as long as ANY retained
-    * manifest still serves a bucket from it, regardless of age. */
+    * same in-flight-writer stance as [[vacuum]] — and dead staging dirs
+    * (target slot at or below the latest complete version) are swept.
+    * Note the reference semantics: a version dir stays alive as long as
+    * ANY retained manifest still serves a bucket from it, regardless of
+    * age.
+    *
+    * Reader isolation: [[scd2Snapshot]]/[[scd2SnapshotAt]] resolve their
+    * manifest to concrete bucket paths at call time — a vacuum that
+    * sweeps a version those paths live in fails any still-running reader
+    * holding that frame (the classic lake-format isolation window; a
+    * real catalog ages versions out by wall-clock lease instead).
+    * Contract: consume snapshot frames before vacuuming, or size `keep`
+    * to at least the longest reader horizon — ScdSpec pins both sides of
+    * this boundary. */
   def vacuumScd2(spark: SparkSession, lakePath: String, keep: Int): Seq[String] = {
     require(keep >= 1, "must keep at least the current version")
     val p = new Path(lakePath)
@@ -389,9 +502,9 @@ object DimSync {
       readScd2Manifest(spark, lakePath, v).buckets.values)
     val sweep = slots.filter { case (n, _, ok) =>
       (ok && !referenced(n)) || (!ok && n < latest)
-    }
-    sweep.foreach { case (_, path, _) => fs.delete(path, true) }
-    sweep.map(_._2.getName)
+    }.map(_._2) ++ deadStaging(fs, p, latest)
+    sweep.foreach(fs.delete(_, true))
+    sweep.map(_.getName)
   }
 
   /** Point-in-time lookup against an SCD-2 interval table — the

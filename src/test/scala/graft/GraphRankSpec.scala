@@ -109,6 +109,18 @@ class GraphRankSpec extends SparkSpec {
     } finally spark.conf.unset(OlapQueries.ConvergeEpsKey)
   }
 
+  test("ε-exit on an EMPTY edge frame: converged immediately, no NPE (ADVICE r17)") {
+    val pairs = Seq.empty[(Long, Long, Long)].toDF("pa", "pb", "w")
+    spark.conf.set(OlapQueries.ConvergeEpsKey, "0")
+    try {
+      // the delta join of two empty rank frames aggregates max() to one
+      // NULL row — an empty node set is converged, not a crash
+      val (df, iters) = OlapQueries.weightedPageRankConverged(pairs)
+      assert(df.count() === 0L)
+      assert(iters === 1, s"empty graph must exit at the first check (ran $iters)")
+    } finally spark.conf.unset(OlapQueries.ConvergeEpsKey)
+  }
+
   test("ε-exit, ε>0: result equals the fixed run at exactly the converged iteration") {
     val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L),
       (2L, 4L, 5L), (5L, 2L, 1L)).toDF("pa", "pb", "w")

@@ -203,7 +203,7 @@ class ScdSpec extends SparkSpec {
     assert(travel.exceptAll(wantBase).isEmpty && wantBase.exceptAll(travel).isEmpty)
   }
 
-  test("mergeScd2 crash atomicity: a dead writer's partial version never serves; sweep + re-run converges") {
+  test("mergeScd2 crash atomicity: a dead writer's partial version never serves; the retry self-heals") {
     import spark.implicits._
     import graft.streaming.DimSync
     val lake = java.nio.file.Files
@@ -214,10 +214,9 @@ class ScdSpec extends SparkSpec {
     val b1 = changes((1L, ts("1996-01-01"), "B"))
     DimSync.mergeScd2(spark, lake, b0, nBuckets = 4)
     val served = DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString)
-    // simulate a writer that crashed MID-COMMIT on v1: parquet job done
-    // (_SUCCESS present) but the manifest — the commit point — never
-    // landed. The old dynamic-overwrite path would have torn bucket dirs
-    // here; the versioned path must keep v0 serving, untouched.
+    // simulate a PRE-STAGING-era writer that crashed mid-commit on v1:
+    // parquet job done (_SUCCESS present) but the manifest — the commit
+    // point — never landed, leaving a dead dir squatting the slot.
     val deadData = OlapQueries.scd2Intervals(b1)
       .withColumn("bucket", pmod(col("customer_id"), lit(4)).cast("int"))
     deadData.write.partitionBy("bucket").parquet(s"$lake/v1")
@@ -225,18 +224,89 @@ class ScdSpec extends SparkSpec {
       "a manifest-less version slot must stay invisible")
     val afterCrash = DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString)
     assert(afterCrash === served, "the previous version must keep serving after a crash")
-    // a retry collides with the dead slot LOUDLY (optimistic concurrency:
-    // ErrorIfExists cannot distinguish a dead writer from an in-flight one)
-    intercept[Exception] { DimSync.mergeScd2(spark, lake, b1, nBuckets = 4) }
-    // the retention job's wall-clock call: the slot is dead — sweep it,
-    // and the re-run converges to the from-scratch build
-    val fs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/v1"), true)
+    // a retry SELF-HEALS: under the staging protocol an incomplete slot
+    // occupant is provably dead (a live writer commits by renaming a
+    // complete dir in), so the retry sweeps it and takes the slot — no
+    // manual fs delete (the r17 wedge)
     DimSync.mergeScd2(spark, lake, b1, nBuckets = 4)
     val got = DimSync.scd2Snapshot(spark, lake)
     val want = OlapQueries.scd2Intervals(b0.unionByName(b1))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("mergeScd2 staging crash: abandoned staging dirs stay invisible, never collide, and vacuum sweeps only the dead ones") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_stage").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1995-01-01"), "A"), (2L, ts("1995-01-01"), "C")),
+      nBuckets = 4)
+    val served = DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString)
+    // a writer that crashed BEFORE its commit rename leaves only a
+    // hidden staging dir — the slot itself is never occupied
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lake/.staging_v1_deadbeef"))
+    assert(DimSync.latestScd2Version(spark, lake).contains(0))
+    assert(DimSync.scd2Snapshot(spark, lake).collect().toSeq.sortBy(_.toString) === served)
+    // a fresh merge targets the same v1 slot but its own uuid staging —
+    // no collision with the corpse, and the commit lands normally
+    DimSync.mergeScd2(spark, lake, changes((1L, ts("1996-01-01"), "B")))
+    assert(DimSync.latestScd2Version(spark, lake).contains(1))
+    // the corpse's target slot is now at/below the committed head → its
+    // rename could only be refused → provably dead → vacuum sweeps it;
+    // an in-flight staging dir targeting the NEXT slot is spared
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lake/.staging_v2_cafe1234"))
+    val swept = DimSync.vacuumScd2(spark, lake, keep = 2)
+    assert(swept.contains(".staging_v1_deadbeef"), s"dead staging not swept: $swept")
+    assert(!swept.contains(".staging_v2_cafe1234"), s"in-flight staging swept: $swept")
+  }
+
+  test("mergeScd2 refuses a pre-versioned (legacy dynamic-overwrite) lake instead of orphaning it") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_legacy").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    // the r16 layout: bucket=* dirs at the lake root, no v*/ manifests
+    OlapQueries.scd2Intervals(changes((1L, ts("1995-01-01"), "A")))
+      .withColumn("bucket", pmod(col("customer_id"), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(lake)
+    val e = intercept[IllegalStateException] {
+      DimSync.mergeScd2(spark, lake, changes((1L, ts("1996-01-01"), "B")))
+    }
+    assert(e.getMessage.contains("pre-versioned"),
+      s"expected a loud legacy-layout refusal, got: ${e.getMessage}")
+  }
+
+  test("vacuumScd2 reader isolation: snapshots consumed before vacuum survive; a frame held across the sweep fails") {
+    import spark.implicits._
+    import graft.streaming.DimSync
+    val lake = java.nio.file.Files
+      .createTempDirectory("scd2_iso").toString + "/hist"
+    def changes(rows: (Long, Timestamp, String)*) =
+      rows.toDF("o_custkey", "o_orderdate", "prio")
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1995-01-01"), "A")), nBuckets = 4, batchId = Some(0L))
+    DimSync.mergeScd2(spark, lake,
+      changes((1L, ts("1996-01-01"), "B")), batchId = Some(1L))
+    // a reader that resolved v0 BEFORE the sweep holds concrete paths
+    val held = DimSync.scd2SnapshotAt(spark, lake, 0)
+    val consumed = held.collect() // consumed-before-vacuum: fine
+    assert(consumed.nonEmpty)
+    // keep=1 retains only v1; v0's only bucket was superseded → swept
+    val swept = DimSync.vacuumScd2(spark, lake, keep = 1)
+    assert(swept.contains("v0"), s"expected v0 swept, got $swept")
+    // the isolation window the scaladoc documents: re-reading the held
+    // frame now fails (its files are gone) — consume before vacuuming,
+    // or size keep to the reader horizon
+    intercept[Exception] { held.collect() }
+    // and the retained head still serves
+    assert(DimSync.scd2Snapshot(spark, lake).count() === 2L)
   }
 
   test("mergeScd2 idempotent replay by batchId, vacuumScd2 spares referenced + in-flight dirs") {

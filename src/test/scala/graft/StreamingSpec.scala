@@ -376,27 +376,30 @@ class StreamingSpec extends SparkSpec {
     assert(snap2.count() == 2)
   }
 
-  test("DimSync: concurrent writer's claimed version collides loudly; retry after its commit sees it") {
+  test("DimSync: a dead pre-staging slot self-heals; a racing COMMITTED version is based on, never overwritten") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dimrace").toString
     graft.streaming.DimSync.merge(spark, dir, Seq((1L, 10.0)).toDF("k", "v"), "k") // v0
-    // an in-flight concurrent writer has claimed v1 but not committed yet
-    // (_SUCCESS absent): our merge must fail on ErrorIfExists — the old
-    // two-listing path could instead derive a version PAST the concurrent
-    // commit from a snapshot BEFORE it, silently discarding it
+    // an INCOMPLETE occupant of the next slot is provably dead under the
+    // staging protocol (a live writer holds only a hidden staging dir
+    // until complete, then renames a COMPLETE dir in) — it can only be a
+    // pre-staging crash artifact. The merge sweeps it and takes the slot
+    // instead of wedging on it forever (ADVICE r17).
     new java.io.File(s"$dir/v1").mkdirs()
-    intercept[Exception] {
-      graft.streaming.DimSync.merge(spark, dir, Seq((1L, 99.0)).toDF("k", "v"), "k")
-    }
-    assert(graft.streaming.DimSync.latestVersion(spark, dir).contains(0))
-    // the concurrent writer commits v1; our retry re-lists, bases on v1,
-    // and lands as v2 carrying BOTH commits
-    Seq((2L, 20.0)).toDF("k", "v").write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/v1")
     graft.streaming.DimSync.merge(spark, dir, Seq((1L, 99.0)).toDF("k", "v"), "k")
-    val snap = spark.read.parquet(s"$dir/v2")
+    assert(graft.streaming.DimSync.latestVersion(spark, dir).contains(1))
+    assert(spark.read.parquet(s"$dir/v1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == Map(1L -> 99.0))
+    // a racing writer's COMPLETE commit is sacred: once v2 is committed
+    // (with _SUCCESS — the rename source is always complete), the next
+    // merge lists it as base and lands v3 carrying BOTH commits; a
+    // complete occupant of a target slot is refused, never overwritten
+    Seq((2L, 20.0)).toDF("k", "v").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/v2")
+    graft.streaming.DimSync.merge(spark, dir, Seq((3L, 30.0)).toDF("k", "v"), "k")
+    val snap = spark.read.parquet(s"$dir/v3")
     assert(snap.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      == Map(1L -> 99.0, 2L -> 20.0))
+      == Map(2L -> 20.0, 3L -> 30.0))
   }
 
   test("stream as-of SCD-2 lookup == q54 batch on the same replay (late arrivals resolve by event time)") {
