@@ -771,7 +771,23 @@ object OlapQueries {
     // node-sized; pinned so the final rank⋈wtot join reads the
     // materialized frame instead of re-scanning the corpus for edges0
     val wt = pinBase(edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot")))
-    val edges = pinBase(edges0.join(wt, Seq("src")))
+    // The edge frame is the BIG side of every iteration's join, so its
+    // physical layout decides the per-iteration cost. A checkpoint here
+    // would erase the partitioning (LogicalRDD resurfaces as
+    // UnknownPartitioning — measured in plans/r18/q51_*_before.txt: every
+    // iteration re-Exchanged AND re-Sorted the full edge frame, 2 extra
+    // edge-frame passes × 10 rounds). Instead: shuffle ONCE onto the join
+    // key, sort within partitions, and persist — the cached plan keeps
+    // HashPartitioning(src)+ordering visible (AQE leaves cached-plan
+    // partitioning alone by default), so each iteration's join only
+    // exchanges the NODE-sized rank frame and the edge side streams with
+    // no Exchange and no Sort (guide §2.4: establish a partitioning once,
+    // share it across every consumer). Recompute-on-block-loss is
+    // deterministic (no sampling anywhere upstream), so a persist is as
+    // safe as the checkpoint it replaces.
+    val edges = edges0.join(wt, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = pinBase(
       wt.select(col("src").as("node"), lit(1000000L).as("r")))
     var i = 1
@@ -796,6 +812,9 @@ object OlapQueries {
       ranks = next
       i += 1
     }
+    // every iteration's rank frame is pinned, so the edge cache has no
+    // remaining consumer — release it before the final node-sized join
+    edges.unpersist(false)
     (ranks.join(wt, col("node") === col("src"))
       .select(col("node"), col("r"), col("wtot")), i - 1)
   }
@@ -893,6 +912,12 @@ object OlapQueries {
     val runs = changes
       .withColumn("prev", lag(col("prio"), 1).over(byCust))
       .filter(col("prev").isNull || col("prev") =!= col("prio"))
+    // No presentation orderBy here (r18): this builder runs INSIDE every
+    // incremental fold step (scd2Merge) and every lake merge
+    // (DimSync.mergeScd2) — a trailing global sort would cost a
+    // range-shuffle per merge only to be discarded by the union /
+    // bucket-repartition above it. The registered q52 applies the
+    // presentation sort itself (the q01Core discipline).
     runs.select(
         col("o_custkey").as("customer_id"),
         row_number().over(byCust).cast("bigint").as("version_no"),
@@ -902,14 +927,19 @@ object OlapQueries {
           lit(ScdHighDate).cast("timestamp")).as("valid_to"),
         when(lead(col("o_orderdate"), 1).over(byCust).isNull, 1L)
           .otherwise(0L).as("is_current"))
-      .orderBy(col("customer_id"), col("version_no"))
   }
 
+  /** The interval table shared by q52 (presentation sort on top) and q54
+    * (as-of join) via [[graft.StageCache]] — the q01_core/q07_scored
+    * "silver table" pattern: one window pass per session, every consumer
+    * reads the pinned frame (cold bench bills the build). */
+  private def q52IntervalsStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q52_intervals")(
+      scd2Intervals(pinnedChangesByYear(spark, dir).drop("__y")))
+
   def q52ScdHistory(spark: SparkSession, dir: String): DataFrame =
-    scd2Intervals(
-      Tables.orders(spark, dir)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio")))
+    q52IntervalsStage(spark, dir)
+      .orderBy(col("customer_id"), col("version_no"))
 
   // ---------------------------------------------------------------------
   // q52b — INCREMENTAL SCD-2 merge (q52's production seam): q52 rebuilds
@@ -950,18 +980,34 @@ object OlapQueries {
     scd2Intervals(replay.unionByName(batch)).unionByName(untouched)
   }
 
-  def q52bScdMerge(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    // bounded collect: the distinct calendar years (a handful) — the
-    // deterministic date-split batch schedule. A day never straddles a
-    // batch, so the per-day argmax pin inside each batch equals the
-    // global pin.
-    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val folded = years.foldLeft(Option.empty[DataFrame]) { (hist, y) =>
-      val batch = o.filter(year(col("o_orderdate")) === y)
+  /** The per-day pinned change log shared by q52b/q52c's date-split
+    * folds, with the batch year attached. Computed ONCE per run: a day
+    * never straddles a batch, so the per-day argmax computed globally
+    * and filtered to a year equals the argmax computed inside that
+    * year's slice — the fold used to re-scan the full orders table and
+    * re-run the argmax shuffle once PER YEAR (7× at the gate fixtures;
+    * guide §1.2: remove redundant passes). Shared across the q52 family
+    * (q52/q52b/q52c/q54 all start from this change log) via
+    * [[graft.StageCache]]; pinned so each year's batch is a narrow
+    * filter over materialized blocks, not a re-aggregation. */
+  private def pinnedChangesByYear(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q52_changes")(
+      Tables.orders(spark, dir)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+        .withColumn("__y", year(col("o_orderdate"))))
+
+  def q52bScdMerge(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = pinnedChangesByYear(spark, dir)
+    // bounded collect: the distinct calendar years (a handful) — the
+    // deterministic date-split batch schedule
+    val years = pinned.select(col("__y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val folded = years.foldLeft(Option.empty[DataFrame]) { (hist, y) =>
+      // per-year pin: the batch feeds several merge subtrees, and a bare
+      // filter over the all-years pinned blocks would re-scan every
+      // year's blocks per subtree — pin the slice so subtrees scan only it
+      val batch = pinned.filter(col("__y") === y).drop("__y").localCheckpoint()
       // localCheckpoint truncates the fold's growing lineage (the q51
       // discipline); one batch per year keeps the chain short
       Some(hist.fold(scd2Intervals(batch))(h =>
@@ -984,18 +1030,18 @@ object OlapQueries {
     val lake = graft.sources.Layout.layoutPath(dir, "q52c_scd2_lake")
     val p = new org.apache.hadoop.fs.Path(lake)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    val o = Tables.orders(spark, dir)
-    val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+    // one global argmax pass instead of one per year (see
+    // [[pinnedChangesByYear]]); each merge's batch — which feeds four
+    // subtrees (touched-bucket collect, append-only guard, in-batch
+    // dedup, interval union) — is a narrow filter over the pinned
+    // blocks, so no subtree re-runs the argmax shuffle
+    val pinned = pinnedChangesByYear(spark, dir)
+    val years = pinned.select(col("__y")).distinct()
       .collect().map(_.getInt(0)).sorted
     years.foreach { y =>
-      // pinned: the batch feeds four subtrees per merge (touched-bucket
-      // collect, append-only guard, in-batch dedup, interval union) —
-      // one year's pinned changes are dimension-day-sized, and the pin
-      // stops the argmax shuffle re-running per subtree
-      val batch = o.filter(year(col("o_orderdate")) === y)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
-        .localCheckpoint()
+      // per-year pin, same rationale as q52b's: four subtrees per merge
+      // must not each re-scan every year's pinned blocks
+      val batch = pinned.filter(col("__y") === y).drop("__y").localCheckpoint()
       graft.streaming.DimSync.mergeScd2(spark, lake, batch, nBuckets = 16)
     }
     graft.streaming.DimSync.scd2Snapshot(spark, lake)
@@ -1058,7 +1104,10 @@ object OlapQueries {
   // value (diagnostic for late-arriving re-statements).
   // ---------------------------------------------------------------------
   def q54AsOfDimension(spark: SparkSession, dir: String): DataFrame = {
-    val hist = q52ScdHistory(spark, dir)
+    // the shared interval stage, NOT q52's sorted presentation frame —
+    // the as-of join re-shuffles on the key anyway, so q52's global sort
+    // would be paid only to be thrown away
+    val hist = q52IntervalsStage(spark, dir)
       .select(col("customer_id"), col("version_no"), col("priority"),
         col("valid_from"), col("valid_to"))
     val o = Tables.orders(spark, dir)

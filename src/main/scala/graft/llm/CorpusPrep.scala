@@ -46,18 +46,24 @@ object CorpusPrep {
     * as a filter. Returns (doc_id, source, text, n_tokens). */
   private def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    // the stopword test only gates EXISTENCE (n_stop >= 1), so it runs as
+    // arrays_overlap against a literal array — a codegen'd expression —
+    // instead of counting matches through an interpreted filter() lambda
+    // (~100× codegen cost per token; guide §4.1 "prefer built-ins").
+    // Equivalent because tokens() never yields null elements (split on
+    // whitespace after trim), so arrays_overlap is a plain boolean.
+    val stopLit = array(allStopwords.map(lit): _*)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         size(toks).cast(LongType).as("n_tokens"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
           .cast(LongType).as("n_punct"),
         length(col("text")).cast(LongType).as("n_chars"),
-        size(filter(toks, t => t.isInCollection(allStopwords)))
-          .cast(LongType).as("n_stop"))
+        arrays_overlap(toks, stopLit).as("__has_stop"))
       .filter(
         col("n_tokens") >= MinTokens &&
           col("n_punct").cast(DoubleType) / col("n_chars") <= MaxPunctRatio &&
-          col("n_stop") >= 1)
+          col("__has_stop"))
       .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
   }
 

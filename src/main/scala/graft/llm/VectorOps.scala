@@ -142,18 +142,21 @@ object VectorOps {
     val cents = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         col("__norm").as("cn"))
-    // assignment: argmin over centroids of negative cosine (deterministic
-    // tie-break on centroid_id) — min_by over a packed struct
+    // assignment: argmax cosine (centroid_id tie-break) as a partial-
+    // aggregable max_by — same move as assignTo/assignL2: the window
+    // row_number shuffled+sorted all N×k scored rows; max_by collapses
+    // each vec_id's k candidates map-side before the exchange
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("__norm"),
         col("centroid_id"),
         cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn"))
           .as("__cs"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("__cs").desc, col("centroid_id"))))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("__norm"), col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("__norm"), col("centroid_id")),
+        struct(col("__cs"), -col("centroid_id"))).as("__w"))
+      .select(col("vec_id"), col("__w.embedding").as("embedding"),
+        col("__w.__norm").as("__norm"),
+        col("__w.centroid_id").as("centroid_id"))
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("__norm").as("qn"), col("centroid_id").as("qc"))
@@ -229,18 +232,24 @@ object VectorOps {
   private def withCn(cents: DataFrame): DataFrame =
     cents.withColumn("cn", norm(col("ce")))
 
-  /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break). */
-  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break).
+    * argmax as a partial-aggregable max_by rather than a window
+    * row_number — the window shuffled and sorted all N×k scored rows per
+    * training round, where max_by collapses each vec_id's k candidates
+    * map-side before the exchange (guide §2.3; same move as
+    * [[assignL2]]). Tie-break identical: lexicographic max of
+    * (__cs, -centroid_id) == ORDER BY __cs DESC, centroid_id ASC.
+    * embedding/__norm are constant per vec_id, so the payload is exact. */
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(withCn(cents)))
       .withColumn("__cs",
         cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("__cs").desc, col("centroid_id"))))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("__norm"), col("centroid_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("__norm"), col("centroid_id")),
+        struct(col("__cs"), -col("centroid_id"))).as("__w"))
+      .select(col("vec_id"), col("__w.embedding").as("embedding"),
+        col("__w.__norm").as("__norm"),
+        col("__w.centroid_id").as("centroid_id"))
 
   /** Lloyd's k-means over (vec_id, embedding, __norm); returns
     * (centroid_id, ce). Empty clusters drop out (standard IVF behavior).
@@ -589,17 +598,23 @@ object VectorOps {
     * loop at gate scale, and at cluster scale fewer barriers = fewer
     * stragglers resynchronized).
     * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), code-asc tie-break. */
-  private def assignL2(s: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def assignL2(s: DataFrame, cents: DataFrame): DataFrame =
+    // argmax as a partial-aggregable max_by, not a window row_number: the
+    // window shuffled AND sorted every (sub-vector × code) scored row —
+    // PqK× the rows the result carries — where max_by collapses each
+    // (m, vec_id) group map-side before the exchange (guide §2.3
+    // "aggregate before you shuffle"). Tie-break identical to the old
+    // ORDER BY __sc DESC, code ASC: lexicographic max of (__sc, -code).
+    // `sv` is constant within the group (the join only fans out codes),
+    // so carrying it in the max_by payload is exact.
     s.join(broadcast(
         cents.withColumn("__c2", dot(col("ce"), col("ce")))), Seq("m"))
       .withColumn("__sc", dot(col("sv"), col("ce")) - col("__c2") / lit(2.0))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("m"), col("vec_id"))
-          .orderBy(col("__sc").desc, col("code"))))
-      .filter(col("__rn") === 1)
-      .select(col("m"), col("vec_id"), col("sv"), col("code"))
-  }
+      .groupBy(col("m"), col("vec_id"))
+      .agg(max_by(struct(col("sv"), col("code")),
+        struct(col("__sc"), -col("code"))).as("__w"))
+      .select(col("m"), col("vec_id"), col("__w.sv").as("sv"),
+        col("__w.code").as("code"))
 
   /** Lloyd's over (m, vec_id, sv) sub-vector rows, all PqM subspaces per
     * pass; returns (m, code, ce). */

@@ -26,9 +26,12 @@ class ScdSpec extends SparkSpec {
       (1L, ts("1995-04-01"), "A"),
       (2L, ts("1996-06-15"), "C")
     ).toDF("o_custkey", "o_orderdate", "prio")
+    // sorted compare: the interval builder no longer carries a
+    // presentation sort (r18 — the registered q52 orders on top; a sort
+    // inside the builder cost a range-shuffle per incremental merge)
     val got = OlapQueries.scd2Intervals(changes)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSeq
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSeq.sorted
     val high = Timestamp.valueOf(OlapQueries.ScdHighDate)
     val want = Seq(
       (1L, 1L, "A", ts("1995-01-01"), ts("1995-03-01"), 0L),
