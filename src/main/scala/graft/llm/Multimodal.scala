@@ -399,10 +399,31 @@ object Multimodal {
     val n = rd.getNumImages(true)
     val frames = (0 until n by FrameStep).map { i =>
       val img = rd.read(i)
-      var s = 0L
-      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
-        s += (img.getRGB(x, y) >> 16) & 0xff
-      VideoFrame(r.doc_id, i, n.toLong, s, (img.getRGB(0, 0) >> 16) & 0xff)
+      // Red-channel sum via one bulk raster copy + a palette lookup per
+      // pixel — the m01/m03 decode() discipline applied to the GIF path.
+      // A decoded GIF raster holds palette INDICES; mapping each index
+      // through the IndexColorModel's red map is exactly
+      // (getRGB(x,y) >> 16) & 0xff, but resolves the color model once
+      // per palette entry instead of per pixel (the old double loop
+      // paid a color-model conversion per getRGB call — per-task CPU,
+      // guide §1.2 step 2). Non-indexed rasters keep the per-pixel path.
+      val (s, corner) = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel =>
+          val reds = new Array[Byte](icm.getMapSize)
+          icm.getReds(reds)
+          val samples = img.getRaster.getPixels(
+            0, 0, img.getWidth, img.getHeight, null: Array[Int])
+          var acc = 0L
+          var j = 0
+          while (j < samples.length) { acc += reds(samples(j)) & 0xff; j += 1 }
+          (acc, reds(samples(0)) & 0xff)
+        case _ =>
+          var acc = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            acc += (img.getRGB(x, y) >> 16) & 0xff
+          (acc, (img.getRGB(0, 0) >> 16) & 0xff)
+      }
+      VideoFrame(r.doc_id, i, n.toLong, s, corner)
     }
     rd.dispose()
     frames
@@ -474,12 +495,20 @@ object Multimodal {
     val outH = (img.getHeight + 1) / 2
     val out = new java.awt.image.BufferedImage(outW, outH,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // same kernel (dst(x,y) = src(2x,2y)), bulk transfer: one getRGB
+    // array read + one setRGB array write instead of a color-model
+    // conversion per pixel call (the decode()/decodeGif discipline)
+    val srcW = img.getWidth
+    val src = img.getRGB(0, 0, srcW, img.getHeight, null, 0, srcW)
+    val dst = new Array[Int](outW * outH)
     var y = 0
     while (y < outH) {
+      val rowOff = 2 * y * srcW
       var x = 0
-      while (x < outW) { out.setRGB(x, y, img.getRGB(2 * x, 2 * y)); x += 1 }
+      while (x < outW) { dst(y * outW + x) = src(rowOff + 2 * x); x += 1 }
       y += 1
     }
+    out.setRGB(0, 0, outW, outH, dst, 0, outW)
     val samples = out.getRaster.getPixels(0, 0, outW, outH, null: Array[Int])
     var s = 0L
     var i = 0
