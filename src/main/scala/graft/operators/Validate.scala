@@ -115,12 +115,16 @@ object Validate {
     * the duplicated groups pay the window. Requires every rule set to
     * flag null keys (all registry entries do, asserted in RanksSpec):
     * null-key rows quarantine via their rule, never via dup-ranking. */
-  def split(df: DataFrame, tr: TableRules): DataFrame = {
-    val firstBad = tr.rules.tail.foldLeft(
+  /** First failing rule's label (NULL = clean) — shared by the row-level
+    * [[split]] and the count-only [[reportCounts]]. */
+  private def firstBad(tr: TableRules) =
+    tr.rules.tail.foldLeft(
       when(tr.rules.head.bad, tr.rules.head.label)) {
       case (acc, rule) => acc.when(rule.bad, rule.label)
     }
-    val tagged = df.withColumn("__bad", firstBad)
+
+  def split(df: DataFrame, tr: TableRules): DataFrame = {
+    val tagged = df.withColumn("__bad", firstBad(tr))
     val dupKeys = tagged.groupBy(tr.key.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).drop("__n")
     val outCols = df.columns.map(col).toSeq :+ col("error")
@@ -165,9 +169,34 @@ object Validate {
         .as("invalid"),
       count(when(col("error") === "duplicate", 1)).as("duplicate"))
 
+  /** Count-only twin of `report(split(df, tr))`, proven equal row
+    * arithmetic (r18): [[split]]'s clean-first ranking sorts every clean
+    * row of a duplicated key group before every flagged row, so a group
+    * with n rows and c clean ones always reports 1 valid (when c ≥ 1),
+    * c − 1 duplicates, and n − c invalid — pure per-group counts. The
+    * report therefore needs ONE keyed aggregate (map-side partials over
+    * key + two longs) and a single-row rollup, instead of materializing
+    * the full row-level split: no dup-key anti/semi joins, no window, no
+    * second scan of the table (q22b's plan dropped from 4 exchanges +
+    * 8 scans per table to 1 + 1; guide §2.3 "aggregate before you
+    * shuffle"). q22 keeps [[split]] — its quarantine output needs the
+    * actual rows. */
+  def reportCounts(df: DataFrame, tr: TableRules): DataFrame = {
+    val perKey = df.withColumn("__bad", firstBad(tr))
+      .groupBy(tr.key.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__bad").isNull, 1)).as("__c"))
+    perKey.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("total"),
+      coalesce(sum(least(col("__c"), lit(1L))), lit(0L)).as("valid"),
+      coalesce(sum(col("__n") - col("__c")), lit(0L)).as("invalid"),
+      coalesce(sum(greatest(col("__c") - lit(1L), lit(0L))), lit(0L))
+        .as("duplicate"))
+  }
+
   /** Validation sweep over every registered table: one report row per
-    * table. Each table is one projection + one key-hash window + one
-    * map-side-partial aggregate; the 8 single-row results union for free. */
+    * table. Each table is one projection + one keyed count aggregate
+    * ([[reportCounts]]); the 8 single-row results union for free. */
   def reportAll(spark: SparkSession, dir: String): DataFrame = {
     val loaders: Map[String, DataFrame] = Map(
       "orders" -> Tables.orders(spark, dir),
@@ -179,7 +208,7 @@ object Validate {
       "part" -> Tables.part(spark, dir),
       "events" -> Tables.events(spark, dir))
     registry.map { tr =>
-      report(split(loaders(tr.table), tr))
+      reportCounts(loaders(tr.table), tr)
         .select(lit(tr.table).as("table_name"), col("total"), col("valid"),
           col("invalid"), col("duplicate"))
     }.reduce(_.union(_)).orderBy(col("table_name"))

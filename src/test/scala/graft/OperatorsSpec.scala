@@ -77,6 +77,36 @@ class OperatorsSpec extends SparkSpec {
       rep.getLong(2) == 4 && rep.getLong(3) == 1)
   }
 
+  test("reportCounts == report∘split on every edge shape (r18 count-only path)") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // edge shapes: unique-valid, unique-invalid, dup pair both clean,
+    // dup group mixing clean+invalid, dup group ALL invalid (no valid
+    // slot, no duplicate), triple-clean dup (two duplicates)
+    val d = Seq(
+      (1L, Option(ts), 10L, "click", Option(5.0), "{}"),
+      (2L, None, 10L, "click", Option(5.0), "{}"),
+      (6L, Option(ts), 20L, "view", Option(1.0), "{}"),
+      (6L, Option(ts), 21L, "view", Option(1.0), "{}"),
+      (5L, Option(ts), 10L, "view", Option(-2.0), "{}"),
+      (5L, Option(ts), 11L, "view", Option(2.0), "{}"),
+      (7L, None, 10L, "view", Option(1.0), "{}"),
+      (7L, Option(ts), 11L, "bogus", Option(1.0), "{}"),
+      (8L, Option(ts), 1L, "view", Option(1.0), "{}"),
+      (8L, Option(ts), 2L, "view", Option(1.0), "{}"),
+      (8L, Option(ts), 3L, "view", Option(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tr = Validate.rulesFor("events")
+    val slow = Validate.report(Validate.split(d, tr)).collect()(0)
+    val fast = Validate.reportCounts(d, tr).collect()(0)
+    assert(fast.getLong(0) == slow.getLong(0) && // total
+      fast.getLong(1) == slow.getLong(1) &&      // valid
+      fast.getLong(2) == slow.getLong(2) &&      // invalid
+      fast.getLong(3) == slow.getLong(3))        // duplicate
+    // and the empty frame reports zeros, not nulls
+    val empty = Validate.reportCounts(d.limit(0), tr).collect()(0)
+    assert((0 to 3).forall(i => empty.getLong(i) == 0L))
+  }
+
   test("q43 argmin tie-break: equal unit prices resolve to the smaller suppkey") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft_q43").toString
