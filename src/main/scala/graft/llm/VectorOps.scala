@@ -140,23 +140,10 @@ object VectorOps {
     val e = Tables.embeddings(spark, dir)
       .withColumn("__norm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
-        col("__norm").as("cn"))
-    // assignment: argmax cosine (centroid_id tie-break) as a partial-
-    // aggregable max_by — same move as assignTo/assignL2: the window
-    // row_number shuffled+sorted all N×k scored rows; max_by collapses
-    // each vec_id's k candidates map-side before the exchange
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("__norm"),
-        col("centroid_id"),
-        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn"))
-          .as("__cs"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("__norm"), col("centroid_id")),
-        struct(col("__cs"), -col("centroid_id"))).as("__w"))
-      .select(col("vec_id"), col("__w.embedding").as("embedding"),
-        col("__w.__norm").as("__norm"),
-        col("__w.centroid_id").as("centroid_id"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // assignment: argmax cosine (centroid_id tie-break) — the shared
+    // pure-projection form (see assignTo's scaladoc)
+    val assigned = assignTo(e, cents)
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("__norm").as("qn"), col("centroid_id").as("qc"))
@@ -232,24 +219,46 @@ object VectorOps {
   private def withCn(cents: DataFrame): DataFrame =
     cents.withColumn("cn", norm(col("ce")))
 
-  /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break).
-    * argmax as a partial-aggregable max_by rather than a window
-    * row_number — the window shuffled and sorted all N×k scored rows per
-    * training round, where max_by collapses each vec_id's k candidates
-    * map-side before the exchange (guide §2.3; same move as
-    * [[assignL2]]). Tie-break identical: lexicographic max of
-    * (__cs, -centroid_id) == ORDER BY __cs DESC, centroid_id ASC.
-    * embedding/__norm are constant per vec_id, so the payload is exact. */
-  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(withCn(cents)))
-      .withColumn("__cs",
-        cosinePre(dot(col("embedding"), col("ce")), col("__norm"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("__norm"), col("centroid_id")),
-        struct(col("__cs"), -col("centroid_id"))).as("__w"))
-      .select(col("vec_id"), col("__w.embedding").as("embedding"),
-        col("__w.__norm").as("__norm"),
-        col("__w.centroid_id").as("centroid_id"))
+  private def litVal(v: Any, dt: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.graft.VectorExpressions.litValue(v, dt)
+
+  /** Nearest-centroid assignment (argmax cosine, centroid_id tie-break)
+    * as a PURE PROJECTION (r18): the centroid model is collected to the
+    * driver — bounded by construction, k×dim rows, the same model-sized
+    * frame [[Models.save]] already coalesces to one file — and each row's
+    * winner is `greatest` over k inlined (score, −id, id) structs, all
+    * codegen. Assignment is embarrassingly parallel, so neither of the
+    * relational forms was free of waste: the window row_number shuffled
+    * AND sorted all N×k scored rows, and a max_by aggregation falls back
+    * to SortAggregate (array-typed buffer — measured +40% on a04b).
+    * This form has NO join, NO aggregation, NO shuffle — argmax runs
+    * inside the scan's codegen stage. Tie-break identical: lexicographic
+    * max of (__cs, −centroid_id) == ORDER BY __cs DESC, centroid_id ASC;
+    * score arithmetic is the same DotProduct expression over the same
+    * values, so results are bit-identical. */
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cw = withCn(cents)
+    val idT = cw.schema("centroid_id").dataType
+    val ceT = cw.schema("ce").dataType
+    val rows = cw.select(col("centroid_id"), col("ce"), col("cn")).collect()
+    if (rows.isEmpty)
+      return e.select(col("vec_id"), col("embedding"), col("__norm"),
+        litVal(null, idT).as("centroid_id")).filter(lit(false))
+    val packed = rows.map { r =>
+      val negId = r.get(0) match {
+        case l: java.lang.Long => lit(-l.longValue)
+        case i: java.lang.Integer => lit(-i.intValue)
+        case other => sys.error(s"unsupported centroid_id type: $other")
+      }
+      struct(
+        cosinePre(dot(col("embedding"), litVal(r.get(1), ceT)),
+          col("__norm"), lit(r.getDouble(2))).as("s"),
+        negId.as("n"), litVal(r.get(0), idT).as("id"))
+    }
+    val best = if (packed.length == 1) packed.head else greatest(packed.toSeq: _*)
+    e.select(col("vec_id"), col("embedding"), col("__norm"),
+      best.getField("id").as("centroid_id"))
+  }
 
   /** Lloyd's k-means over (vec_id, embedding, __norm); returns
     * (centroid_id, ce). Empty clusters drop out (standard IVF behavior).
@@ -598,23 +607,24 @@ object VectorOps {
     * loop at gate scale, and at cluster scale fewer barriers = fewer
     * stragglers resynchronized).
     * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), code-asc tie-break. */
-  private def assignL2(s: DataFrame, cents: DataFrame): DataFrame =
-    // argmax as a partial-aggregable max_by, not a window row_number: the
-    // window shuffled AND sorted every (sub-vector × code) scored row —
-    // PqK× the rows the result carries — where max_by collapses each
-    // (m, vec_id) group map-side before the exchange (guide §2.3
-    // "aggregate before you shuffle"). Tie-break identical to the old
-    // ORDER BY __sc DESC, code ASC: lexicographic max of (__sc, -code).
-    // `sv` is constant within the group (the join only fans out codes),
-    // so carrying it in the max_by payload is exact.
+  private def assignL2(s: DataFrame, cents: DataFrame): DataFrame = {
+    // Kept as the broadcast-join + window argmax: of the three forms
+    // measured this round (this; max_by aggregation — SortAggregate
+    // fallback on the struct buffer, a07 +14%; per-subspace inlined-
+    // literal greatest behind a CASE WHEN on m — 128 generated dot
+    // loops, a08 +33%), this one benches fastest for the PQ shape,
+    // where the PqM×PqK fan-out keeps every scored row inside one
+    // codegen stage and the window sorts only (m, vec_id, 16 rows).
+    import org.apache.spark.sql.expressions.Window
     s.join(broadcast(
         cents.withColumn("__c2", dot(col("ce"), col("ce")))), Seq("m"))
       .withColumn("__sc", dot(col("sv"), col("ce")) - col("__c2") / lit(2.0))
-      .groupBy(col("m"), col("vec_id"))
-      .agg(max_by(struct(col("sv"), col("code")),
-        struct(col("__sc"), -col("code"))).as("__w"))
-      .select(col("m"), col("vec_id"), col("__w.sv").as("sv"),
-        col("__w.code").as("code"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("m"), col("vec_id"))
+          .orderBy(col("__sc").desc, col("code"))))
+      .filter(col("__rn") === 1)
+      .select(col("m"), col("vec_id"), col("sv"), col("code"))
+  }
 
   /** Lloyd's over (m, vec_id, sv) sub-vector rows, all PqM subspaces per
     * pass; returns (m, code, ce). */

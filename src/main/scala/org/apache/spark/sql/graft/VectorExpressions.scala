@@ -65,4 +65,13 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Literal Column of an explicit Catalyst type — the public `lit` only
+    * covers a fixed set of Scala types; model-sized values collected from
+    * a frame (float arrays, typed ids) need `Literal.create` with the
+    * frame's own DataType. Used by the centroid/codebook argmax
+    * projections, which inline a collected model as literals. */
+  def litValue(v: Any, dt: DataType): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
 }
