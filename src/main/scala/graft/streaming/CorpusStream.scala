@@ -636,8 +636,12 @@ object CorpusStream {
     *      job (append-only history).
     */
   private def dropSyndicated(spark: SparkSession, fresh: DataFrame,
-      indexDir: String, outDir: String): DataFrame = {
-    val bsk = SketchOps.bottomKSketch(fresh).cache() // (doc_id, source, bk, sz)
+      indexDir: String, outDir: String,
+      sk0: Option[DataFrame] = None): DataFrame = {
+    // (doc_id, source, bk, sz): caller-provided when ingestBatch already
+    // sketched this batch (the delta tier reuses it too — one sketch
+    // pass per batch, r18); owned-and-cached here otherwise
+    val bsk = sk0.getOrElse(SketchOps.bottomKSketch(fresh).cache())
     val batchEl = bsk.select(col("doc_id").as("db"),
       col("source").as("bsource"), explode(col("bk")).as("ck"))
     val idx = readContainIndex(spark, indexDir)
@@ -686,7 +690,8 @@ object CorpusStream {
     // blocks across micro-batches (advice r12)
     val rejected = SketchOps.crossContainedBatch(gated, shB, shI)
       .localCheckpoint()
-    bsk.unpersist(); cand.unpersist(); gated.unpersist(); shB.unpersist()
+    if (sk0.isEmpty) bsk.unpersist()
+    cand.unpersist(); gated.unpersist(); shB.unpersist()
     fresh.join(rejected, col("doc_id") === col("db"), "left_anti")
   }
 
@@ -741,8 +746,16 @@ object CorpusStream {
     val containFresh = if (containGate && hasHistory)
       dropContained(spark, spanFresh, indexDir, outDir)
     else spanFresh
+    // one bottom-k sketch per batch (r18): the syndication gate and the
+    // containment-index delta below both need per-doc sketches of this
+    // batch — sketch the pre-gate frame once and let the delta restrict
+    // it to the accepted ids, instead of re-tokenizing and re-sketching
+    // the survivors a second time
+    val batchSk = if (syndGate)
+      Some(SketchOps.bottomKSketch(containFresh).cache())
+    else None
     val fresh = (if (syndGate && hasHistory)
-      dropSyndicated(spark, containFresh, indexDir, outDir)
+      dropSyndicated(spark, containFresh, indexDir, outDir, batchSk)
     else containFresh).localCheckpoint()
     // bucketed store layout: doc_bucket partition dirs (candidateFetch
     // prunes on them) with doc_id-sorted files (row-group stats bound the
@@ -807,8 +820,16 @@ object CorpusStream {
         // such history compares as cross-source, conservatively).
         val srcCol = if (fresh.columns.contains("source")) col("source")
           else lit(null).cast(StringType)
-        val cks = SketchOps.bottomKSketch(
+        // accepted docs' sketches: restrict the once-per-batch sketch to
+        // the accepted ids when it exists (sketches are per-doc, so the
+        // restriction equals re-sketching the survivors), else build
+        val acceptedSk = batchSk match {
+          case Some(sk) =>
+            sk.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          case None => SketchOps.bottomKSketch(
             fresh.withColumn("source", srcCol))
+        }
+        val cks = acceptedSk
           .select(col("doc_id"), explode(col("bk")).as("ck"),
             col("sz").as("csz"), col("source").as("csource"))
         val prior =
@@ -823,6 +844,10 @@ object CorpusStream {
           .unionByName(ckRows)
       }
     deltaRows.write.mode(SaveMode.ErrorIfExists).parquet(delta.toString)
+    // the per-batch sketch has no consumer past the delta write — a
+    // long-running stream must not accumulate cached frames across
+    // micro-batches (advice r12)
+    batchSk.foreach(_.unpersist())
     // the band-delta build registered minhashSignatures' token-set cache
     // for this batch — release it now that the delta is on disk, so a
     // long-running stream holds zero cached frames between batches
