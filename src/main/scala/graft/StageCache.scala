@@ -41,15 +41,30 @@ object StageCache {
   }
 
   /** Build-once per (session, dir, tag): returns the eagerly
-    * materialized (localCheckpoint'd) frame on every call. */
+    * materialized (localCheckpoint'd) frame on every call.
+    *
+    * RE-ENTRANT by design: a stage build may itself resolve another
+    * cached stage (q52_intervals builds on q52_changes), so the build
+    * runs OUTSIDE the map's atomic update — `computeIfAbsent` with a
+    * re-entrant builder throws IllegalStateException("Recursive update")
+    * whenever the two keys land in one bin. The get → build → putIfAbsent
+    * race can at worst build a stage twice concurrently (same
+    * deterministic result; the loser's checkpoint blocks release via the
+    * ContextCleaner), which is the correct trade against a bin-collision
+    * crash. */
   def cached(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     // lazily evict entries of stopped sessions: their checkpoint blocks
     // died with the executor, so the frames are unusable, and keeping
     // them would leak plans for the life of the JVM
     stages.forEach((k, v) => if (v._1.sparkContext.isStopped) stages.remove(k, v))
-    stages.computeIfAbsent(
-      s"${sessionKey(spark)}:$dir:$tag",
-      _ => (spark, build.localCheckpoint()))._2
+    val key = s"${sessionKey(spark)}:$dir:$tag"
+    val hit = stages.get(key)
+    if (hit != null) hit._2
+    else {
+      val built = (spark, build.localCheckpoint())
+      val prev = stages.putIfAbsent(key, built)
+      (if (prev != null) prev else built)._2
+    }
   }
 }
