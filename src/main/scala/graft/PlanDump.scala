@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.PlanDump <sfDir> <outFile> <query> [query…]
   */
 object PlanDump {
+
+  /** Internal stages whose plans matter for evidence but that execute
+    * EAGERLY inside their registered query (pinned frames, iterative
+    * loops) — a PlanDump of the registered name would only show the
+    * final consumer plan. */
+  private def extras: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q51_pairs" -> ((s, d) => graft.analytics.OlapQueries.copurchasePairs(s, d))
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val out = args(1)
@@ -19,7 +28,7 @@ object PlanDump {
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val text = names.map { n =>
-      val plan = SparkEntry.queries(n)(spark, sfDir)
+      val plan = SparkEntry.queries.getOrElse(n, extras(n))(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       s"===== $n =====\n$plan"

@@ -819,14 +819,29 @@ object OlapQueries {
       .select(col("node"), col("r"), col("wtot")), i - 1)
   }
 
-  /** q51's weighted co-purchase edge frame (shared with GraphBench). */
+  /** q51's weighted co-purchase edge frame (shared with GraphBench).
+    *
+    * One keyed aggregate instead of distinct + self-join (r18, guide
+    * §2.4): the old form paid a (orderkey, partkey) distinct shuffle,
+    * then re-exchanged the distinct output on orderkey for the pair
+    * self-join — two corpus-scale exchanges before the pair aggregate.
+    * The order's distinct part set is BOUNDED (per-order line counts are
+    * capped by validation), so collect_set builds it in one orderkey
+    * exchange and the pa<pb pairs expand as a pure codegen projection
+    * over the sorted array — identical pair bag (each unordered pair
+    * once per order that contains both parts), one lineitem-scale
+    * exchange fewer and no join. The pair-grain groupBy keeps its
+    * map-side partial aggregation either way. */
   private[graft] def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> named_struct('pa', x, 'pb', y))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
   }
 

@@ -28,6 +28,17 @@ import graft.{StageCache, Tables}
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every decode with a DISK temp
+  // file (FileCacheImageInputStream): ImageIO.read(InputStream) and
+  // createImageInputStream both consult ImageIO.getUseCache(), which
+  // defaults to true, so each m01/m03/m05/m06 decode was writing its
+  // whole payload to java.io.tmpdir before the codec read it back —
+  // pure per-row IO overhead for sources that are already in-memory
+  // byte arrays (guide §1.2 step 2: per-task work). Memory-backed
+  // streams decode the same bytes to the same pixels; this JVM-wide
+  // switch runs once per executor when the object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, content: Array[Byte],
       width: Int, format: String)
   case class Frame(doc_id: Long, frame_idx: Int, frame_text: String)
