@@ -607,27 +607,63 @@ object VectorOps {
     * loop at gate scale, and at cluster scale fewer barriers = fewer
     * stragglers resynchronized).
     * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), code-asc tie-break. */
+  /** L2 sub-vector assignment as a PURE PROJECTION (r18, the assignTo
+    * pattern applied to PQ): the codebook is bounded (PqM×PqK rows) and
+    * collected; per input row the winner is `greatest` over one struct
+    * PER CODE, where code j's centroid for THIS row's subspace resolves
+    * by array index — `ceByM_j[m]` — so each row evaluates exactly PqK
+    * codegen dots, the same count the join+window form paid, with NO
+    * join, NO N×PqM×PqK fan-out rows, NO (m, vec_id) exchange and NO
+    * sort. (The round's earlier rejected inline variant guarded PqM×PqK
+    * dot loops behind CASE WHEN on m — 8× the generated code and +33% on
+    * a08; indexing the literal by m is what removes that redundancy.)
+    * Two earlier-rejected relational forms for the record: max_by
+    * aggregation falls back to SortAggregate (struct buffer, a07 +14%).
+    *
+    * Bit parity with the join+window form: ‖c‖²/2 is pre-folded on the
+    * driver with the SAME sequential float→double loop DotProduct
+    * generates, the score is the same `dot(sv, ce) − c2half` double
+    * arithmetic, and greatest over (score, −code, code) structs is
+    * lexicographic — identical winner and tie-break (ORDER BY score
+    * DESC, code ASC). A code with no centroid at some m (possible once
+    * Lloyd's drops an empty cluster) scores −∞ there and can never win,
+    * exactly like its absent join row. */
   private def assignL2(s: DataFrame, cents: DataFrame): DataFrame = {
-    // Kept as the broadcast-join + window argmax: of the three forms
-    // measured this round (this; max_by aggregation — SortAggregate
-    // fallback on the struct buffer, a07 +14%; per-subspace inlined-
-    // literal greatest behind a CASE WHEN on m — 128 generated dot
-    // loops, a08 +33%), this one benches fastest for the PQ shape,
-    // where the PqM×PqK fan-out keeps every scored row inside one
-    // codegen stage and the window sorts only (m, vec_id, 16 rows).
-    import org.apache.spark.sql.expressions.Window
-    s.join(broadcast(
-        cents.withColumn("__c2", dot(col("ce"), col("ce")))), Seq("m"))
-      .withColumn("__sc", dot(col("sv"), col("ce")) - col("__c2") / lit(2.0))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("m"), col("vec_id"))
-          .orderBy(col("__sc").desc, col("code"))))
-      .filter(col("__rn") === 1)
-      .select(col("m"), col("vec_id"), col("sv"), col("code"))
+    val ceT = cents.schema("ce").dataType
+    val rows = cents.select(col("m"), col("code"), col("ce")).collect()
+    require(rows.nonEmpty, "assignL2: empty codebook")
+    // the same fold order as DotProduct's generated loop — bit-identical
+    def c2half(a: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      acc / 2.0
+    }
+    val byCode: Map[Int, Map[Int, Seq[Float]]] = rows.groupBy(_.getInt(1))
+      .map { case (c, rs) =>
+        c -> rs.map(r => r.getInt(0) -> r.getSeq[Float](2)).toMap }
+    val maxM = rows.map(_.getInt(0)).max + 1
+    val packed = byCode.keys.toSeq.sorted.map { j =>
+      val ces: Seq[Any] = (0 until maxM).map(m => byCode(j).get(m).orNull)
+      val c2s: Seq[Any] = (0 until maxM).map(m =>
+        byCode(j).get(m).fold(null: Any)(c2half))
+      val ceL = litVal(ces, ArrayType(ceT, containsNull = true))
+      val c2L = litVal(c2s, ArrayType(DoubleType, containsNull = true))
+      struct(
+        coalesce(dot(col("sv"), ceL(col("m"))) - c2L(col("m")),
+          lit(Double.NegativeInfinity)).as("s"),
+        lit(-j).as("n"), lit(j).as("id"))
+    }
+    val best = if (packed.length == 1) packed.head else greatest(packed: _*)
+    s.select(col("m"), col("vec_id"), col("sv"),
+      best.getField("id").as("code"))
   }
 
   /** Lloyd's over (m, vec_id, sv) sub-vector rows, all PqM subspaces per
-    * pass; returns (m, code, ce). */
+    * pass; returns (m, code, ce). No per-iteration cache/count: assignL2
+    * COLLECTS the model each round (that collect is the materialization
+    * and lineage cut — each iteration's plan restarts from the pinned
+    * sub-vector frame plus literals), so one job per iteration replaces
+    * the old cache + count pair. */
   private def trainSubs(s: DataFrame): DataFrame = {
     var cents = s.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
@@ -640,8 +676,6 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
         .select(col("m"), col("code"),
           expr("transform(pm, x -> CAST(x.mu AS FLOAT))").as("ce"))
-        .cache()
-      cents.count() // materialize the PqM×PqK model; bounds lineage depth
     }
     cents
   }
