@@ -716,16 +716,28 @@ object OlapQueries {
   private val PrStep = "(((r * 850) div 1000) * w) div wtot"
 
   /** Conf key for the checkpoint CADENCE of iterative operators.
-    * Default 0 = `localCheckpoint` every iteration: flat lineage, no
-    * IO, but blocks are PINNED ON EXECUTORS — on a real cluster, losing
-    * an executor fails the job (the scaladoc'd trade). Setting N > 0
+    * Default 0 = fixed-count mode pins (`localCheckpoint`) every SECOND
+    * iteration, chaining the round in between lazily — half the
+    * scheduling barriers of the old one-pin-per-round form at a plan
+    * depth of 2 (r19, guide §1.2). Both extremes were measured and
+    * rejected on q51 (sf0.1, interleaved A/B, q03 control flat):
+    * one pin per round 8.47/10.14 s, fully lazy chain with only the
+    * final pin 9.18 s (analyzer/optimizer time over ten inlined copies
+    * of the edge-frame lineage eats the job-launch saving), cadence-2
+    * 8.24/8.30 s. Recompute-on-block-loss re-runs deterministic
+    * arithmetic over the persisted edge frame — safe, merely slow.
+    * The ε-exit mode (`ConvergeEpsKey` ≥ 0) still pins every iteration:
+    * its convergence probe is an action per round regardless, and the
+    * delta join must read two MATERIALIZED rank frames. Setting N > 0
     * switches to RELIABLE checkpoints (requires
     * `sparkContext.setCheckpointDir` on shared storage) every N
     * iterations, with plain lineage in between: executor loss recomputes
     * at most N iterations from the last durable snapshot instead of
     * failing, at the cost of a checkpoint-dir write per N rounds.
     * A 1000-executor deployment sets N≈3 and a DFS checkpoint dir; the
-    * local gate keeps the default. */
+    * local gate keeps the default. All cadence modes are bit-identical
+    * (GraphRankSpec pins it — the update is a deterministic function of
+    * the previous vector, so WHERE the chain is cut cannot change it). */
   private[graft] val CkptEveryKey = "graft.iter.checkpointEvery"
 
   /** Conf key for the convergence EARLY-EXIT of iterative operators
@@ -762,8 +774,16 @@ object OlapQueries {
     val eps = conf.get(ConvergeEpsKey, "-1").toLong
     def pinBase(df: DataFrame): DataFrame =
       if (every > 0) df.checkpoint() else df.localCheckpoint()
+    // fixed-count mode at the default cadence: pin every SECOND round
+    // (and always the last), chaining the round in between lazily —
+    // half the scheduling barriers at plan depth 2 (measured trade in
+    // CkptEveryKey's scaladoc). The ε-exit mode keeps per-iteration
+    // pins: its probe is an action per round anyway and the delta join
+    // reads two materialized frames.
+    val lazyChain = every == 0 && eps < 0
     def pinIter(df: DataFrame, i: Int): DataFrame =
-      if (every == 0) df.localCheckpoint()
+      if (lazyChain) { if (i == maxIters || i % 2 == 0) df.localCheckpoint() else df }
+      else if (every == 0) df.localCheckpoint()
       else if (i % every == 0) df.checkpoint()
       else df // lineage depth bounded by the cadence
     val edges0 = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
@@ -812,8 +832,9 @@ object OlapQueries {
       ranks = next
       i += 1
     }
-    // every iteration's rank frame is pinned, so the edge cache has no
-    // remaining consumer — release it before the final node-sized join
+    // the FINAL rank frame is pinned in every cadence mode (lazy mode
+    // pins exactly it; the others pinned each round), so the edge cache
+    // has no remaining consumer — release it before the node-sized join
     edges.unpersist(false)
     (ranks.join(wt, col("node") === col("src"))
       .select(col("node"), col("r"), col("wtot")), i - 1)
