@@ -262,7 +262,16 @@ object VectorOps {
 
   /** Lloyd's k-means over (vec_id, embedding, __norm); returns
     * (centroid_id, ce). Empty clusters drop out (standard IVF behavior).
-    * Each round materializes only the k×dim model frame.
+    *
+    * No per-iteration cache/count (r19, the r18 trainSubs treatment):
+    * [[assignTo]] COLLECTS the model each round, so the next round's
+    * collect IS the previous aggregate's materialization and lineage cut
+    * (every round's plan restarts from `e` plus literals) — the old
+    * cache+count pair added one scheduled job per round for nothing.
+    * The FINAL model is pinned once (`localCheckpoint`, a k×dim frame)
+    * so multi-consumer callers (saveTag-less ivfKmeans reads it for the
+    * assignment collect AND the probe broadcast) do not re-run the last
+    * aggregate per consumer.
     *
     * `init` overrides the default deterministic seed (the vectors with
     * vec_id < k) with an explicit (centroid_id, ce) frame — a10 trains
@@ -282,10 +291,8 @@ object VectorOps {
         // interpreted lambda is fine here: k rows, not the corpus
         .select(col("centroid_id"),
           expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("ce"))
-        .cache()
-      cents.count() // materialize the k×dim model; bounds lineage depth
     }
-    cents
+    cents.localCheckpoint() // pin the k×dim model once for all consumers
   }
 
   def a04bAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
