@@ -793,7 +793,13 @@ object TextOps {
   /** Core span dedup over any (doc_id, text) frame; k = span length. */
   def spanDedup(docs: DataFrame, k: Int): DataFrame = {
     val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
-    val sh = spanShingleRows(arr, k)
+    spanDedupFromRows(arr, spanShingleRows(arr, k), k)
+  }
+
+  /** [[spanDedup]]'s tail over prebuilt (arr, shingle-row) frames —
+    * shared by the generic entry and the staged d35. */
+  private def spanDedupFromRows(arr: DataFrame, sh: DataFrame,
+      k: Int): DataFrame = {
     val candFp = sh.groupBy(col("fp"))
       .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("fp")
     val dup = sh.join(candFp, "fp")
@@ -802,8 +808,26 @@ object TextOps {
     spanTail(arr, sh, dup, k)
   }
 
+  /** The documents table's token arrays and positional span-shingle rows,
+    * shared per (session, dir) via [[graft.StageCache]] (r19): d35
+    * consumed the UNPINNED shingle frame from three subtrees (candidate
+    * fps, text confirm, coverage) — three rebuilds of the split +
+    * posexplode + xxhash stage inside ONE action — and d35b/d38 then
+    * rebuilt the same rows again restricted to their bucket splits.
+    * Bucket filters commute with the per-doc explode, so every consumer
+    * is a narrow filter over the pinned rows. */
+  private def docSpanArrStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "span_arr")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr")))
+
+  private def docSpanShStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "span_sh")(
+      spanShingleRows(docSpanArrStage(spark, dir), SpanK))
+
   def d35SpanDedup(spark: SparkSession, dir: String): DataFrame =
-    spanDedup(Tables.documents(spark, dir), SpanK)
+    spanDedupFromRows(docSpanArrStage(spark, dir),
+      docSpanShStage(spark, dir), SpanK)
 
   // ---------------------------------------------------------------------
   // d35b — INCREMENTAL span dedup: d35's per-ingest-batch form, the
@@ -827,14 +851,14 @@ object TextOps {
   // content. Coverage/clean-text is d35's tail over batch docs only.
   // ---------------------------------------------------------------------
   def d35bSpanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val arrAll = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("arr"),
-        hashBucket(col("doc_id")).as("__b"))
-    val arrIdx = arrAll.where(col("__b") < SketchOps.IndexBuckets).drop("__b")
-    val arrBat = arrAll.where(col("__b") >= SketchOps.IndexBuckets).drop("__b")
-    val shIdx = spanShingleRows(arrIdx, SpanK)
-    // pinned: feeds the batch fp counts AND the candidate text confirm
-    val shBat = spanShingleRows(arrBat, SpanK).localCheckpoint()
+    val bucket = hashBucket(col("doc_id"))
+    val arrBat = docSpanArrStage(spark, dir)
+      .where(bucket >= SketchOps.IndexBuckets)
+    val shAll = docSpanShStage(spark, dir) // shared pin (d35/d35b/d38)
+    val shIdx = shAll.where(bucket < SketchOps.IndexBuckets)
+    // narrow filters over the pinned stage — the old per-query pin of
+    // the batch rows is subsumed by the shared one
+    val shBat = shAll.where(bucket >= SketchOps.IndexBuckets)
     val idxFp = shIdx.groupBy(col("fp")).agg(count(lit(1)).as("idx_n"))
     // pinned: candidate fps feed the batch text-confirm AND the index
     // text-confirm — without the pin both phase-1 aggregates re-run per
@@ -875,13 +899,12 @@ object TextOps {
   // broadcast) the fp probe becomes the Bloom prefilter — same seam.
   // ---------------------------------------------------------------------
   def d38SpanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val arrAll = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("arr"),
-        hashBucket(col("doc_id")).as("__b"))
-    val arrEval = arrAll.where(col("__b") >= QualityOps.EvalBucket).drop("__b")
-    val arrTrain = arrAll.where(col("__b") < QualityOps.EvalBucket).drop("__b")
-    val shEval = spanShingleRows(arrEval, SpanK)
-    val shTrain = spanShingleRows(arrTrain, SpanK)
+    val bucket = hashBucket(col("doc_id"))
+    val arrTrain = docSpanArrStage(spark, dir)
+      .where(bucket < QualityOps.EvalBucket)
+    val shAll = docSpanShStage(spark, dir) // shared pin (d35/d35b/d38)
+    val shEval = shAll.where(bucket >= QualityOps.EvalBucket)
+    val shTrain = shAll.where(bucket < QualityOps.EvalBucket)
     val evalFp = shEval.select(col("fp")).distinct()
     // fp prefilter (superset of true hits), pinned: feeds the coverage
     // probe AND the eval-side text fetch
