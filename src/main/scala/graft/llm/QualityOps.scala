@@ -737,13 +737,20 @@ object QualityOps {
   // ---------------------------------------------------------------------
   def d29SourceOverlap(spark: SparkSession, dir: String,
       maxDocFreq: Int = Int.MaxValue): DataFrame =
-    sourceOverlap(Tables.documents(spark, dir), maxDocFreq)
+    sourceOverlap(Tables.documents(spark, dir), maxDocFreq,
+      sh0 = Some(SketchOps.docShhStage(spark, dir)))
 
   /** Frame-level core of d29 — see the header above. `docs` needs
-    * (source, text) columns. */
-  def sourceOverlap(docs: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val distinctSh = TextOps.shingleRows(docs, 3)
-      .select(col("source"), TextOps.shingleHash(col("sh")).as("shh"))
+    * (source, text) columns. `sh0` optionally supplies prebuilt
+    * (doc_id, source, shh) rows (the registered d29/d29b/d43 pass the
+    * pinned doc_shh stage; the (source, shh) distinct over the per-doc
+    * distinct rows equals the one built from scratch). */
+  def sourceOverlap(docs: DataFrame, maxDocFreq: Int = Int.MaxValue,
+      sh0: Option[DataFrame] = None): DataFrame = {
+    val distinctSh = sh0.getOrElse(TextOps.shingleRows(docs, 3)
+        .select(col("doc_id"), col("source"),
+          TextOps.shingleHash(col("sh")).as("shh")))
+      .select(col("source"), col("shh"))
       .distinct()
     val bounded =
       if (maxDocFreq == Int.MaxValue) distinctSh
@@ -808,7 +815,8 @@ object QualityOps {
   private val StopShingleDf = 4
 
   def d29bSourceOverlapBounded(spark: SparkSession, dir: String): DataFrame =
-    sourceOverlap(Tables.documents(spark, dir), StopShingleDf)
+    sourceOverlap(Tables.documents(spark, dir), StopShingleDf,
+      sh0 = Some(SketchOps.docShhStage(spark, dir)))
 
   val d29bSql: String =
     s"""WITH toks AS (
@@ -848,7 +856,8 @@ object QualityOps {
   // fan-out bound) is inherited unchanged.
   // ---------------------------------------------------------------------
   def d43SourceContainment(spark: SparkSession, dir: String): DataFrame =
-    sourceOverlap(Tables.documents(spark, dir))
+    sourceOverlap(Tables.documents(spark, dir),
+        sh0 = Some(SketchOps.docShhStage(spark, dir)))
       .withColumn("c_ab", col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
       .withColumn("c_ba", col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

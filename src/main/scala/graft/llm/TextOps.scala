@@ -387,9 +387,7 @@ object TextOps {
     // md5-derived like every sketch op (ADVICE r1: one reproducible hash
     // contract across the library, no engine-private hash anywhere); 15
     // hex chars so the unsigned value always fits a signed long.
-    val sh = shingleRows(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
-      .cache() // read 3× below (sizes + both join sides)
+    val sh = SketchOps.docShhStage(spark, dir) // pinned (shared w/ d40/d41/d29/d30/d42/d44)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("d1"), col("source"), col("shh"))
     val b = sh.select(col("doc_id").as("d2"), col("source").as("source2"), col("shh").as("shh2"))
@@ -455,14 +453,18 @@ object TextOps {
   private[graft] val ContainmentThreshold = 0.5
 
   def d40ShingleContainment(spark: SparkSession, dir: String): DataFrame =
-    shingleContainment(Tables.documents(spark, dir))
+    shingleContainment(Tables.documents(spark, dir),
+      sh0 = Some(SketchOps.docShhStage(spark, dir)))
 
   /** Frame-level core of d40 — see the header above. `docs` needs
-    * (doc_id, source, text) columns. */
-  def shingleContainment(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs, 3)
+    * (doc_id, source, text) columns. `sh0` optionally supplies prebuilt
+    * (doc_id, source, shh) rows (the registered query passes the pinned
+    * doc_shh stage shared with d06/d29/d41/d44). */
+  def shingleContainment(docs: DataFrame,
+      sh0: Option[DataFrame] = None): DataFrame = {
+    val sh = sh0.getOrElse(shingleRows(docs, 3)
       .select(col("doc_id"), col("source"), shingleHash(col("sh")).as("shh"))
-      .cache() // sizes + both join sides
+      .cache()) // sizes + both join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // SOURCE-BLOCKED BY DESIGN (the d06 precedent, measured in round 11):
     // the corpus-wide exact intersection join is Σ_shh df² — on a
@@ -533,7 +535,9 @@ object TextOps {
   // ---------------------------------------------------------------------
   def d41ContainmentApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    docs.join(broadcast(containmentDropSet(docs)), Seq("doc_id"), "left_anti")
+    val drop = containmentDropSet(docs,
+      sh0 = Some(SketchOps.docShhStage(spark, dir)))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -543,8 +547,9 @@ object TextOps {
     * the lower id). Shared by d41 and the Runner's corpus stage so lake
     * and query surface apply identical curation. Pair-bounded — always
     * broadcastable. */
-  def containmentDropSet(docs: DataFrame): DataFrame =
-    shingleContainment(docs)
+  def containmentDropSet(docs: DataFrame,
+      sh0: Option[DataFrame] = None): DataFrame =
+    shingleContainment(docs, sh0)
       .select(
         when(col("c12") >= ContainmentThreshold
           && col("c21") >= ContainmentThreshold, col("d2")) // mutual: keep lower id
