@@ -79,12 +79,18 @@ object CorpusPrep {
   private def sharedStages(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val gate1 = graft.StageCache.cached(spark, dir, "corpus_gate1")(
       qualityGate(spark, dir))
+    // signatures and shingle hashes are PER-DOC pure (a doc's MinHash
+    // and its shingle set depend only on its own tokens; the dictionary
+    // hash bases are per-token md5, not corpus-dependent), so the
+    // gate-filtered stages are semi-join restrictions of the full-corpus
+    // doc_sig/doc_shh pins (r19) — the gate tier no longer re-tokenizes
+    // the corpus to rebuild either stage.
+    val ids = gate1.select(col("doc_id"))
     val sig = graft.StageCache.cached(spark, dir, "corpus_sig")(
-      SketchOps.minhashSignatures(
-        gate1.select(col("doc_id"), col("source"), col("text"))))
+      SketchOps.docSigStage(spark, dir).join(ids, Seq("doc_id"), "left_semi"))
     val sh = graft.StageCache.cached(spark, dir, "corpus_shh")(
-      TextOps.shingleRows(gate1, 3)
-        .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh")))
+      SketchOps.docShhStage(spark, dir).join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shh")))
     (gate1, sig, sh)
   }
 
@@ -146,8 +152,10 @@ object CorpusPrep {
     // gate's interpreted stopword lambdas and the whole MinHash/shingle
     // computation are not re-executed at all.
     val (gate1, sig, sh) = sharedStages(spark, dir)
-    val repOk = QualityOps.repetitionSignals(
-        gate1.select(col("doc_id"), col("text")))
+    // per-doc pure signals: the full-corpus pinned frame filtered to the
+    // unflagged ids equals running the passes over gate1 (r19 — the
+    // semi-join below restricts to gate1 anyway)
+    val repOk = QualityOps.docRepSigStage(spark, dir)
       .filter(col("flagged") === 0).select(col("doc_id"))
     val filtered = gate1.join(repOk, Seq("doc_id"), "left_semi")
     val reps = filtered
@@ -170,7 +178,8 @@ object CorpusPrep {
       .join(broadcast(drop), col("doc_id") === col("d2"), "left_anti")
     val contam = QualityOps.contamination(
         nearDeduped.select(col("doc_id"), col("source"), col("text")),
-        TrainBuckets)
+        TrainBuckets,
+        sh0 = Some(QualityOps.docShh5Stage(spark, dir)))
       .filter(col("contaminated") === 1)
       .select(col("doc_id").as("__cd"))
     nearDeduped

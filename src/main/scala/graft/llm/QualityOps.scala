@@ -72,15 +72,30 @@ object QualityOps {
     * frame: docs in buckets ≥ evalBucketMin form the eval split; every
     * other doc is scored by its distinct 5-gram overlap with that split.
     * Frame-level so the composed pipeline (d18) can run it over near-dedup
-    * survivors with ITS split boundary. */
-  def contamination(docs: DataFrame, evalBucketMin: Int): DataFrame =
-    // pinned: consumed by BOTH the eval-set branch and the training-side
-    // join — without the pin the window+hash shingle stage runs per branch.
-    // localCheckpoint, not cache: checkpoint blocks are released by the
-    // ContextCleaner once the consumer drops the frame, where a .cache()
-    // here would pin the whole corpus' shingles in executor storage for
-    // the life of the session with no owner to unpersist it.
-    contaminationFromShingles(shingleStage(docs, evalBucketMin).localCheckpoint())
+    * survivors with ITS split boundary. `sh0` optionally supplies the
+    * prebuilt (doc_id, shh) 5-gram rows of a SUPERSET of `docs` (d18
+    * passes the pinned corpus stage; shingling is per-doc pure, so the
+    * semi-join restriction equals shingling the subset). */
+  def contamination(docs: DataFrame, evalBucketMin: Int,
+      sh0: Option[DataFrame] = None): DataFrame = sh0 match {
+    case Some(sh) =>
+      // restriction of an already-pinned stage: both consumer branches
+      // re-run the narrow semi-join over materialized blocks — cheaper
+      // than pinning a second, almost-full copy of the corpus shingles
+      contaminationFromShingles(
+        sh.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .withColumn("is_eval",
+            TextOps.hashBucket(col("doc_id")) >= evalBucketMin))
+    case None =>
+      // pinned: consumed by BOTH the eval-set branch and the training-side
+      // join — without the pin the window+hash shingle stage runs per
+      // branch. localCheckpoint, not cache: checkpoint blocks are released
+      // by the ContextCleaner once the consumer drops the frame, where a
+      // .cache() here would pin the whole corpus' shingles in executor
+      // storage for the life of the session with no owner to unpersist it.
+      contaminationFromShingles(
+        shingleStage(docs, evalBucketMin).localCheckpoint())
+  }
 
   /** The (doc_id, shh, is_eval) shingle frame both decontamination tiers
     * score against. */
@@ -89,12 +104,20 @@ object QualityOps {
       .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
       .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= evalBucketMin)
 
-  /** d15/d15b share the documents-table shingle stage per (session, dir)
-    * via [[graft.StageCache]] — one build, session-managed lifetime,
-    * instead of each query pinning its own copy. */
+  /** The documents table's hashed 5-gram shingle rows (doc_id, shh),
+    * pinned per (session, dir) — the base d15/d15b score against and the
+    * superset d18's contamination restricts (r19; the split flag is a
+    * projection each consumer adds at ITS boundary). */
+  private[llm] def docShh5Stage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "doc_shh5")(
+      TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
+        .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh")))
+
+  /** d15/d15b's scored frame: the pinned 5-gram stage plus the eval flag
+    * (a projection over pinned blocks — no second pin). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    graft.StageCache.cached(spark, dir, "d15_shingles")(
-      shingleStage(Tables.documents(spark, dir), EvalBucket))
+    docShh5Stage(spark, dir)
+      .withColumn("is_eval", TextOps.hashBucket(col("doc_id")) >= EvalBucket)
 
   private[llm] def contaminationFromShingles(sh: DataFrame): DataFrame = {
     val evalSet = sh.filter(col("is_eval"))
@@ -230,8 +253,16 @@ object QualityOps {
           .cast(IntegerType))
   }
 
+  /** Full-corpus repetition signals, pinned per (session, dir): the
+    * signals are per-doc pure (scaladoc above), so d16 reads the pin
+    * directly and d18's gate tier restricts it by semi-join instead of
+    * re-running the two n-gram aggregate passes over its subset (r19). */
+  private[llm] def docRepSigStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "doc_repsig")(
+      repetitionSignals(Tables.documents(spark, dir)))
+
   def d16RepetitionQuality(spark: SparkSession, dir: String): DataFrame =
-    repetitionSignals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    docRepSigStage(spark, dir).orderBy(col("doc_id"))
 
   val d16Sql: String =
     s"""WITH toks AS (
