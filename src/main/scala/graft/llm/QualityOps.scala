@@ -224,7 +224,8 @@ object QualityOps {
     * for pipeline composition — the signals are pure per-doc functions, so
     * computing them on a filtered subset equals filtering the full-corpus
     * result). */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
+  def repetitionSignals(docs: DataFrame,
+      bi0: Option[DataFrame] = None): DataFrame = {
     val uni = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -232,7 +233,9 @@ object QualityOps {
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_unigram_cnt"))
-    val bi = ngramRows(docs, 2)
+    // bi0: prebuilt bigram rows (the pinned doc_ng2 stage when the
+    // caller is the full-corpus stage build — shared with d17)
+    val bi = bi0.getOrElse(ngramRows(docs, 2))
       .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_cnt"))
@@ -259,7 +262,15 @@ object QualityOps {
     * re-running the two n-gram aggregate passes over its subset (r19). */
   private[llm] def docRepSigStage(spark: SparkSession, dir: String): DataFrame =
     graft.StageCache.cached(spark, dir, "doc_repsig")(
-      repetitionSignals(Tables.documents(spark, dir)))
+      repetitionSignals(Tables.documents(spark, dir),
+        bi0 = Some(docNg2Stage(spark, dir))))
+
+  /** Full-corpus non-distinct bigram rows, pinned per (session, dir):
+    * the window+explode pass d17 and the repetition-signal stage each
+    * paid separately (r19). */
+  private[llm] def docNg2Stage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "doc_ng2")(
+      ngramRows(Tables.documents(spark, dir), 2))
 
   def d16RepetitionQuality(spark: SparkSession, dir: String): DataFrame =
     docRepSigStage(spark, dir).orderBy(col("doc_id"))
@@ -497,10 +508,10 @@ object QualityOps {
   private val BoilerRatio = 0.5
 
   def d22Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    // cached: feeds the doc-frequency aggregate AND the scoring join
-    val sh = TextOps.shingleRows(Tables.documents(spark, dir), NGramN)
-      .select(col("doc_id"), TextOps.shingleHash(col("sh")).as("shh"))
-      .cache()
+    // the pinned 5-gram stage (shared with d15/d15b/d18) feeds the
+    // doc-frequency aggregate AND the scoring join — this was the exact
+    // frame d22 rebuilt and cached per query (r19)
+    val sh = docShh5Stage(spark, dir)
     val boiler = sh.groupBy(col("shh"))
       .agg(count(lit(1)).as("__df")) // shingles are distinct per doc → count = doc frequency
       .filter(col("__df") >= BoilerMinDf)
@@ -539,7 +550,7 @@ object QualityOps {
   private val VocabTopK = 50
 
   def d17NgramVocab(spark: SparkSession, dir: String): DataFrame =
-    ngramRows(Tables.documents(spark, dir), 2)
+    docNg2Stage(spark, dir)
       .groupBy(col("ng").as("bigram"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
