@@ -1040,11 +1040,10 @@ object OlapQueries {
     val years = pinned.select(col("__y")).distinct()
       .collect().map(_.getInt(0)).sorted
     val folded = years.foldLeft(Option.empty[DataFrame]) { (hist, y) =>
-      // narrow filter over the pinned change log (r19): the merge
-      // subtrees re-scan the pinned blocks with the year predicate — a
-      // cheap scan of materialized rows, where the old per-year
-      // localCheckpoint added one scheduled job per year to avoid it
-      val batch = pinned.filter(col("__y") === y).drop("__y")
+      // per-year pin: the batch feeds several merge subtrees, and a bare
+      // filter over the all-years pinned blocks would re-scan every
+      // year's blocks per subtree — pin the slice so subtrees scan only it
+      val batch = pinned.filter(col("__y") === y).drop("__y").localCheckpoint()
       // localCheckpoint truncates the fold's growing lineage (the q51
       // discipline); one batch per year keeps the chain short
       Some(hist.fold(scd2Intervals(batch))(h =>
@@ -1076,11 +1075,9 @@ object OlapQueries {
     val years = pinned.select(col("__y")).distinct()
       .collect().map(_.getInt(0)).sorted
     years.foreach { y =>
-      // narrow filter over the pinned change log, NOT a per-year pin
-      // (r19): the merge's subtrees each scan the pinned blocks with the
-      // year predicate — a scan of materialized rows, where the old
-      // localCheckpoint added one scheduled job per year to save it
-      val batch = pinned.filter(col("__y") === y).drop("__y")
+      // per-year pin, same rationale as q52b's: four subtrees per merge
+      // must not each re-scan every year's pinned blocks
+      val batch = pinned.filter(col("__y") === y).drop("__y").localCheckpoint()
       graft.streaming.DimSync.mergeScd2(spark, lake, batch, nBuckets = 16)
     }
     graft.streaming.DimSync.scd2Snapshot(spark, lake)
