@@ -687,14 +687,22 @@ object VectorOps {
     cents
   }
 
+  /** The normalized embedding table (vec_id, nemb), pinned per
+    * (session, dir) via [[graft.StageCache]] (r19): a07 and a08 each
+    * normalized and localCheckpointed the identical frame — one
+    * normalization pass per session now serves both (a08 adds its
+    * `__norm` column as a projection over the pinned rows). */
+  private def embNormStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "emb_norm")(
+      Tables.embeddings(spark, dir)
+        .withColumn("__n", norm(col("embedding")))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
+            .as("nemb")))
+
   def a07AnnPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("__n", norm(col("embedding")))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
-          .as("nemb"))
-      .localCheckpoint() // consumed by the training, the encode, and queries
+    val e = embNormStage(spark, dir) // pinned; training, encode, queries
     val dim = e.select(size(col("nemb"))).first().getInt(0) // 1-row driver probe
     require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
     val sub = dim / PqM
@@ -828,13 +836,12 @@ object VectorOps {
   // ---------------------------------------------------------------------
   def a08AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("__n", norm(col("embedding")))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / __n AS FLOAT))")
-          .as("embedding"))
+    // projection over the pinned normalized stage (shared with a07);
+    // __norm is one codegen dot per row per consumer scan — cheaper than
+    // a second pinned copy of the table
+    val e = embNormStage(spark, dir)
+      .select(col("vec_id"), col("nemb").as("embedding"))
       .withColumn("__norm", norm(col("embedding")))
-      .localCheckpoint() // coarse training, residual encode, queries, re-rank
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     require(dim % PqM == 0, s"embedding dim $dim not divisible by PqM=$PqM")
     val sub = dim / PqM
