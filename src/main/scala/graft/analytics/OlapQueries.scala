@@ -786,8 +786,15 @@ object OlapQueries {
       else if (every == 0) df.localCheckpoint()
       else if (i % every == 0) df.checkpoint()
       else df // lineage depth bounded by the cadence
-    val edges0 = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
-      .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    // pin the PAIR frame first (r19): edges0 references it twice (the
+    // union) and is itself consumed by both the wtot aggregate and the
+    // edge-frame build — without the pin the corpus-scale pair build
+    // (lineitem scan → per-order collect_set → pair explode → pair
+    // aggregate) executed once for the wt pin and AGAIN when the edge
+    // persist materialized. One build, every consumer reads the pin.
+    val pairsP = pinBase(pairs)
+    val edges0 = pairsP.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(pairsP.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     // node-sized; pinned so the final rank⋈wtot join reads the
     // materialized frame instead of re-scanning the corpus for edges0
     val wt = pinBase(edges0.groupBy(col("src")).agg(sum(col("w")).as("wtot")))
