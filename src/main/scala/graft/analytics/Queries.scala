@@ -151,11 +151,21 @@ object Queries {
   // (the 100 TB path would switch to approx_count_distinct — noted, not
   // done: correctness tier is exact).
   // ---------------------------------------------------------------------
+  /** The 4 columns q02/q02b aggregate, pinned narrow (r19): the q01_core
+    * pin is the 18-column wide grain, and a LogicalRDD scan cannot
+    * column-prune — both KPI tiers were deserializing every string column
+    * of every pinned row to aggregate four numeric ones. One projection
+    * pass builds the narrow pin; both tiers scan ~10× fewer bytes. */
+  private def q01KpiStage(spark: SparkSession, dir: String): DataFrame =
+    graft.StageCache.cached(spark, dir, "q01_kpi")(
+      q01Core(spark, dir).select(col("order_id"), col("cust_id"),
+        col("quantity"), col("net_revenue")))
+
   def q02KpiTotals(spark: SparkSession, dir: String): DataFrame = {
     // net_revenue is a derived 4-dp product carried as double — lift it to
     // scale-4 decimal (tie-free: the true value has exactly 4 decimals,
     // the double is within 1e-6 of it) before the exact sum.
-    q01Core(spark, dir).agg(
+    q01KpiStage(spark, dir).agg(
       sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("total_revenue"),
       countDistinct(col("order_id")).as("total_orders"),
@@ -182,7 +192,7 @@ object Queries {
     * survives. sf0.1's bench (600k rows, q02b slower than q02) is the
     * left side of this curve, not a regression. */
   def q02bKpiApprox(spark: SparkSession, dir: String): DataFrame =
-    q01Core(spark, dir).agg(
+    q01KpiStage(spark, dir).agg(
       sum(col("net_revenue").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("total_revenue"),
       // rsd 1% (vs the 5% default): ~10k HLL registers per
