@@ -192,7 +192,7 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
-  val d18Sql: String = {
+  lazy val d18Sql: String = {
     val stop = allStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id, source, text,
@@ -261,7 +261,7 @@ object CorpusPrep {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val d13Sql: String = {
+  lazy val d13Sql: String = {
     val stop = allStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id, source, text,

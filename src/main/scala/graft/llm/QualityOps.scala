@@ -64,9 +64,9 @@ object QualityOps {
   // by anything but the shingle hash it already owns. Both inputs prune
   // to (doc_id, text).
   // ---------------------------------------------------------------------
-  private[graft] val EvalBucket = 95   // buckets 95..99 → ~5% eval split
-  private[llm] val NGramN = 5
-  private[llm] val ContamRatio = 0.5
+  private[graft] final val EvalBucket = 95   // buckets 95..99 → ~5% eval split
+  private[llm] final val NGramN = 5
+  private[llm] final val ContamRatio = 0.5
 
   /** Per-training-doc contamination scores for any (doc_id, source, text)
     * frame: docs in buckets ≥ evalBucketMin form the eval split; every
@@ -216,9 +216,9 @@ object QualityOps {
   // (unigrams, bigrams) joined per doc — map-side partials everywhere,
   // never a global window.
   // ---------------------------------------------------------------------
-  private[llm] val MaxTopUnigramFrac = 0.15
-  private[llm] val MaxTopBigramFrac = 0.08
-  private[llm] val MinTypeTokenRatio = 0.4
+  private[llm] final val MaxTopUnigramFrac = 0.15
+  private[llm] final val MaxTopBigramFrac = 0.08
+  private[llm] final val MinTypeTokenRatio = 0.4
 
   /** Per-doc repetition signals for any (doc_id, text) frame (frame-level
     * for pipeline composition — the signals are pure per-doc functions, so

@@ -450,7 +450,7 @@ object TextOps {
   // rarest-first shingle orderings or the d40b bottom-k sketch tier
   // below; this operator is the exact-verification stage both feed.
   // ---------------------------------------------------------------------
-  private[graft] val ContainmentThreshold = 0.5
+  private[graft] final val ContainmentThreshold = 0.5
 
   def d40ShingleContainment(spark: SparkSession, dir: String): DataFrame =
     shingleContainment(Tables.documents(spark, dir),
@@ -711,7 +711,7 @@ object TextOps {
   //    per corpus token), and the final per-doc aggregate is the same
   //    one-shuffle group-by-doc every corpus op here pays.
   // ---------------------------------------------------------------------
-  private[graft] val SpanK = 5
+  private[graft] final val SpanK = 5
 
   // ---------------------------------------------------------------------
   // d39 — link/domain statistics + domain-blocklist gate: extract every
@@ -920,7 +920,7 @@ object TextOps {
     spanTail(arrTrain, candTrain, evalTxt, SpanK)
   }
 
-  val d38Sql: String =
+  lazy val d38Sql: String =
     s"""WITH bk AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -1015,7 +1015,7 @@ object TextOps {
   /** d35's GLOBAL duplication rule with coverage and output restricted to
     * batch-bucket docs: equality with the engine's index-probe
     * formulation is the incremental protocol's losslessness proof. */
-  val d35bSql: String =
+  lazy val d35bSql: String =
     s"""WITH bk AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket

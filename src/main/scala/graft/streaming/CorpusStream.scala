@@ -936,7 +936,7 @@ object CorpusStream {
     res.orderBy(col("doc_id"))
   }
 
-  val d45Sql: String =
+  lazy val d45Sql: String =
     s"""WITH g AS (
        |  SELECT doc_id, source, text, md5(text) AS text_fp
        |  FROM documents
